@@ -1,0 +1,126 @@
+package graft.ledger
+
+import graft.model.Ledger
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Parquet-backed uploads ledger with MERGE (upsert) semantics.
+  *
+  * The reference's ledger is a Firestore collection written with
+  * `set(..., merge=True)` and partial `update()` calls (reference:
+  * csv-processor-function/main.py:61-68,110-113,133-137,148-152). No
+  * MERGE-capable table format ships in this environment, so the classic
+  * pointer-file pattern is used instead (SURVEY.md §7.3):
+  *
+  *   dir/_current            ← tiny text file naming the live version dir
+  *   dir/v-<uuid>/ (parquet) ← immutable snapshot versions
+  *
+  * A merge reads the live snapshot, full-outer-joins the updates on
+  * `upload_id`, per-column `coalesce(new, old)` (exactly Firestore
+  * merge=True field semantics), writes a NEW snapshot dir, then atomically
+  * swaps the pointer. Readers never observe a partial write; the swap is a
+  * single-file rename. Crash before the swap leaves the old version live.
+  *
+  * Scale notes (100 TB design): the ledger is bounded by *upload count*,
+  * not data volume — millions of rows at most, a few hundred MB of parquet.
+  * The merge is one shuffle on a small table; callers broadcast the `done`
+  * key set against the (huge) event stream, never the reverse. Single
+  * writer (the streaming driver) matches the reference's effective
+  * serialization through Firestore and makes the swap safe without locks.
+  */
+class LedgerStore(spark: SparkSession, dir: String) {
+  import Ledger.{key, schema, valueColumns}
+
+  private val rootPath = new Path(dir)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val pointer = new Path(rootPath, "_current")
+
+  private def currentVersion(): Option[String] = {
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim)
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Live ledger snapshot; empty (schema'd) DataFrame if none exists yet. */
+  def read(): DataFrame = currentVersion() match {
+    case Some(v) => spark.read.schema(schema).parquet(new Path(rootPath, v).toString)
+    case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** MERGE: upsert `updates` into the ledger keyed on `upload_id`.
+    *
+    * Field semantics = Firestore `set(merge=True)`: a non-null update field
+    * overwrites, a null/absent update field preserves the existing value
+    * (main.py:68). Missing columns in `updates` are treated as all-null.
+    * Updates must be unique per `upload_id` (callers reduce per-batch first;
+    * the reference serializes per-document through Firestore the same way).
+    *
+    * `requireExisting=true` gives Firestore `update()` semantics (A2–A4):
+    * rows whose key is absent from the ledger are dropped — the reference
+    * throws for them and leaves no trace (SURVEY.md §2.7.5).
+    */
+  def merge(updates: DataFrame, requireExisting: Boolean = false): Unit = {
+    val aligned = {
+      val cols = schema.fields.map { f =>
+        if (updates.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      updates.select(cols.toIndexedSeq: _*)
+    }
+    val old = read()
+    val joinType = if (requireExisting) "right_outer" else "full_outer"
+    val n = aligned.as("n")
+    val o = old.as("o")
+    val merged = n
+      .join(o, n(key) === o(key), joinType)
+      .select(
+        coalesce(n(key), o(key)).as(key) +:
+          valueColumns.map(c => coalesce(n(c), o(c)).as(c)): _*
+      )
+    merged
+      .filter(col("status").isNull || col("status").isin(UploadStatusValues: _*))
+      .persist()
+      .count() // materialize BEFORE touching the old snapshot
+    writeSnapshot(merged)
+    merged.unpersist()
+  }
+
+  private val UploadStatusValues = graft.model.UploadStatus.All.toSeq
+
+  /** Overwrite the ledger wholesale (tests / bootstrap). */
+  def overwrite(rows: DataFrame): Unit = {
+    val aligned = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    writeSnapshot(aligned)
+  }
+
+  private def writeSnapshot(df: DataFrame): Unit = {
+    val version = s"v-${UUID.randomUUID().toString.take(12)}"
+    val target = new Path(rootPath, version)
+    // The ledger is small (bounded by upload count); one file keeps the
+    // point-lookup path a single-footer read. Shard only if it grows.
+    df.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    val prev = currentVersion()
+    val tmp = new Path(rootPath, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // Atomic pointer swap: rename is atomic on HDFS and local FS.
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    if (!fs.rename(tmp, pointer))
+      throw new java.io.IOException(s"ledger pointer swap failed for $dir")
+    prev.foreach { v =>
+      if (v != version) fs.delete(new Path(rootPath, v), true)
+    }
+  }
+}
