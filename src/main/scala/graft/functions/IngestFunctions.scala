@@ -82,11 +82,15 @@ object IngestFunctions {
 
   /** The Pub/Sub envelope as a JSON string (reference main.py:74-80:
     * `json.dumps({'upload_id':…,'bucket_name':…,'file_name':…})`).
-    * printf-style so the byte layout is engine-independent (json.dumps uses
-    * `", "`/`": "` separators by default).
+    *
+    * Built with `to_json(struct(...))` so quotes/backslashes/control chars
+    * in file names are escaped correctly (the reference's json.dumps does
+    * this too; a printf template would emit invalid JSON for them). Known
+    * deliberate deviation: json.dumps' default `", "`/`": "` separators and
+    * `ensure_ascii` \\uXXXX escapes are not replicated — the envelope is an
+    * internal handoff, so structural equality is what matters.
     */
   def envelopeJson(uploadId: Column, bucket: Column, name: Column): Column =
-    format_string(
-      """{"upload_id": "%s", "bucket_name": "%s", "file_name": "%s"}""",
-      uploadId, bucket, name)
+    to_json(struct(
+      uploadId.as("upload_id"), bucket.as("bucket_name"), name.as("file_name")))
 }

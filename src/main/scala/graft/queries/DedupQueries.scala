@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data deduplication over `documents` — the content-identity
+  * strengthening of the reference's metadata-identity dedup (SURVEY.md
+  * §2.7.3), plus the near-dup family a 100 TB text pipeline needs.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the content digest;
+  *  - MinHash is shingle-explode → one groupBy(doc) for all 16 minhashes →
+  *    band-key self-join. The join key is the *band value*, so the shuffle
+  *    is O(docs × bands), never the O(n²) cross join; candidate volume is
+  *    controlled by the (bands=4, rows=4) S-curve;
+  *  - n-gram Jaccard joins on the gram itself — correct but gram-frequency
+  *    sensitive, so at scale it runs AFTER MinHash banding as the verify
+  *    stage on candidates only (here it doubles as the oracle-checked
+  *    ground truth);
+  *  - everything is deterministic: "random" hash functions are
+  *    sha256(seed:value) prefixes, so Spark and DuckDB agree bit-for-bit.
+  */
+object DedupQueries {
+  import Q._
+
+  private val Hex = "0123456789abcdef"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: survivors + multiplicity per content digest.
+    QueryDef("dedup_exact",
+      (s, d) => table(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // MinHash + LSH banding: char-5-gram shingles (first 200 chars), 16
+    // minhashes as min sha256("j:"+shingle) prefixes, 4 bands × 4 rows,
+    // candidate pairs = docs sharing any band value.
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+        val sh = docs
+          .select(col("doc_id"),
+            explode(when(length(col("t")) >= 5,
+                sequence(lit(1), length(col("t")) - 4))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("t"))
+          .select(col("doc_id"), col("t").substr(col("i"), lit(5)).as("sh"))
+          .distinct()
+        val mhAggs = (1 to 16).map(j =>
+          min(substring(sha2(concat(lit(s"$j:"), col("sh")), 256), 1, 16))
+            .as(s"mh$j"))
+        val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        val bandCols = (0 to 3).map(b => concat(
+          col(s"mh${4 * b + 1}"), col(s"mh${4 * b + 2}"),
+          col(s"mh${4 * b + 3}"), col(s"mh${4 * b + 4}")))
+        val bands = mh.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+        val b = bands.select(col("doc_id").as("doc_b"),
+          col("band").as("band_b"), col("bv").as("bv_b"))
+        a.join(b, col("band") === col("band_b") &&
+            col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      },
+      Some {
+        val mhs = (1 to 16)
+          .map(j => s"min(substr(sha256('$j:' || sh), 1, 16)) AS mh$j")
+          .mkString(", ")
+        val bands = (0 to 3).map(b =>
+          s"SELECT doc_id, $b AS band, mh${4 * b + 1}||mh${4 * b + 2}||mh${4 * b + 3}||mh${4 * b + 4} AS bv FROM mh")
+          .mkString(" UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+          |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM t)),
+          |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+          |bands AS ($bands)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin
+      }),
+
+    // SimHash: 16-bit signature from per-word sha256 bit votes.
+    QueryDef("dedup_simhash",
+      (s, d) => {
+        val words = table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val bits = words
+          .select(col("doc_id"), substring(sha2(col("w"), 256), 1, 4).as("h4"))
+          .select(col("doc_id"), col("h4"),
+            explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("v",
+            expr(s"instr('$Hex', substr(h4, (b DIV 4) + 1, 1)) - 1"))
+          .withColumn("bit", expr("shiftright(v, 3 - (b % 4)) & 1"))
+        bits.groupBy("doc_id", "b")
+          .agg(sum(expr("2 * bit - 1")).as("vote"))
+          .withColumn("bitval",
+            when(col("vote") > 0, lit(1L)).otherwise(lit(0L)))
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, substr(sha256(w), 1, 4) AS h4 FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, h4, unnest(range(0, 16)) AS b FROM h),
+        |v AS (SELECT doc_id, b,
+        |  ((instr('$Hex', substr(h4, (b // 4) + 1, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+        |  FROM e),
+        |votes AS (SELECT doc_id, b, CAST(sum(2 * bit - 1) AS BIGINT) AS vote
+        |  FROM v GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin)),
+
+    // Word 3-gram Jaccard ≥ 0.5: the exact near-dup ground truth (the
+    // planted duplicate pairs in the corpus sit at J ≈ 0.9).
+    QueryDef("dedup_ngram_jaccard",
+      (s, d) => {
+        val w = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val g = w
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 3,
+                sequence(lit(1), size(col("ws")) - 2))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), expr(
+            "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
+            .as("gram"))
+          .distinct()
+        val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val ga = g.select(col("doc_id").as("doc_a"), col("gram"))
+        val gb = g.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"))
+        ga.join(gb, col("gram") === col("gram_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_n"))
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+          .withColumn("jaccard",
+            col("i_n").cast("double") / (col("n_a") + col("n_b") - col("i_n")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_n
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5""".stripMargin))
+  )
+}

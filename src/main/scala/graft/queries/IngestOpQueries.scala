@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.functions.IngestFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory, one registered query per operator,
+  * expressed over the driver's deterministic tables so DuckDB can oracle
+  * them. The `events` table plays the role of the reference's storage-event
+  * stream: each event row is mapped to a synthetic "file upload" (bucket,
+  * name, size, created-at) through a fixed, engine-independent projection,
+  * and the reference's operators (extension filter, metadata-hash identity,
+  * idempotent anti-join, line count, status machine, DLQ threshold, list /
+  * point lookups) run over that view. The real pipeline over actual files
+  * is exercised end-to-end by the ScalaTest suite (IngestPipelineSpec);
+  * these queries prove each operator's dataflow semantics against an
+  * independent engine.
+  */
+object IngestOpQueries {
+  import Q._
+
+  /** The reference's CloudEvent + metadata-fetch columns (S1+S2) derived
+    * deterministically from `events`: error events become non-CSV files so
+    * the extension filter has something to drop (reference main.py:33-36).
+    */
+  private def fileEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("event_id"),
+      concat(lit("bucket-"), pmod(col("user_id"), lit(4)).cast("string"))
+        .as("bucket_name"),
+      concat(lit("file_"), col("event_id").cast("string"),
+        when(col("event_type") === "error", ".txt").otherwise(".csv"))
+        .as("file_name"),
+      floor(col("value") * 100).cast("long").as("file_size"),
+      tsCol.as("created_ts"))
+
+  /** DuckDB rendering of [[fileEvents]] — keep the two in lockstep. */
+  private val FE =
+    """WITH fe AS (
+      |  SELECT event_id,
+      |    'bucket-' || CAST(user_id % 4 AS VARCHAR) AS bucket_name,
+      |    'file_' || CAST(event_id AS VARCHAR) ||
+      |      (CASE WHEN event_type = 'error' THEN '.txt' ELSE '.csv' END) AS file_name,
+      |    CAST(floor(value * 100) AS BIGINT) AS file_size,
+      |    CAST(ts AS TIMESTAMP) AS created_ts
+      |  FROM events)""".stripMargin
+
+  /** Python `datetime.isoformat()` in DuckDB (micros trimmed when zero). */
+  private val IsoSql =
+    """strftime(created_ts, '%Y-%m-%dT%H:%M:%S') ||
+      |(CASE WHEN strftime(created_ts, '%f') = '000000' THEN ''
+      |      ELSE '.' || strftime(created_ts, '%f') END) || '+00:00'""".stripMargin
+
+  /** Documents-as-CSV-files: text with spaces turned into newlines is the
+    * whole-file content (documents carry no raw newlines); every 7th doc is
+    * an empty file so the validation predicate has both branches.
+    */
+  private def docContent(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit(""))
+        .otherwise(translate(col("text"), " ", "\n")).as("content"))
+
+  private val DocContentSql =
+    """WITH dc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN ''
+      |         ELSE replace(text, ' ', chr(10)) END AS content
+      |  FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1 — source scan with a pushed-down predicate + column pruning.
+    QueryDef("s1_source_scan",
+      (s, d) => table(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type"),
+      Some("SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'")),
+
+    // S2 — file-metadata projection (bucket/name/size from the event).
+    QueryDef("s2_metadata_fetch",
+      (s, d) => fileEvents(s, d)
+        .select("event_id", "bucket_name", "file_name", "file_size"),
+      Some(s"$FE SELECT event_id, bucket_name, file_name, file_size FROM fe")),
+
+    // S5 — envelope decode: JSON payload field extraction (main.py:96-103).
+    QueryDef("s5_envelope_decode",
+      (s, d) => table(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("payload_k")),
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS payload_k FROM events")),
+
+    // F1 — extension filter, pre-ledger (main.py:33-36).
+    QueryDef("f1_extension_filter",
+      (s, d) => fileEvents(s, d)
+        .filter(isCsvPath(col("file_name")))
+        .select("event_id", "file_name"),
+      Some(s"$FE SELECT event_id, file_name FROM fe WHERE lower(file_name) LIKE '%.csv'")),
+
+    // F2 — metadata-hash identity: sha256(f"{b}-{n}-{size}-{iso}")[:16]
+    // (main.py:15-18), with Python isoformat() fidelity on both sides.
+    QueryDef("f2_upload_id",
+      (s, d) => fileEvents(s, d).select(
+        col("event_id"),
+        uploadId(col("bucket_name"), col("file_name"), col("file_size"),
+          pyIsoformatUtc(col("created_ts"))).as("upload_id")),
+      Some(s"""$FE SELECT event_id,
+        |substr(sha256(bucket_name || '-' || file_name || '-' ||
+        |  CAST(file_size AS VARCHAR) || '-' || $IsoSql), 1, 16) AS upload_id
+        |FROM fe""".stripMargin)),
+
+    // F3/S4 — envelope serialization (main.py:74-80), properly escaped via
+    // to_json (field order fixed by the struct).
+    QueryDef("f3_envelope_json",
+      (s, d) => fileEvents(s, d)
+        .filter(isCsvPath(col("file_name")))
+        .select(
+          col("event_id"),
+          to_json(struct(
+            col("event_id").cast("string").as("upload_id"),
+            col("bucket_name"),
+            col("file_name"))).as("envelope")),
+      Some(s"""$FE SELECT event_id,
+        |'{"upload_id":"' || CAST(event_id AS VARCHAR) ||
+        |'","bucket_name":"' || bucket_name ||
+        |'","file_name":"' || file_name || '"}' AS envelope
+        |FROM fe WHERE lower(file_name) LIKE '%.csv'""".stripMargin)),
+
+    // F4+D1 — the idempotency anti-join: events whose key is already "done"
+    // (here: users with a large purchase) are skipped (main.py:53-58). The
+    // done-side is small → broadcast, never shuffling the big event stream.
+    QueryDef("f4_d1_idempotent_skip",
+      (s, d) => {
+        val e = table(s, d, "events")
+        val done = e.filter(col("event_type") === "purchase" &&
+            col("value") > 480).select("user_id").distinct()
+        e.join(broadcast(done), Seq("user_id"), "left_anti")
+          .select("event_id", "user_id")
+      },
+      Some("""SELECT event_id, user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.value > 480
+        |    AND p.user_id = e.user_id)""".stripMargin)),
+
+    // A-L1 — the split('\n') fencepost line count (main.py:121-123):
+    // N newlines → N+1 "lines", so "" counts 1 and "\n" counts 2.
+    QueryDef("a_l1_line_count",
+      (s, d) => docContent(s, d).select(
+        col("doc_id"),
+        pySplitLineCount(col("content")).cast("long").as("n_lines")),
+      Some(s"""$DocContentSql SELECT doc_id,
+        |CAST(length(content) - length(replace(content, chr(10), '')) + 1 AS BIGINT) AS n_lines
+        |FROM dc""".stripMargin)),
+
+    // F5 — validation predicate: < 2 split-elements fails (main.py:126-127).
+    QueryDef("f5_validation",
+      (s, d) => docContent(s, d)
+        .withColumn("n_lines", pySplitLineCount(col("content")).cast("long"))
+        .select(
+          col("doc_id"), col("n_lines"),
+          isValidCsv(col("n_lines")).as("ok"),
+          when(!isValidCsv(col("n_lines")), ValidationError)
+            .as("error_message")),
+      Some(s"""$DocContentSql,
+        |j AS (SELECT doc_id,
+        |  CAST(length(content) - length(replace(content, chr(10), '')) + 1 AS BIGINT) AS n_lines
+        |  FROM dc)
+        |SELECT doc_id, n_lines, n_lines >= 2 AS ok,
+        |  CASE WHEN n_lines < 2 THEN 'CSV file is empty or has only headers' END AS error_message
+        |FROM j""".stripMargin)),
+
+    // A1–A4 — the status state machine's terminal projection: done rows get
+    // lines_processed, failed rows get the error (main.py:133-152).
+    QueryDef("a1_a4_status_machine",
+      (s, d) => docContent(s, d)
+        .withColumn("n_lines", pySplitLineCount(col("content")).cast("long"))
+        .select(
+          col("doc_id"),
+          when(isValidCsv(col("n_lines")), "done").otherwise("failed")
+            .as("status"),
+          when(isValidCsv(col("n_lines")), col("n_lines"))
+            .as("lines_processed"),
+          when(!isValidCsv(col("n_lines")), ValidationError)
+            .as("error_message")),
+      Some(s"""$DocContentSql,
+        |j AS (SELECT doc_id,
+        |  CAST(length(content) - length(replace(content, chr(10), '')) + 1 AS BIGINT) AS n_lines
+        |  FROM dc)
+        |SELECT doc_id,
+        |  CASE WHEN n_lines >= 2 THEN 'done' ELSE 'failed' END AS status,
+        |  CASE WHEN n_lines >= 2 THEN n_lines END AS lines_processed,
+        |  CASE WHEN n_lines < 2 THEN 'CSV file is empty or has only headers' END AS error_message
+        |FROM j""".stripMargin)),
+
+    // ST2 — per-key delivery-attempt counter (ARCHITECTURE.md:69-79) as a
+    // running row_number over each user's error events.
+    QueryDef("st2_attempt_counter",
+      (s, d) => table(s, d, "events")
+        .filter(col("event_type") === "error")
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("event_id"))
+            .cast("long").as("attempt")),
+      Some("""SELECT event_id, user_id,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS attempt
+        |FROM events WHERE event_type = 'error'""".stripMargin)),
+
+    // S6 — the ledger MERGE shape: full-outer join + per-column
+    // coalesce(new, old) = Firestore set(merge=True) (main.py:61-68).
+    QueryDef("s6_merge_coalesce",
+      (s, d) => {
+        val e = table(s, d, "events")
+        val old = e.filter(col("event_id") < 5000).groupBy("user_id")
+          .agg(sum(cents(col("value"))).as("v_old"))
+        val nw = e.filter(col("event_id") >= 5000)
+          .groupBy(col("user_id").as("user_id_n"))
+          .agg(sum(cents(col("value"))).as("v_new"))
+        old.join(nw, old("user_id") === nw("user_id_n"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("user_id_n")).as("user_id"),
+            coalesce(col("v_new"), col("v_old")).as("merged_value_c"),
+            (col("user_id").isNotNull && col("user_id_n").isNotNull)
+              .as("had_both"))
+      },
+      Some("""WITH o AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_old
+        |  FROM events WHERE event_id < 5000 GROUP BY user_id),
+        |n AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_new
+        |  FROM events WHERE event_id >= 5000 GROUP BY user_id)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  coalesce(n.v_new, o.v_old) AS merged_value_c,
+        |  (o.user_id IS NOT NULL AND n.user_id IS NOT NULL) AS had_both
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin)),
+
+    // S7+ST3 — DLQ routing: keys whose failure count reached max attempts.
+    QueryDef("s7_dlq_threshold",
+      (s, d) => table(s, d, "events")
+        .filter(col("event_type") === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("attempts"))
+        .filter(col("attempts") >= 5),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS attempts
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY user_id HAVING count(*) >= 5""".stripMargin)),
+
+    // S8+L1+L2 — list-uploads: status filter + order + limit (README.md:48-64).
+    QueryDef("s8_list_filtered_limit",
+      (s, d) => table(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+        .orderBy(col("event_id").desc)
+        .limit(10),
+      Some("""SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_c
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id DESC LIMIT 10""".stripMargin)),
+
+    // D2 — point lookup by key (get-upload-status, README.md:51).
+    QueryDef("d2_point_lookup",
+      (s, d) => table(s, d, "events")
+        .filter(col("event_id") === 4242)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_c")),
+      Some("""SELECT event_id, user_id, event_type,
+        |CAST(round(value*100) AS BIGINT) AS value_c
+        |FROM events WHERE event_id = 4242""".stripMargin)),
+
+    // ST1 — event-time tumbling-window aggregation (the batch shape of the
+    // streaming query; the streaming run itself is ScalaTest-verified).
+    QueryDef("st1_windowed_counts",
+      (s, d) => table(s, d, "events")
+        .groupBy(
+          unix_micros(date_trunc("hour", tsCol)).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c")),
+      Some("""SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+        |event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ST5 — within-batch dedup, set-based (first event per key): the
+    // deterministic equivalent of dropDuplicates on an ordered batch.
+    QueryDef("st5_first_per_key",
+      (s, d) => table(s, d, "events")
+        .groupBy("user_id").agg(min(col("event_id")).as("first_event")),
+      Some("""SELECT user_id, min(event_id) AS first_event
+        |FROM events GROUP BY user_id""".stripMargin))
+  )
+}

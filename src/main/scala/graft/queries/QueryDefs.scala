@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One driver-contract query: a Spark plan over the testdata parquet tables
+  * plus an equivalent ANSI/DuckDB oracle (None for ops SQL can't express —
+  * the driver then records a weaker rows-only check).
+  *
+  * Determinism rules (the oracle compares value hashes, so results must be
+  * bit-identical between Spark and DuckDB):
+  *
+  *  - No floating-point *aggregation*: measures go through integer cents
+  *    (`round(x*100)` cast to long) so sums are order-free, overflow-safe
+  *    and exact. A sum of doubles would depend on partition/accumulation
+  *    order in BOTH engines and can never hash-match reliably.
+  *  - Per-row double arithmetic is fine: identical operand order means
+  *    identical IEEE-754 results in any engine.
+  *  - Timestamps surface as epoch micros, dates, or formatted strings —
+  *    never raw timestamp columns (writer tz metadata differs between the
+  *    two engines' parquet output).
+  *  - DuckDB's SUM(BIGINT) widens to HUGEINT and COUNT stays BIGINT while
+  *    Spark's row_number/size/length are INT: every such column is cast so
+  *    both sides land on BIGINT/DOUBLE exactly.
+  *  - Every computed column is aliased to the same name in both dialects
+  *    (the driver sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/tests)
+    * — so in Spark the column is a LONG of epoch nanos. Nanos exceed 2^53:
+    * integer division only (double math would lose micros). Truncation via
+    * DIV matches DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) semantics.
+    */
+  val tsMicros: Column = expr("ts DIV 1000")
+
+  /** `ts` as a real (UTC) timestamp column, micro precision. */
+  val tsCol: Column = timestamp_micros(tsMicros)
+
+  /** Exact integer cents for a non-negative 2-decimal measure. round() is
+    * HALF_UP in Spark and half-away-from-zero in DuckDB — identical for the
+    * non-negative values in this data.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The north-star relational surface (SURVEY.md §7.5): joins, aggregations,
+  * windows, grouping sets over the TPC-H-ish warehouse tables. These are
+  * the queries a user of the ingested warehouse runs; each is shaped so
+  * Catalyst broadcast-joins the small dimensions and keeps the one big
+  * fact-table scan as the only heavy input.
+  *
+  * Money math: integer cents (see [[QueryDef]] scaladoc) — `revenue_c`
+  * columns are exact cents, order-free under parallel aggregation, and safe
+  * at any scale (BIGINT cents overflow at ~9e16 dollars).
+  */
+object RelationalQueries {
+  import Q._
+
+  /** revenue per row in cents: round(ep * (1-disc) * 100). */
+  private def revCents = round(
+    col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+
+  private val RevSql = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: full-scan aggregate with computed measures.
+    QueryDef("q1_pricing_summary",
+      (s, d) => table(s, d, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(revCents).as("sum_disc_price_c"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")) * 100).cast("long")).as("sum_charge_c"),
+          (sum(col("l_quantity").cast("long")).cast("double")
+            / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |CAST(sum($RevSql) AS BIGINT) AS sum_disc_price_c,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: 3-way join, aggregate, deterministic top-10.
+    QueryDef("q3_top_orders",
+      (s, d) => {
+        val c = table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = table(s, d, "orders")
+          .filter(expr("o_orderdate < TIMESTAMP_NTZ '1998-06-01 00:00:00'"))
+        val l = table(s, d, "lineitem")
+          .filter(expr("l_shipdate > TIMESTAMP_NTZ '1998-06-01 00:00:00'"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"),
+            col("o_orderpriority"))
+          .agg(sum(revCents).as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |o_orderpriority, CAST(sum($RevSql) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way snowflake join down to per-nation revenue.
+    QueryDef("q5_region_revenue",
+      (s, d) => {
+        val r = table(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = table(s, d, "nation")
+        val su = table(s, d, "supplier")
+        val c = table(s, d, "customer")
+        val o = table(s, d, "orders").filter(
+          expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        val l = table(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(revCents).as("revenue_c"))
+      },
+      Some(s"""SELECT n_name, CAST(sum($RevSql) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin)),
+
+    // Window: per-customer running order total (exact cents).
+    QueryDef("q_window_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_c"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+        |FROM orders""".stripMargin)),
+
+    // Window: top-3 orders per priority class.
+    QueryDef("q_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("totalprice_c"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // Distinct aggregate per group.
+    QueryDef("q_distinct_agg",
+      (s, d) => table(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key")),
+      Some("""SELECT o_orderstatus,
+        |CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Grouping sets: ROLLUP over status × priority.
+    QueryDef("q_rollup_counts",
+      (s, d) => table(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin))
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (Array[Float], 64-dim).
+  *
+  * Cross-engine determinism trick: floating-point dot products depend on
+  * accumulation order, which no engine guarantees — so vectors are first
+  * quantized to integer (round(x*10000), exact for these unit-scale
+  * floats), dot products and norms become exact BIGINT sums (order-free),
+  * and the only floating-point steps are one sqrt and one division on
+  * exact integers — bit-identical everywhere. Ranking is then fully
+  * deterministic with a vec_id tiebreak.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (O(n·q),
+  * embarrassingly parallel, per-partition ranking before the final top-k
+  * shuffle); the LSH variant buckets vectors by deterministic
+  * random-hyperplane signs so candidate generation is a bucket-key join —
+  * the 100 TB path where n·q is no longer affordable.
+  */
+object SimilarityQueries {
+  import Q._
+
+  /** Integer quantization of the float vector: exact BIGINT lattice. */
+  private val QuantSql =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").select(
+      col("vec_id"),
+      expr(QuantSql).as("qe"))
+      .withColumn("n2",
+        expr("aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-10 for query vectors vec_id < 5.
+    QueryDef("ann_cosine_topk",
+      (s, d) => {
+        val v = quantized(s, d)
+        val q = v.select(col("vec_id").as("query_id"), col("qe").as("qq"),
+          col("n2").as("qn2")).filter(col("query_id") < 5)
+        val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qq, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cosine"), row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      Some("""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM n q JOIN n b ON q.vec_id < 5 AND q.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
+        |  FROM p)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 10""".stripMargin)),
+
+    // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
+    // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
+    // bucket are each other's ANN candidates.
+    QueryDef("ann_lsh_buckets",
+      (s, d) => {
+        val planes = s.range(0, 8).select(col("id").as("p"))
+          .crossJoin(s.range(1, 65).select(col("id").as("dim")))
+          .withColumn("w", when(
+            expr("instr('02468ace', substr(sha2(concat(CAST(p AS STRING), '-', CAST(dim AS STRING)), 256), 1, 1))") > 0,
+            lit(1L)).otherwise(lit(-1L)))
+        val comps = table(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            round(col("x").cast("double") * 10000).cast("long").as("qx"))
+        comps.join(broadcast(planes), "dim")
+          .groupBy("vec_id", "p")
+          .agg(sum(col("w") * col("qx")).as("proj"))
+          .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
+          .groupBy("vec_id")
+          .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+      },
+      Some("""WITH planes AS (
+        |  SELECT p, dim,
+        |    CASE WHEN instr('02468ace',
+        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS p),
+        |       (SELECT unnest(range(1, 65)) AS dim)),
+        |comps AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << p) AS BIGINT) AS bucket
+        |FROM proj GROUP BY vec_id""".stripMargin))
+  )
+}

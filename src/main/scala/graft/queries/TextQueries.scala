@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline over `documents`: token
+  * counting, quality scoring, language ID, fingerprinting, and the
+  * multimodal binary-column plumbing. All scalar, codegen-friendly,
+  * shuffle-free except the final write — they scale linearly with the
+  * corpus and partition trivially.
+  */
+object TextQueries {
+  import Q._
+
+  /** Occurrences of `needle` in `text` by length difference (non-overlap). */
+  private def occurrences(hay: String, needle: String): String =
+    s"(length($hay) - length(replace($hay, '$needle', ''))) DIV ${needle.length}"
+
+  private def occurrencesSql(hay: String, needle: String): String =
+    s"(length($hay) - length(replace($hay, '$needle', ''))) // ${needle.length}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace split, word regex, BPE-ish segmentation.
+    QueryDef("text_token_stats",
+      (s, d) => table(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("n_word_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin)),
+
+    // Quality scoring: length/word-shape/stopword heuristics.
+    QueryDef("text_quality",
+      (s, d) => table(s, d, "documents")
+        .withColumn("n_chars_m", length(col("text")).cast("long"))
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("stop_hits",
+          (expr(occurrences("text", " the ")) +
+           expr(occurrences("text", " a "))).cast("long"))
+        .select(
+          col("doc_id"), col("n_chars_m"), col("n_words"), col("stop_hits"),
+          ((col("n_chars_m") - (col("n_words") - 1)).cast("double")
+            / col("n_words")).as("avg_word_len"),
+          when(col("n_words") >= 30 && col("stop_hits") >= 1, "good")
+            .when(col("n_words") >= 10, "ok")
+            .otherwise("low").as("quality")),
+      Some(s"""WITH q AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(${occurrencesSql("text", " the ")} +
+        |       ${occurrencesSql("text", " a ")} AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_words, stop_hits,
+        |  CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |  CASE WHEN n_words >= 30 AND stop_hits >= 1 THEN 'good'
+        |       WHEN n_words >= 10 THEN 'ok' ELSE 'low' END AS quality
+        |FROM q""".stripMargin)),
+
+    // Language ID: stopword-marker scoring with an 'en' prior. (The corpus
+    // text is synthetic; the operator's dataflow is what's exercised.)
+    QueryDef("text_lang_id",
+      (s, d) => table(s, d, "documents")
+        .withColumn("s_en", expr(occurrences("text", " the ")))
+        .withColumn("s_de", expr(occurrences("text", " der ")))
+        .withColumn("s_es", expr(occurrences("text", " el ")))
+        .withColumn("s_fr", expr(occurrences("text", " le ")))
+        .select(
+          col("doc_id"), col("lang"),
+          when(col("s_de") > col("s_en"), "de")
+            .when(col("s_es") > col("s_en"), "es")
+            .when(col("s_fr") > col("s_en"), "fr")
+            .otherwise("en").as("pred_lang"))
+        .withColumn("lang_match", col("pred_lang") === col("lang")),
+      Some(s"""WITH sc AS (SELECT doc_id, lang,
+        |  ${occurrencesSql("text", " the ")} AS s_en,
+        |  ${occurrencesSql("text", " der ")} AS s_de,
+        |  ${occurrencesSql("text", " el ")} AS s_es,
+        |  ${occurrencesSql("text", " le ")} AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de > s_en THEN 'de'
+        |       WHEN s_es > s_en THEN 'es'
+        |       WHEN s_fr > s_en THEN 'fr'
+        |       ELSE 'en' END AS pred_lang,
+        |  (CASE WHEN s_de > s_en THEN 'de'
+        |        WHEN s_es > s_en THEN 'es'
+        |        WHEN s_fr > s_en THEN 'fr'
+        |        ELSE 'en' END) = lang AS lang_match
+        |FROM sc""".stripMargin)),
+
+    // Document fingerprint: normalized-content digest (case/punct/space
+    // insensitive identity — the canonical-form dedup key).
+    QueryDef("text_fingerprint",
+      (s, d) => table(s, d, "documents").select(
+        col("doc_id"),
+        substring(sha2(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), 256), 1, 16).as("fingerprint")),
+      Some("""SELECT doc_id,
+        |substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fingerprint
+        |FROM documents""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary content column + typed metadata.
+    // (Real decode/feature-extract runs behind MultimodalPipeline's stub;
+    // this query proves the binary schema + per-blob metadata dataflow.)
+    QueryDef("multimodal_meta",
+      (s, d) => table(s, d, "documents")
+        .withColumn("content", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          expr("octet_length(content)").cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("content_sha"),
+          expr("(octet_length(content) + 63) DIV 64").cast("long")
+            .as("n_chunks")),
+      Some("""SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS content_sha,
+        |CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
+        |FROM documents""".stripMargin))
+  )
+}

@@ -51,10 +51,17 @@ class IngestFunctionsSpec extends SparkSpec {
     assert(keep.toSeq == Seq("A.CSV"))
   }
 
-  test("envelopeJson matches json.dumps layout") {
-    val got = Seq(("ce05376591fe5c7d", "bkt", "a.csv")).toDF("u", "b", "f")
+  test("envelopeJson is structurally faithful JSON, with escaping") {
+    val got = Seq(
+      ("ce05376591fe5c7d", "bkt", "a.csv"),
+      ("deadbeef00000000", "bkt", "we\"ird\\name.csv"))
+      .toDF("u", "b", "f")
       .select(envelopeJson($"u", $"b", $"f").as("j")).as[String].collect()
-    assert(got.head ==
-      """{"upload_id": "ce05376591fe5c7d", "bucket_name": "bkt", "file_name": "a.csv"}""")
+    assert(got(0) ==
+      """{"upload_id":"ce05376591fe5c7d","bucket_name":"bkt","file_name":"a.csv"}""")
+    // quotes/backslashes must be escaped (json.dumps does; the old printf
+    // template emitted invalid JSON here — ADVICE.md round 1)
+    assert(got(1) ==
+      """{"upload_id":"deadbeef00000000","bucket_name":"bkt","file_name":"we\"ird\\name.csv"}""")
   }
 }

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, load the Spark parquet Verify wrote, and compare
+schema + sorted rows exactly. Builder-side tooling only (not library code)."""
+import duckdb, json, sys, glob, math
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"create view {name} as select * from '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    try:
+        sdf = con.execute(f"select * from '{spark_dir}/*.parquet'").fetch_arrow_table()
+        odf = con.execute(sql).fetch_arrow_table()
+        scols = sorted(sdf.column_names)
+        ocols = sorted(odf.column_names)
+        if scols != ocols:
+            fails.append((name, f"cols: spark={scols} oracle={ocols}")); continue
+        stypes = {c: str(sdf.schema.field(c).type) for c in scols}
+        otypes = {c: str(odf.schema.field(c).type) for c in ocols}
+        if stypes != otypes:
+            fails.append((name, f"types: spark={stypes} oracle={otypes}")); continue
+        srows = sorted(map(tuple, sdf.select(scols).to_pylist() and [tuple(r[c] for c in scols) for r in sdf.to_pylist()]), key=lambda t: tuple((v is None, str(v)) for v in t))
+        orows = sorted([tuple(r[c] for c in ocols) for r in odf.to_pylist()], key=lambda t: tuple((v is None, str(v)) for v in t))
+        if len(srows) != len(orows):
+            fails.append((name, f"rowcount: spark={len(srows)} oracle={len(orows)}")); continue
+        bad = None
+        for i, (a, b) in enumerate(zip(srows, orows)):
+            for va, vb in zip(a, b):
+                same = (va == vb) or (isinstance(va, float) and isinstance(vb, float) and (math.isnan(va) and math.isnan(vb) or va == vb))
+                if not same:
+                    bad = (i, a, b); break
+            if bad: break
+        if bad:
+            fails.append((name, f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}")); continue
+        print(f"  OK {name}: {len(srows)} rows")
+    except Exception as e:
+        fails.append((name, f"EXC {type(e).__name__}: {str(e)[:300]}"))
+print()
+if fails:
+    print(f"{len(fails)} FAILURES:")
+    for n, msg in fails:
+        print(f"  FAIL {n}: {msg}")
+    sys.exit(1)
+print(f"all {len(oracle)} queries match")
