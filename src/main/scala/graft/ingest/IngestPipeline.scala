@@ -2,9 +2,10 @@ package graft.ingest
 
 import graft.functions.IngestFunctions._
 import graft.ledger.LedgerStore
-import graft.model.{Ledger, UploadStatus}
+import graft.model.UploadStatus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Outcome counts of one ingest pass (observability only). */
 case class IngestResult(discovered: Long, skipped: Long, done: Long,
@@ -17,11 +18,28 @@ case class IngestResult(discovered: Long, skipped: Long, done: Long,
   * Pub/Sub → download → split('\n') count → validate → mark done|failed →
   * retry ≤5 → DLQ.
   *
-  * Spark shape: file listing (with metadata) → `filter` → `withColumn
+  * Spark shape: METADATA-ONLY file listing → `filter` → `withColumn
   * (upload_id)` → broadcast LEFT ANTI join vs the ledger's done/quarantined
-  * keys → per-file line count + validation → one ledger MERGE per pass →
-  * failures carry an `attempts` counter; `attempts >= maxAttempts` rows go
-  * to a quarantine parquet table (the DLQ) and stop being retried.
+  * keys → `pending` MERGE → content read FOR THE TODO FILES ONLY → per-file
+  * line count + validation → terminal MERGE (must-exist, Firestore
+  * `update()` semantics) → failures carry an `attempts` counter;
+  * `attempts >= maxAttempts` rows go to a quarantine parquet table (the
+  * DLQ) and stop being retried.
+  *
+  * Scale design (the 100 TB lens):
+  *  - Discovery reads the file *listing*, not file bytes: binaryFile with
+  *    only path/length/modificationTime projected never materializes
+  *    content. An inbox of N files where M are new costs O(N) listing +
+  *    O(M) content I/O — the reference has the same property (it HEADs
+  *    metadata first and downloads only after the idempotency check,
+  *    main.py:39-58 vs :116-120).
+  *  - The ledger side of the anti-join is small and broadcast; the event
+  *    side never shuffles.
+  *  - Content is fetched per todo file; per-file work is embarrassingly
+  *    parallel. The todo path list transits the driver once per pass —
+  *    bounded by new-file arrival rate (cap it with maxFilesPerTrigger in
+  *    streaming), the same magnitude as the file listing Spark's own file
+  *    source keeps on the driver.
   *
   * Semantics preserved from the reference (SURVEY.md §2.6-2.7):
   *  - idempotency is keyed on metadata identity, not content (main.py:15-18);
@@ -30,12 +48,11 @@ case class IngestResult(discovered: Long, skipped: Long, done: Long,
   *  - non-CSV files leave no ledger trace (main.py:34-36);
   *  - `"\n"` alone passes validation, `lines_processed` counts the
   *    split-fencepost extra element (main.py:121-127);
+  *  - `pending` is written (observably) BEFORE processing (main.py:61-68),
+  *    and the terminal write is must-exist like Firestore `update()`
+  *    (SURVEY.md §2.7.5) — a terminal row for an unknown upload_id leaves
+  *    no ledger trace;
   *  - at-least-once × idempotent merge ⇒ exactly-once effect (ST4).
-  *
-  * Scale: the event/file side is arbitrarily large and never collected; the
-  * ledger side is small and broadcast. Per-file work (count/validate) is
-  * embarrassingly parallel across executors; the merge is a shuffle on the
-  * small ledger only.
   */
 class IngestPipeline(
     spark: SparkSession,
@@ -44,36 +61,38 @@ class IngestPipeline(
     maxAttempts: Int = 5,
     now: () => Column = () => current_timestamp()) {
 
-  import spark.implicits._
-
-  /** Discover files in `inbox` as an events DataFrame with the columns the
-    * reference's CloudEvent + metadata fetch provide (S1+S2):
-    * bucket_name, file_name, file_size, created_iso, content.
-    *
-    * `binaryFile` supplies path/length/modificationTime/content in one scan;
-    * zero-byte files still list (content = empty), matching a GCS zero-byte
-    * object. At 100 TB the per-file unit matches the reference's model —
-    * the real columnar path for row-level processing is `spark.read.csv`
-    * (CsvWarehouse), not whole-file strings.
+  /** Discover files in `inbox` as a METADATA-ONLY events DataFrame:
+    * path, bucket_name, file_name, file_size, created_iso. The binaryFile
+    * source only reads content when the content column is projected — it
+    * isn't, so this is a listing-priced scan. Zero-byte files still list,
+    * matching a GCS zero-byte object.
     */
   def discover(inbox: String): DataFrame =
     spark.read.format("binaryFile").load(inbox)
       .select(
+        col("path"),
         regexp_extract(col("path"), "^(.*)/([^/]+)$", 1).as("bucket_name"),
         regexp_extract(col("path"), "^(.*)/([^/]+)$", 2).as("file_name"),
         col("length").as("file_size"),
-        pyIsoformatUtc(col("modificationTime")).as("created_iso"),
-        decode(col("content"), "UTF-8").as("content"))
+        pyIsoformatUtc(col("modificationTime")).as("created_iso"))
 
   /** One batch pass: the whole reference pipeline over whatever is in
-    * `inbox`, with exactly one ledger MERGE. Returns outcome counts.
+    * `inbox`. Returns outcome counts.
     */
   def runOnce(inbox: String): IngestResult =
     processEvents(discover(inbox))
 
-  /** Core stage shared by batch and streaming (`foreachBatch`) drivers. */
+  /** Core stage shared by batch and streaming (`foreachBatch`) drivers.
+    *
+    * `events` must carry path/bucket_name/file_name/file_size/created_iso;
+    * a `content` column is optional — when present (the streaming wholetext
+    * path, which already paid the read) it is used directly, otherwise
+    * content is fetched only for the files that survive the idempotency
+    * anti-join.
+    */
   def processEvents(events: DataFrame): IngestResult = {
     val ts = now()
+    val hasContent = events.columns.contains("content")
 
     // F1 — extension filter, pre-ledger (non-CSV leaves no trace).
     val csvEvents = events
@@ -101,20 +120,51 @@ class IngestPipeline(
       .dropDuplicates("upload_id")
       .join(broadcast(priorAttempts), Seq("upload_id"), "left")
       .na.fill(0, Seq("prior_attempts"))
-      .persist()
+      .persist() // metadata-only rows (or +content in streaming) — small
+
+    // Listing-priced counts: content is never projected here.
+    val discovered = events.count()
+    val todoN = todo.count()
+
+    // A1 — observable `pending` upsert BEFORE any processing, exactly the
+    // reference's write order (main.py:61-68). A crash after this merge
+    // leaves real pending rows a status query can see.
+    store.merge(todo.select(
+      col("upload_id"), col("bucket_name"), col("file_name"),
+      col("file_size"), lit(UploadStatus.Pending).as("status"),
+      ts.as("queued_at")))
+
+    // S3 — content read, for todo files only (scale: O(new), not O(inbox)).
+    val withContent =
+      if (hasContent) todo
+      else {
+        import spark.implicits._
+        val paths = todo.select("path").as[String].collect() // bounded per pass
+        val contents =
+          if (paths.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("path", StringType),
+                StructField("content", StringType))))
+          else spark.read.format("binaryFile").load(paths: _*)
+            .select(col("path"), decode(col("content"), "UTF-8").as("content"))
+        // left join: a file deleted between listing and read judges as
+        // empty → failed, mirroring the reference's download error path.
+        todo.join(contents, Seq("path"), "left")
+      }
 
     // A-L1 + F5 — count lines (split-fencepost) and validate.
-    val judged = todo
+    val judged = withContent
       .withColumn("n_lines", pySplitLineCount(coalesce(col("content"), lit(""))))
       .withColumn("ok", isValidCsv(col("n_lines")))
 
-    // A1..A4 collapsed: each upload's terminal row for this pass. The
-    // intermediate pending/processing hops are represented by their
-    // timestamps, exactly the fields the reference writes (main.py:61-152).
+    // A2..A4 — each upload's terminal row for this pass, written with
+    // must-exist semantics (the rows exist: the pending merge above wrote
+    // them — and an unknown-ID row would vanish, matching main.py:110-113's
+    // failing update()).
     val updates = judged.select(
       col("upload_id"), col("bucket_name"), col("file_name"), col("file_size"),
       when(col("ok"), UploadStatus.Done).otherwise(UploadStatus.Failed).as("status"),
-      ts.as("queued_at"),
       ts.as("processing_started_at"),
       when(col("ok"), ts).as("processing_completed_at"),
       when(!col("ok"), ts).as("failed_at"),
@@ -124,9 +174,11 @@ class IngestPipeline(
         .otherwise(lit(null)).cast("int").as("attempts"))
       .persist()
 
-    val discovered = events.count()
-    val doneN = updates.filter(col("status") === UploadStatus.Done).count()
-    val failedN = updates.filter(col("status") === UploadStatus.Failed).count()
+    // One aggregation for all outcome counters (was 4 separate counts).
+    val byStatus = updates.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val doneN = byStatus.getOrElse(UploadStatus.Done, 0L)
+    val failedN = byStatus.getOrElse(UploadStatus.Failed, 0L)
 
     // S7 — quarantine (DLQ): failures that just exhausted their attempts.
     val quarantined = updates
@@ -136,8 +188,8 @@ class IngestPipeline(
       quarantined.withColumn("quarantined_at", ts)
         .write.mode("append").parquet(quarantineDir)
 
-    // S6 — the single idempotent MERGE.
-    store.merge(updates)
+    // S6 — the terminal idempotent MERGE (must-exist).
+    store.merge(updates, requireExisting = true)
 
     updates.unpersist(); todo.unpersist(); ledger.unpersist()
     IngestResult(discovered, discovered - doneN - failedN, doneN, failedN,

@@ -78,6 +78,17 @@ class LedgerStore(spark: SparkSession, dir: String) {
       }
       updates.select(cols.toIndexedSeq: _*)
     }
+    // Status-domain check on the UPDATES, before the join: an invalid
+    // incoming status must be rejected loudly and can never remove or
+    // corrupt an existing ledger row. (Filtering the merged result instead
+    // silently deleted the pre-existing row — ADVICE round 1.)
+    val badStatus = aligned
+      .filter(col("status").isNotNull && !col("status").isin(UploadStatusValues: _*))
+      .select("status").limit(1).collect()
+    if (badStatus.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ledger merge rejected: invalid status '${badStatus.head.getString(0)}' " +
+          s"(domain: ${UploadStatusValues.mkString("|")})")
     val old = read()
     val joinType = if (requireExisting) "right_outer" else "full_outer"
     val n = aligned.as("n")
@@ -89,7 +100,6 @@ class LedgerStore(spark: SparkSession, dir: String) {
           valueColumns.map(c => coalesce(n(c), o(c)).as(c)): _*
       )
     merged
-      .filter(col("status").isNull || col("status").isin(UploadStatusValues: _*))
       .persist()
       .count() // materialize BEFORE touching the old snapshot
     writeSnapshot(merged)
@@ -115,12 +125,25 @@ class LedgerStore(spark: SparkSession, dir: String) {
     val out = fs.create(tmp, true)
     try out.write(version.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // Atomic pointer swap: rename is atomic on HDFS and local FS.
-    if (fs.exists(pointer)) fs.delete(pointer, false)
-    if (!fs.rename(tmp, pointer))
-      throw new java.io.IOException(s"ledger pointer swap failed for $dir")
-    prev.foreach { v =>
-      if (v != version) fs.delete(new Path(rootPath, v), true)
-    }
+    // Crash-atomic pointer swap: a single rename-with-overwrite (atomic on
+    // HDFS and local FS via FileContext) — never delete-then-rename, which
+    // had a window where `_current` was absent and a crash lost the whole
+    // ledger's visibility (ADVICE round 1).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Retain current + previous + one older generation: a lazy DataFrame
+    // from an earlier read() (e.g. a StatusQueries result acted on after a
+    // merge) can still resolve its files even across a full ingest pass,
+    // which performs TWO merges (pending + terminal). Current and previous
+    // are protected unconditionally; among the rest only the newest stays.
+    val protect = Set(version) ++ prev
+    fs.listStatus(rootPath)
+      .filter(st => st.getPath.getName.startsWith("v-") &&
+        !protect.contains(st.getPath.getName))
+      .sortBy(-_.getModificationTime)
+      .drop(1)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -35,10 +35,13 @@ class StreamingIngest(spark: SparkSession, pipeline: IngestPipeline) {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.load(inbox)
       .select(
+        col("_metadata.file_path").as("path"),
         regexp_extract(col("_metadata.file_path"), "^(.*)/([^/]+)$", 1).as("bucket_name"),
         col("_metadata.file_name").as("file_name"),
         col("_metadata.file_size").as("file_size"),
         pyIsoformatUtc(col("_metadata.file_modification_time")).as("created_iso"),
+        // Streaming batches already paid the read (wholetext source), so
+        // content rides along and processEvents skips its targeted fetch.
         col("value").as("content"))
   }
 

@@ -1,0 +1,139 @@
+package graft
+
+import graft.api.StatusQueries
+import graft.ingest.IngestPipeline
+import graft.ledger.LedgerStore
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline semantics over reference-shaped fixtures — the
+  * SURVEY.md §7.4 minimum slice, automated (round 1 only had a manual demo).
+  *
+  * Fixture shapes mirror the reference corpus semantics (SURVEY.md §2.7):
+  *  - a header + 5 rows + trailing newline  → done, lines_processed = 7
+  *    (the split('\n') fencepost);
+  *  - a header with no trailing newline     → failed ("empty or has only
+  *    headers": 1 split element);
+  *  - a single "\n"                         → done, lines_processed = 2
+  *    (the §2.7.2 quirk: the "bad" empty file actually passes);
+  *  - a .txt file                           → no ledger trace at all.
+  */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes("UTF-8"))
+
+  private def fixtures(dir: String): Unit = {
+    writeFile(dir, "good.csv",
+      "id,name,qty\n1,ant,2\n2,bee,3\n3,cow,4\n4,doe,5\n5,elk,6\n")
+    writeFile(dir, "bad-only-header.csv", "id,name,qty")
+    writeFile(dir, "bad-empty.csv", "\n")
+    writeFile(dir, "notes.txt", "not a csv\n")
+  }
+
+  private def harness(maxAttempts: Int = 5) = {
+    val inbox = tmpDir("inbox")
+    fixtures(inbox)
+    val store = new LedgerStore(spark, tmpDir("ledger"))
+    val qDir = tmpDir("quarantine")
+    val pipe = new IngestPipeline(spark, store, qDir, maxAttempts)
+    (inbox, store, qDir, pipe)
+  }
+
+  test("§7.4 golden slice: one pass over the fixture inbox") {
+    val (inbox, store, _, pipe) = harness()
+    val r = pipe.runOnce(inbox)
+    assert(r.discovered == 4 && r.done == 2 && r.failed == 1 && r.quarantined == 0)
+
+    val ledger = store.read()
+    assert(ledger.count() == 3) // notes.txt left no trace
+
+    val good = ledger.filter($"file_name" === "good.csv").collect().head
+    assert(good.getAs[String]("status") == "done")
+    assert(good.getAs[Long]("lines_processed") == 7L) // fencepost
+    assert(good.getAs[java.sql.Timestamp]("queued_at") != null)
+    assert(good.getAs[java.sql.Timestamp]("processing_started_at") != null)
+    assert(good.getAs[java.sql.Timestamp]("processing_completed_at") != null)
+    assert(good.getAs[String]("error_message") == null)
+
+    val empty = ledger.filter($"file_name" === "bad-empty.csv").collect().head
+    assert(empty.getAs[String]("status") == "done")
+    assert(empty.getAs[Long]("lines_processed") == 2L) // the §2.7.2 quirk
+
+    val bad = ledger.filter($"file_name" === "bad-only-header.csv").collect().head
+    assert(bad.getAs[String]("status") == "failed")
+    assert(bad.getAs[String]("error_message") == "CSV file is empty or has only headers")
+    assert(bad.getAs[Int]("attempts") == 1)
+    assert(bad.getAs[java.sql.Timestamp]("failed_at") != null)
+    assert(bad.isNullAt(bad.fieldIndex("lines_processed")))
+
+    // the reference read API over the same ledger (S8/L1/L2/D2)
+    val api = new StatusQueries(store)
+    assert(api.listUploads(Some("done")).count() == 2)
+    assert(api.listUploads(Some("failed"), limit = 1).count() == 1)
+    val gid = good.getAs[String]("upload_id")
+    assert(api.getUploadStatus(gid).count() == 1)
+  }
+
+  test("idempotent re-run: done uploads never reprocess, failed retry") {
+    val (inbox, store, _, pipe) = harness()
+    pipe.runOnce(inbox)
+    val doneBefore = store.read().filter($"status" === "done")
+      .orderBy("upload_id").collect()
+
+    val r2 = pipe.runOnce(inbox)
+    assert(r2.done == 0 && r2.failed == 1) // only the failed row re-enters
+
+    val doneAfter = store.read().filter($"status" === "done")
+      .orderBy("upload_id").collect()
+    assert(doneBefore.toSeq == doneAfter.toSeq) // byte-identical done rows
+
+    val bad = store.read().filter($"status" === "failed").collect().head
+    assert(bad.getAs[Int]("attempts") == 2) // retry counted
+  }
+
+  test("DLQ: attempts exhaust into quarantine, then stop retrying") {
+    val (inbox, store, qDir, pipe) = harness(maxAttempts = 2)
+    pipe.runOnce(inbox) // attempts=1
+    val r2 = pipe.runOnce(inbox) // attempts=2 → quarantined
+    assert(r2.quarantined == 1)
+
+    val dlq = spark.read.parquet(qDir)
+    assert(dlq.count() == 1)
+    assert(dlq.collect().head.getAs[String]("file_name") == "bad-only-header.csv")
+
+    val r3 = pipe.runOnce(inbox) // exhausted row must be skipped now
+    assert(r3.failed == 0 && r3.quarantined == 0) // nothing NEWLY quarantined
+    assert(spark.read.parquet(qDir).count() == 1) // and nothing re-appended
+    val bad = store.read().filter($"status" === "failed").collect().head
+    assert(bad.getAs[Int]("attempts") == 2) // unchanged
+  }
+
+  test("unknown-ID terminal update leaves no ledger trace (must-exist)") {
+    val (_, store, _, _) = harness()
+    store.merge(
+      Seq(("feedfacedeadbeef", "done")).toDF("upload_id", "status"),
+      requireExisting = true)
+    assert(store.read().filter($"upload_id" === "feedfacedeadbeef").isEmpty)
+  }
+
+  test("invalid status update is rejected and cannot delete existing rows") {
+    val (inbox, store, _, pipe) = harness()
+    pipe.runOnce(inbox)
+    val before = store.read().count()
+    val ex = intercept[IllegalArgumentException] {
+      store.merge(Seq(("feedfacedeadbeef", "bogus")).toDF("upload_id", "status"))
+    }
+    assert(ex.getMessage.contains("bogus"))
+    assert(store.read().count() == before) // nothing lost, nothing added
+  }
+
+  test("a lazy reader from before a merge survives one generation") {
+    val (inbox, store, _, pipe) = harness()
+    pipe.runOnce(inbox)
+    val before = store.read() // lazy plan pinned to the old snapshot dir
+    pipe.runOnce(inbox) // merges → new snapshot generation
+    assert(before.count() == 3) // old version dir retained one generation
+  }
+}
