@@ -59,7 +59,8 @@ class IngestPipeline(
     store: LedgerStore,
     quarantineDir: String,
     maxAttempts: Int = 5,
-    now: () => Column = () => current_timestamp()) {
+    now: () => Column = () => current_timestamp(),
+    wholeFileMaxBytes: Long = 64L << 20) {
 
   /** Discover files in `inbox` as a METADATA-ONLY events DataFrame:
     * path, bucket_name, file_name, file_size, created_iso. The binaryFile
@@ -134,29 +135,65 @@ class IngestPipeline(
       col("file_size"), lit(UploadStatus.Pending).as("status"),
       ts.as("queued_at")))
 
-    // S3 — content read, for todo files only (scale: O(new), not O(inbox)).
-    val withContent =
-      if (hasContent) todo
+    // S3 + A-L1 + F5 — content read for todo files only (scale: O(new), not
+    // O(inbox)), line-counted (split-fencepost) and validated. Two read
+    // paths by size (SURVEY §7.3): small files as one whole-file string
+    // (reference-faithful, single task); files over `wholeFileMaxBytes` via
+    // the SPLITTABLE text source — a 50 GB CSV counts as parallel
+    // line-partitions across executors, never a 50 GB JVM string. Python's
+    // split('\n') fencepost is restored from the per-file row count plus a
+    // last-byte probe (N trailing-newline files have rows == newlines; the
+    // rest have rows == newlines + 1).
+    val judged = {
+      if (hasContent)
+        todo
+          .withColumn("n_lines", pySplitLineCount(coalesce(col("content"), lit(""))))
+          .withColumn("ok", isValidCsv(col("n_lines")))
       else {
         import spark.implicits._
-        val paths = todo.select("path").as[String].collect() // bounded per pass
-        val contents =
-          if (paths.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("path", StringType),
-                StructField("content", StringType))))
-          else spark.read.format("binaryFile").load(paths: _*)
-            .select(col("path"), decode(col("content"), "UTF-8").as("content"))
-        // left join: a file deleted between listing and read judges as
-        // empty → failed, mirroring the reference's download error path.
-        todo.join(contents, Seq("path"), "left")
-      }
+        val normalize = (p: Column) => regexp_replace(p, "^file:/+", "file:/")
+        val small = todo.filter(col("file_size") <= wholeFileMaxBytes)
+        val big = todo.filter(col("file_size") > wholeFileMaxBytes)
+        val smallPaths = small.select("path").as[String].collect() // bounded per pass
+        val bigPaths = big.select("path").as[String].collect() // few, large
 
-    // A-L1 + F5 — count lines (split-fencepost) and validate.
-    val judged = withContent
-      .withColumn("n_lines", pySplitLineCount(coalesce(col("content"), lit(""))))
-      .withColumn("ok", isValidCsv(col("n_lines")))
+        val emptyCounts = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("jpath", StringType),
+            StructField("n_lines", org.apache.spark.sql.types.LongType))))
+
+        val smallCounts =
+          if (smallPaths.isEmpty) emptyCounts
+          else spark.read.format("binaryFile").load(smallPaths: _*)
+            .select(normalize(col("path")).as("jpath"),
+              pySplitLineCount(decode(col("content"), "UTF-8")).cast("long")
+                .as("n_lines"))
+
+        val bigCounts =
+          if (bigPaths.isEmpty) emptyCounts
+          else {
+            val rowsPerFile = spark.read.option("lineSep", "\n")
+              .textFile(bigPaths: _*)
+              .select(normalize(input_file_name()).as("jpath"))
+              .groupBy("jpath").agg(count(lit(1)).as("t_rows"))
+            val tails = bigPaths.toSeq
+              .map(p => (p, lastByteIsNewline(p))).toDF("bpath", "ends_nl")
+              .select(normalize(col("bpath")).as("jpath"), col("ends_nl"))
+            tails.join(rowsPerFile, Seq("jpath"), "left")
+              .select(col("jpath"),
+                when(col("ends_nl"), coalesce(col("t_rows"), lit(0L)) + 1)
+                  .otherwise(greatest(coalesce(col("t_rows"), lit(0L)), lit(1L)))
+                  .as("n_lines"))
+          }
+
+        // left join: a file deleted between listing and read counts as
+        // empty → failed, mirroring the reference's download error path.
+        todo.withColumn("jpath", normalize(col("path")))
+          .join(smallCounts.unionByName(bigCounts), Seq("jpath"), "left")
+          .na.fill(1L, Seq("n_lines"))
+          .withColumn("ok", isValidCsv(col("n_lines")))
+      }
+    }
 
     // A2..A4 — each upload's terminal row for this pass, written with
     // must-exist semantics (the rows exist: the pending merge above wrote
@@ -194,6 +231,21 @@ class IngestPipeline(
     updates.unpersist(); todo.unpersist(); ledger.unpersist()
     IngestResult(discovered, discovered - doneN - failedN, doneN, failedN,
       quarantinedN)
+  }
+
+  /** Last byte of a (large) file == '\n'? One driver-side O(1) seek per
+    * big file — big files are few per pass; this is what restores the
+    * split('\n') fencepost without materializing the file as one string.
+    */
+  private def lastByteIsNewline(p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val hfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = hfs.getFileStatus(path).getLen
+    if (len == 0L) false
+    else {
+      val in = hfs.open(path)
+      try { in.seek(len - 1); in.read() == '\n'.toInt } finally in.close()
+    }
   }
 
   /** The reference's "actual CSV processing" extension point (main.py:129-130):

@@ -136,4 +136,23 @@ class IngestPipelineSpec extends SparkSpec {
     pipe.runOnce(inbox) // merges → new snapshot generation
     assert(before.count() == 3) // old version dir retained one generation
   }
+
+  test("large files use the splittable text-source count path") {
+    val inbox = tmpDir("big-inbox")
+    // trailing newline: N newlines -> N+1 split elements
+    writeFile(inbox, "big-trail.csv", "h,a\n" + (1 to 500).map(i => s"$i,x\n").mkString)
+    // no trailing newline
+    writeFile(inbox, "big-plain.csv", "h,a\n" + (1 to 499).map(i => s"$i,x\n").mkString + "500,x")
+    val store = new LedgerStore(spark, tmpDir("big-ledger"))
+    // threshold of 64 bytes forces both files onto the large-file path
+    val pipe = new IngestPipeline(spark, store, tmpDir("big-q"),
+      wholeFileMaxBytes = 64L)
+    val r = pipe.runOnce(inbox)
+    assert(r.done == 2 && r.failed == 0)
+    val ledger = store.read()
+    val trail = ledger.filter($"file_name" === "big-trail.csv").collect().head
+    assert(trail.getAs[Long]("lines_processed") == 502L) // 501 newlines + 1
+    val plain = ledger.filter($"file_name" === "big-plain.csv").collect().head
+    assert(plain.getAs[Long]("lines_processed") == 501L) // 500 newlines + 1
+  }
 }
