@@ -158,6 +158,35 @@ object RelationalQueries {
         |min(o_orderkey) AS min_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // Sessionization: 30-minute-gap sessions per user over the event
+    // stream — lag + conditional cumulative sum, all integer arithmetic on
+    // epoch micros so both engines agree exactly.
+    QueryDef("q_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"), tsMicros.as("ts_us"))
+          .withColumn("new_session",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser)
+              > 1800000000L, 1).otherwise(
+              when(lag(col("ts_us"), 1).over(byUser).isNull, 1).otherwise(0)))
+          .select(col("event_id"), col("user_id"),
+            sum(col("new_session")).over(runSum).as("session_seq"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT event_id, user_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL THEN 1
+        |       WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM g""".stripMargin)),
+
     // Grouping sets: ROLLUP over status × priority.
     QueryDef("q_rollup_counts",
       (s, d) => table(s, d, "orders")

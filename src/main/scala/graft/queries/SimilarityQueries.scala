@@ -70,6 +70,28 @@ object SimilarityQueries {
         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM r) WHERE rank <= 10""".stripMargin)),
 
+    // Brute-force cosine top-10 via the NATIVE codegen'd expression
+    // (graft.functions.CosineSimilarity) — the production hot path: one
+    // fused loop per pair inside whole-stage codegen, no per-row array
+    // allocation. No SQL oracle (float accumulation order is engine-
+    // specific); VectorFunctionsSpec proves it against the quantized
+    // integer-exact query above instead.
+    QueryDef("ann_cosine_native",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+          .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cosine"), row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      None),
+
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
     // bucket are each other's ANN candidates.
