@@ -1,0 +1,78 @@
+package graft
+
+import graft.ingest.{CsvWarehouse, IngestPipeline}
+import graft.ledger.LedgerStore
+import graft.operators.{EnvelopeBus, SkewTools}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** EnvelopeBus (S4/S5 externalized), SkewTools (salted aggregation), and
+  * CsvWarehouse (the columnar load extension point).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("envelope bus round-trips envelopes, including escaping") {
+    val dir = tmpDir("bus")
+    val bus = new EnvelopeBus(spark, dir)
+    val out = Seq(
+      ("ce05376591fe5c7d", "bkt", "a.csv"),
+      ("deadbeef00000000", "bkt", "we\"ird\\name.csv"))
+      .toDF("upload_id", "bucket_name", "file_name")
+    bus.publish(out)
+    val back = bus.readAll().orderBy("upload_id")
+      .as[(String, String, String)].collect().toSeq
+    assert(back == Seq(
+      ("ce05376591fe5c7d", "bkt", "a.csv"),
+      ("deadbeef00000000", "bkt", "we\"ird\\name.csv")))
+
+    // second publish appends (at-least-once bus, consumer dedups by ledger)
+    bus.publish(out.limit(1))
+    assert(bus.readAll().count() == 3)
+
+    // streaming subscriber drains the same messages
+    val q = bus.readStreaming().writeStream.format("memory")
+      .queryName("bus_drain").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("bus_drain").count() == 3)
+  }
+
+  test("salted aggregation equals direct aggregation exactly") {
+    // skewed input: user 7 owns 80% of rows
+    val rows = (1 to 8000).map(i => (7L, 3L)) ++
+      (1 to 2000).map(i => (i.toLong % 50, 2L))
+    val df = rows.toDF("user_id", "v").repartition(16)
+    val direct = df.groupBy("user_id")
+      .agg(sum($"v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("user_id").collect()
+    val salted = SkewTools.saltedSumCount(df, Seq("user_id"), "v", salts = 8)
+      .orderBy("user_id").collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("csv warehouse loads done uploads by header group, idempotently") {
+    val inbox = tmpDir("wh-inbox")
+    def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
+    put("a1.csv", "id,name\n1,ant\n2,bee\n")
+    put("a2.csv", "id,name\n3,cow\n")
+    put("b1.csv", "x,y,z\n9,8,7\n")
+    val store = new LedgerStore(spark, tmpDir("wh-ledger"))
+    val pipe = new IngestPipeline(spark, store, tmpDir("wh-q"))
+    pipe.runOnce(inbox)
+
+    val whDir = tmpDir("warehouse")
+    val wh = new CsvWarehouse(spark, whDir)
+    val (tables, rows) = wh.loadDone(store)
+    assert(tables == 2 && rows == 4) // {id,name} table: 3 rows; {x,y,z}: 1
+
+    val sigs = wh.tables()
+    assert(sigs.length == 2)
+    val idName = sigs.map(wh.table).find(_.columns.contains("name")).get
+    assert(idName.count() == 3)
+    assert(idName.select("_upload_id").distinct().count() == 2)
+
+    // idempotent reload: same partitions overwritten, no duplication
+    val (_, rows2) = wh.loadDone(store)
+    assert(rows2 == 4)
+  }
+}
