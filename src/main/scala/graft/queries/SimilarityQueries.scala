@@ -92,6 +92,38 @@ object SimilarityQueries {
       },
       None),
 
+    // Embedding-cosine near-dup: all pairs above a cosine threshold — the
+    // dedup-flavored use of the similarity kernel (candidate pruning at
+    // scale comes from ann_lsh_buckets; this is the exact form).
+    QueryDef("dedup_embedding_cosine",
+      (s, d) => {
+        val v = quantized(s, d)
+        val a = v.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
+          col("n2").as("n2a"))
+        val b = v.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
+          col("n2").as("n2b"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .filter(col("cosine") >= 0.4)
+          .select("vec_a", "vec_b", "cosine")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+        |FROM p
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
+
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
     // bucket are each other's ANN candidates.
