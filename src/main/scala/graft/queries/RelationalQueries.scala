@@ -187,6 +187,18 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM g""".stripMargin)),
 
+    // Sketch aggregate: HyperLogLog++ distinct counting — the sketch a
+    // 100 TB pipeline uses where exact distinct would shuffle every key.
+    // No SQL oracle (sketch estimates are engine-specific); the error
+    // bound vs the exact count is asserted in PropertiesSpec.
+    QueryDef("q_approx_distinct",
+      (s, d) => table(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")),
+      None),
+
     // Grouping sets: ROLLUP over status × priority.
     QueryDef("q_rollup_counts",
       (s, d) => table(s, d, "orders")

@@ -34,6 +34,47 @@ object SimilarityQueries {
       .withColumn("n2",
         expr("aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
 
+  /** Deterministic random-hyperplane bucket per vector: 8 planes whose ±1
+    * weights come from sha256(plane-dim) hex parity, projections as exact
+    * integer sums, bucket = sign-bit signature.
+    */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val planes = s.range(0, 8).select(col("id").as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").as("dim")))
+      .withColumn("w", when(
+        expr("instr('02468ace', substr(sha2(concat(CAST(p AS STRING), '-', CAST(dim AS STRING)), 256), 1, 1))") > 0,
+        lit(1L)).otherwise(lit(-1L)))
+    val comps = table(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("x").cast("double") * 10000).cast("long").as("qx"))
+    comps.join(broadcast(planes), "dim")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("w") * col("qx")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+  }
+
+  /** DuckDB rendering of [[lshBuckets]] as a `buckets` CTE fragment. */
+  private val BucketsSql =
+    """planes AS (
+      |  SELECT p, dim,
+      |    CASE WHEN instr('02468ace',
+      |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+      |  FROM (SELECT unnest(range(0, 8)) AS p),
+      |       (SELECT unnest(range(1, 65)) AS dim)),
+      |comps AS (SELECT vec_id,
+      |    unnest(range(1, len(embedding) + 1)) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+      |  FROM embeddings),
+      |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+      |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+      |buckets AS (SELECT vec_id,
+      |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << p) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 for query vectors vec_id < 5.
@@ -124,12 +165,14 @@ object SimilarityQueries {
         |FROM p
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
 
-    // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
-    // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
-    // bucket are each other's ANN candidates.
-    QueryDef("ann_lsh_buckets",
+    // The composed 100 TB near-dup path: MULTI-TABLE LSH candidate join
+    // (4 tables × 4 hyperplanes — at cosine 0.4 a single 8-plane table
+    // collides ~2.5% of true pairs; four 4-plane tables ~60%, the standard
+    // recall amplification), then exact quantized cosine verify within
+    // candidates. Never an all-pairs join; the cost dial is (tables, planes).
+    QueryDef("dedup_embedding_lsh",
       (s, d) => {
-        val planes = s.range(0, 8).select(col("id").as("p"))
+        val planes = s.range(0, 16).select(col("id").as("p"))
           .crossJoin(s.range(1, 65).select(col("id").as("dim")))
           .withColumn("w", when(
             expr("instr('02468ace', substr(sha2(concat(CAST(p AS STRING), '-', CAST(dim AS STRING)), 256), 1, 1))") > 0,
@@ -138,28 +181,68 @@ object SimilarityQueries {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("vec_id"), (col("pos") + 1).as("dim"),
             round(col("x").cast("double") * 10000).cast("long").as("qx"))
-        comps.join(broadcast(planes), "dim")
+        val tb = comps.join(broadcast(planes), "dim")
           .groupBy("vec_id", "p")
           .agg(sum(col("w") * col("qx")).as("proj"))
           .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-          .groupBy("vec_id")
-          .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+          .groupBy(col("vec_id"), expr("p DIV 4").as("t"))
+          .agg(sum(expr("shiftleft(bit, CAST(p % 4 AS INT))")).as("bucket"))
+        val cand = tb.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
+          .join(tb.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
+            col("bucket").as("bucket_b")),
+            col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
+              col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        val v = quantized(s, d)
+        cand
+          .join(v.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
+            col("n2").as("n2a")), "vec_a")
+          .join(v.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
+            col("n2").as("n2b")), "vec_b")
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .filter(col("cosine") >= 0.4)
+          .select("vec_a", "vec_b", "cosine")
       },
       Some("""WITH planes AS (
         |  SELECT p, dim,
         |    CASE WHEN instr('02468ace',
         |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
-        |  FROM (SELECT unnest(range(0, 8)) AS p),
+        |  FROM (SELECT unnest(range(0, 16)) AS p),
         |       (SELECT unnest(range(1, 65)) AS dim)),
         |comps AS (SELECT vec_id,
         |    unnest(range(1, len(embedding) + 1)) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
         |  FROM embeddings),
         |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
-        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2)
-        |SELECT vec_id,
-        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << p) AS BIGINT) AS bucket
-        |FROM proj GROUP BY vec_id""".stripMargin))
+        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+        |tb AS (SELECT vec_id, p // 4 AS t,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p2 AS (SELECT vec_a, vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+        |FROM p2
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
+
+    // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
+    // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
+    // bucket are each other's ANN candidates.
+    QueryDef("ann_lsh_buckets",
+      (s, d) => lshBuckets(s, d),
+      Some(s"WITH $BucketsSql SELECT vec_id, bucket FROM buckets"))
   )
 }
