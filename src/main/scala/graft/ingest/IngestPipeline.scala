@@ -20,9 +20,10 @@ case class IngestResult(discovered: Long, skipped: Long, done: Long,
   *
   * Spark shape: METADATA-ONLY file listing → `filter` → `withColumn
   * (upload_id)` → broadcast LEFT ANTI join vs the ledger's done/quarantined
-  * keys → `pending` MERGE → content read FOR THE TODO FILES ONLY → per-file
-  * line count + validation → terminal MERGE (must-exist, Firestore
-  * `update()` semantics) → failures carry an `attempts` counter;
+  * keys → `pending` MERGE → `processing` MERGE (must-exist) → content read
+  * FOR THE TODO FILES ONLY → per-file line count + validation → terminal
+  * MERGE (must-exist, Firestore `update()` semantics) → failures carry an
+  * `attempts` counter;
   * `attempts >= maxAttempts` rows go to a quarantine parquet table (the
   * DLQ) and stop being retried.
   *
@@ -135,6 +136,15 @@ class IngestPipeline(
       col("file_size"), lit(UploadStatus.Pending).as("status"),
       ts.as("queued_at")))
 
+    // A2 — observable `processing` before the content read, must-exist
+    // like Firestore update() (main.py:110-113; rows exist: A1 wrote them).
+    // Full 4-state machine pending → processing → done|failed is now
+    // externally visible between merges, matching the reference's ledger.
+    store.merge(todo.select(
+      col("upload_id"), lit(UploadStatus.Processing).as("status"),
+      ts.as("processing_started_at")),
+      requireExisting = true)
+
     // S3 + A-L1 + F5 — content read for todo files only (scale: O(new), not
     // O(inbox)), line-counted (split-fencepost) and validated. Two read
     // paths by size (SURVEY §7.3): small files as one whole-file string
@@ -202,7 +212,6 @@ class IngestPipeline(
     val updates = judged.select(
       col("upload_id"), col("bucket_name"), col("file_name"), col("file_size"),
       when(col("ok"), UploadStatus.Done).otherwise(UploadStatus.Failed).as("status"),
-      ts.as("processing_started_at"),
       when(col("ok"), ts).as("processing_completed_at"),
       when(!col("ok"), ts).as("failed_at"),
       when(!col("ok"), ValidationError).as("error_message"),

@@ -133,17 +133,18 @@ class LedgerStore(spark: SparkSession, dir: String) {
       fs.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // Retain current + previous + one older generation: a lazy DataFrame
+    // Retain current + previous + two older generations: a lazy DataFrame
     // from an earlier read() (e.g. a StatusQueries result acted on after a
     // merge) can still resolve its files even across a full ingest pass,
-    // which performs TWO merges (pending + terminal). Current and previous
-    // are protected unconditionally; among the rest only the newest stays.
+    // which performs THREE merges (pending + processing + terminal).
+    // Current and previous are protected unconditionally; among the rest
+    // only the two newest stay.
     val protect = Set(version) ++ prev
     fs.listStatus(rootPath)
       .filter(st => st.getPath.getName.startsWith("v-") &&
         !protect.contains(st.getPath.getName))
       .sortBy(-_.getModificationTime)
-      .drop(1)
+      .drop(2)
       .foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan invariants for the registered queries — the properties
+  * that make these plans survive a 100× scale-up. Regressions here (a lost
+  * pushdown, a join that stops broadcasting, an accidental cartesian) are
+  * performance bugs even when results stay correct, so they're tested like
+  * correctness.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val q1 = plan("q1_pricing_summary")
+    assert(q1.contains("LessThanOrEqual(l_shipdate"), "q1 shipdate filter must push down")
+    val s1 = plan("s1_source_scan")
+    assert(s1.contains("EqualTo(event_type,click)"), "s1 event_type filter must push down")
+  }
+
+  test("scans read only the needed columns (pruning)") {
+    val q1 = plan("q1_pricing_summary")
+    // 7 of 11 lineitem columns are needed; the scan schema must not
+    // mention the partkey/suppkey/linenumber family at all
+    assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"),
+      "q1 must prune unused lineitem columns")
+    val s5 = plan("s5_envelope_decode")
+    assert(!s5.contains("event_type") && !s5.contains("user_id"),
+      "s5 must prune all but event_id/props")
+  }
+
+  test("small sides broadcast; anti-join stays broadcast") {
+    assert(plan("f4_d1_idempotent_skip").contains("BroadcastHashJoin"),
+      "idempotency anti-join must broadcast the done-keys side")
+    assert(plan("q3_top_orders").contains("BroadcastHashJoin"),
+      "q3 customer dimension must broadcast")
+    assert(plan("q5_region_revenue").contains("BroadcastHashJoin"),
+      "q5 dimensions must broadcast")
+  }
+
+  test("no unintended cartesian products") {
+    Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_lsh",
+      "q_sessionize", "s6_merge_coalesce").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q must not plan a cartesian product")
+    }
+    // the brute-force ANN pair join is intentionally non-equi but must be
+    // a BROADCAST nested loop (q side is tiny), never a full cartesian
+    val ann = plan("ann_cosine_topk")
+    assert(ann.contains("BroadcastNestedLoopJoin") && !ann.contains("CartesianProduct"),
+      "ann brute force must broadcast the query vectors")
+  }
+
+  test("aggregates are partial (map-side combine) before the shuffle") {
+    val q1 = plan("q1_pricing_summary")
+    assert(q1.contains("partial_sum") || q1.contains("Partial"),
+      "q1 must partial-aggregate before exchanging")
+  }
+
+  test("top-k order+limit plans as TakeOrdered, not a global sort") {
+    val q3 = plan("q3_top_orders")
+    assert(q3.contains("TakeOrderedAndProject"),
+      "q3's ORDER BY + LIMIT 10 must plan as TakeOrderedAndProject")
+  }
+}
