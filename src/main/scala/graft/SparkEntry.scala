@@ -22,12 +22,74 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic total-order keys per query (a unique key of the
+    * result). Both the Spark result and the oracle SQL are sorted on them
+    * (nulls first on both sides), so the driver's hash compare cannot
+    * depend on engine-specific group-by/join output order. Applied only in
+    * the driver contract — Bench times the unwrapped plans.
+    */
+  private val sortKeys: Map[String, Seq[String]] = Map(
+    "s1_source_scan" -> Seq("event_id"),
+    "s2_metadata_fetch" -> Seq("event_id"),
+    "s5_envelope_decode" -> Seq("event_id"),
+    "f1_extension_filter" -> Seq("event_id"),
+    "f2_upload_id" -> Seq("event_id"),
+    "f3_envelope_json" -> Seq("event_id"),
+    "f4_d1_idempotent_skip" -> Seq("event_id"),
+    "a_l1_line_count" -> Seq("doc_id"),
+    "f5_validation" -> Seq("doc_id"),
+    "a1_a4_status_machine" -> Seq("doc_id"),
+    "st2_attempt_counter" -> Seq("event_id"),
+    "s6_merge_coalesce" -> Seq("user_id"),
+    "s7_dlq_threshold" -> Seq("user_id"),
+    "s8_list_filtered_limit" -> Seq("event_id"),
+    "d2_point_lookup" -> Seq("event_id"),
+    "st1_windowed_counts" -> Seq("hour_us", "event_type"),
+    "st5_first_per_key" -> Seq("user_id"),
+    "q1_pricing_summary" -> Seq("l_returnflag", "l_linestatus"),
+    "q3_top_orders" -> Seq("l_orderkey"),
+    "q5_region_revenue" -> Seq("n_name"),
+    "q_window_running_total" -> Seq("o_orderkey"),
+    "q_topk_per_group" -> Seq("o_orderpriority", "rn"),
+    "q_distinct_agg" -> Seq("o_orderstatus"),
+    "q_approx_distinct" -> Seq("event_type"),
+    "q_rollup_counts" -> Seq("o_orderstatus", "o_orderpriority"),
+    "q_sessionize" -> Seq("event_id"),
+    "dedup_exact" -> Seq("content_hash"),
+    "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
+    "dedup_simhash" -> Seq("doc_id"),
+    "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "dedup_embedding_cosine" -> Seq("vec_a", "vec_b"),
+    "dedup_embedding_lsh" -> Seq("vec_a", "vec_b"),
+    "ann_cosine_topk" -> Seq("query_id", "rank"),
+    "ann_cosine_native" -> Seq("query_id", "rank"),
+    "ann_lsh_buckets" -> Seq("vec_id"),
+    "text_token_stats" -> Seq("doc_id"),
+    "text_quality" -> Seq("doc_id"),
+    "text_lang_id" -> Seq("doc_id"),
+    "text_fingerprint" -> Seq("doc_id"),
+    "multimodal_meta" -> Seq("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    all.map { q =>
+      val keys = sortKeys.getOrElse(q.name, Seq.empty)
+      val fn: (SparkSession, String) => DataFrame =
+        if (keys.isEmpty) q.run
+        else (s, d) => q.run(s, d).orderBy(keys.map(k =>
+          org.apache.spark.sql.functions.col(k).asc_nulls_first): _*)
+      q.name -> fn
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+    all.flatMap(q => q.oracle.map { sql =>
+      val keys = sortKeys.getOrElse(q.name, Seq.empty)
+      val wrapped =
+        if (keys.isEmpty) sql
+        else s"SELECT * FROM ($sql) AS _q ORDER BY " +
+          keys.map(k => s"$k NULLS FIRST").mkString(", ")
+      q.name -> wrapped
+    }).toMap
 }

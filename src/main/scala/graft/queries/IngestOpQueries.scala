@@ -134,13 +134,13 @@ object IngestOpQueries {
       (s, d) => {
         val e = table(s, d, "events")
         val done = e.filter(col("event_type") === "purchase" &&
-            col("value") > 480).select("user_id").distinct()
+            col("value") > 150).select("user_id").distinct()
         e.join(broadcast(done), Seq("user_id"), "left_anti")
           .select("event_id", "user_id")
       },
       Some("""SELECT event_id, user_id FROM events e
         |WHERE NOT EXISTS (SELECT 1 FROM events p
-        |  WHERE p.event_type = 'purchase' AND p.value > 480
+        |  WHERE p.event_type = 'purchase' AND p.value > 150
         |    AND p.user_id = e.user_id)""".stripMargin)),
 
     // A-L1 — the split('\n') fencepost line count (main.py:121-123):

@@ -38,7 +38,10 @@ for name, sql in sorted(oracle.items()):
             if bad: break
         if bad:
             fails.append((name, f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}")); continue
-        print(f"  OK {name}: {len(srows)} rows")
+        raw_s = [tuple(r[c] for c in scols) for r in sdf.to_pylist()]
+        raw_o = [tuple(r[c] for c in ocols) for r in odf.to_pylist()]
+        order = "ordered" if raw_s == raw_o else "UNORDERED"
+        print(f"  OK {name}: {len(srows)} rows [{order}]")
     except Exception as e:
         fails.append((name, f"EXC {type(e).__name__}: {str(e)[:300]}"))
 print()
