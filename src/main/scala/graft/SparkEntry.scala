@@ -52,6 +52,9 @@ object SparkEntry {
     "q_window_running_total" -> Seq("o_orderkey"),
     "q_topk_per_group" -> Seq("o_orderpriority", "rn"),
     "q_distinct_agg" -> Seq("o_orderstatus"),
+    "q7_nation_volume" -> Seq("supp_nation", "cust_nation", "l_year"),
+    "q18_large_orders" -> Seq("o_orderkey"),
+    "q_above_avg_orders" -> Seq("o_orderkey"),
     "q_approx_distinct" -> Seq("event_type"),
     "q_rollup_counts" -> Seq("o_orderstatus", "o_orderpriority"),
     "q_sessionize" -> Seq("event_id"),

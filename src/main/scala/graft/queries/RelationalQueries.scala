@@ -187,6 +187,86 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM g""".stripMargin)),
 
+    // TPC-H Q7 shape: bilateral volume between two customer/supplier
+    // nations, by year — join-heavy with a symmetric OR-pair predicate.
+    QueryDef("q7_nation_volume",
+      (s, d) => {
+        val n1 = table(s, d, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = table(s, d, "nation")
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        table(s, d, "lineitem")
+          .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(revCents).as("revenue_c"))
+      },
+      Some(s"""SELECT supp_nation, cust_nation, l_year,
+        |CAST(sum($RevSql) AS BIGINT) AS revenue_c
+        |FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')) AS sq
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q18 shape: large orders via HAVING, expressed through the SQL
+    // front end (GraftTables views) — the user-facing spark.sql path.
+    QueryDef("q18_large_orders",
+      (s, d) => {
+        GraftTables.registerViews(s, d)
+        s.sql("""SELECT c_name, o_orderkey,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_name, o_orderkey
+          |HAVING sum(CAST(l_quantity AS BIGINT)) > 180""".stripMargin)
+      },
+      Some("""SELECT c_name, o_orderkey,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, o_orderkey
+        |HAVING sum(CAST(l_quantity AS BIGINT)) > 180""".stripMargin)),
+
+    // Scalar subquery: orders above the mean price. The comparison is done
+    // in exact integer cross-multiplication (cents × count > total cents) —
+    // a floating-point average would be accumulation-order-dependent and
+    // could flip boundary rows between engines.
+    QueryDef("q_above_avg_orders",
+      (s, d) => {
+        GraftTables.registerViews(s, d)
+        s.sql("""SELECT o_orderkey,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+          |FROM orders
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+          |      * (SELECT CAST(count(*) AS BIGINT) FROM orders)
+          |    > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |       FROM orders)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+        |CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |      * (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        |    > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |       FROM orders)""".stripMargin)),
+
     // Sketch aggregate: HyperLogLog++ distinct counting — the sketch a
     // 100 TB pipeline uses where exact distinct would shuffle every key.
     // No SQL oracle (sketch estimates are engine-specific); the error
