@@ -53,6 +53,9 @@ object SparkEntry {
     "q_topk_per_group" -> Seq("o_orderpriority", "rn"),
     "q_distinct_agg" -> Seq("o_orderstatus"),
     "q7_nation_volume" -> Seq("supp_nation", "cust_nation", "l_year"),
+    "q_asof_prior_purchase" -> Seq("event_id"),
+    "q_pivot_counts" -> Seq("user_id"),
+    "q_setops_users" -> Seq("tag", "user_id"),
     "q18_large_orders" -> Seq("o_orderkey"),
     "q_above_avg_orders" -> Seq("o_orderkey"),
     "q_approx_distinct" -> Seq("event_type"),

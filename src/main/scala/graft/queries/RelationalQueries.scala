@@ -267,6 +267,70 @@ object RelationalQueries {
         |    > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |       FROM orders)""".stripMargin)),
 
+    // As-of semantics via windows: each event joined to the user's most
+    // recent PRIOR purchase (the composition-tier as-of join — no custom
+    // operator needed when the frame is per-key ordered history).
+    QueryDef("q_asof_prior_purchase",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"), tsMicros.as("ts_us"),
+            col("event_type"), cents(col("value")).as("value_c"))
+          .withColumn("prior_purchase_c",
+            last(when(col("event_type") === "purchase", col("value_c")),
+              ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "prior_purchase_c")
+      },
+      Some("""SELECT event_id, user_id,
+        |last_value(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_c
+        |FROM events""".stripMargin)),
+
+    // Pivot: per-user event-type count matrix (missing combos are 0, not
+    // null, so both engines' shapes agree).
+    QueryDef("q_pivot_counts",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = table(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      },
+      Some("""SELECT user_id,
+        |CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Set operations: EXCEPT and INTERSECT (distinct semantics) composed.
+    QueryDef("q_setops_users",
+      (s, d) => {
+        def users(t: String) = table(s, d, "events")
+          .filter(col("event_type") === t).select("user_id").distinct()
+        users("click").except(users("purchase"))
+          .withColumn("tag", lit("click_no_purchase"))
+          .union(users("signup").intersect(users("error"))
+            .withColumn("tag", lit("signup_and_error")))
+      },
+      Some("""SELECT user_id, 'click_no_purchase' AS tag FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'signup_and_error' AS tag FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin)),
+
     // Sketch aggregate: HyperLogLog++ distinct counting — the sketch a
     // 100 TB pipeline uses where exact distinct would shuffle every key.
     // No SQL oracle (sketch estimates are engine-specific); the error

