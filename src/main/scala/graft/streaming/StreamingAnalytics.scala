@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Event-time streaming analytics over the events stream (SURVEY.md §2.6
@@ -32,6 +33,41 @@ object StreamingAnalytics {
     val r = spark.readStream.schema(eventsSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
     r.parquet(dir)
+  }
+
+  /** Per-user running state for the stateful-streaming surface
+    * (`flatMapGroupsWithState`): event count, exact value cents, last-seen
+    * micros. Kept deliberately small — state size is what kills stateful
+    * streaming at scale, so the state object is three longs.
+    */
+  case class UserState(n: Long, value_c: Long, last_us: Long)
+  case class UserUpdate(user_id: Long, n: Long, value_c: Long, last_us: Long)
+
+  /** Arbitrary-state streaming: per-user running totals via
+    * `flatMapGroupsWithState` (the ledger-free state path the reference
+    * never had — SURVEY §2.6 note on mapGroupsWithState). Emits one update
+    * per user per micro-batch. Works identically on a batch Dataset for
+    * testing (Spark plans batch flatMapGroupsWithState as a plain group).
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          var n = prev.n; var v = prev.value_c; var last = prev.last_us
+          rows.foreach { case (_, ts, c) =>
+            n += 1; v += c; if (ts > last) last = ts
+          }
+          state.update(UserState(n, v, last))
+          Iterator.single(UserUpdate(user, n, v, last))
+        })
   }
 
   /** Tumbling event-time windows with a watermark: per (hour, event_type)

@@ -36,4 +36,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.length == batch.length && got.length > 0)
     assert(got.toSeq == batch.toSeq)
   }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    val dir = tmpDir("state-events")
+    val cp = tmpDir("state-cp")
+    val src = spark.read.schema(StreamingAnalytics.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+
+    // two arrival waves into one running query — state must carry across
+    // the micro-batch boundary
+    src.filter($"event_id" < 500).write.parquet(s"$dir/b1")
+    val stream1 = StreamingAnalytics.runningUserTotals(
+      spark.readStream.schema(StreamingAnalytics.eventsSchema)
+        .parquet(s"$dir/*"))
+    val q = stream1.writeStream.format("memory").queryName("ut")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      src.filter($"event_id" >= 500).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the LATEST update per user must equal the batch ground truth
+    val latest = spark.table("ut").groupBy("user_id")
+      .agg(max(struct($"n", $"value_c", $"last_us")).as("s"))
+      .select($"user_id", $"s.n", $"s.value_c", $"s.last_us")
+      .orderBy("user_id").collect()
+    val truth = src.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_c"),
+        max(expr("ts DIV 1000")).as("last_us"))
+      .orderBy("user_id").collect()
+    assert(latest.length == truth.length)
+    assert(latest.toSeq == truth.toSeq)
+  }
 }

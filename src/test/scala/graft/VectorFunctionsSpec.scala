@@ -28,6 +28,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("quant_cosine_sim is bit-identical to the SQL quantization chain") {
+    VectorFunctions.register(spark)
+    // includes negative exact-half quantization points (-0.00025*10000 =
+    // -2.5 must round AWAY from zero to -3, like Spark/DuckDB round(),
+    // unlike Math.round)
+    val vecs = Seq(
+      (Array(-0.00025f, 0.00025f, 0.5f, -0.7f), Array(0.1f, -0.2f, 0.3f, 0.4f)),
+      (Array(0.00015f, -0.00015f, -1f, 1f), Array(-0.00025f, 0.00035f, 2f, 3f)))
+      .toDF("a", "b")
+    val native = vecs.select(expr("quant_cosine_sim(a, b)")).as[Double].collect()
+    val sqlChain = vecs.select(expr(
+      """aggregate(zip_with(
+        |  transform(a, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |  transform(b, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        .cast("double") /
+      (sqrt(expr("aggregate(transform(a, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").cast("double")) *
+       sqrt(expr("aggregate(transform(b, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").cast("double"))))
+      .as[Double].collect()
+    assert(native.toSeq == sqlChain.toSeq) // bitwise equality, no tolerance
+  }
+
   test("native top-k ranking matches the quantized oracle query") {
     val dir = "/root/testdata/sf0.001"
     val native = SparkEntry.queries("ann_cosine_native")(spark, dir)
