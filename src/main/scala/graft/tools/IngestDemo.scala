@@ -44,6 +44,25 @@ object IngestDemo {
     api.listUploads(Some("done"), 10).show(truncate = false)
     println("--- list-uploads?status=failed&limit=10 ---")
     api.listUploads(Some("failed"), 10).show(truncate = false)
+
+    // columnar warehouse load of the done uploads (main.py:129-130
+    // extension point)
+    val wh = new graft.ingest.CsvWarehouse(spark, s"$work/warehouse")
+    val (tables, rows) = wh.loadDone(store)
+    println(s"--- warehouse: $tables table(s), $rows row(s) ---")
+    wh.tables().foreach { sig =>
+      println(s"table t_$sig:")
+      wh.table(sig).show(5, truncate = false)
+    }
+
+    // externalized envelope handoff (S4/S5): publish the done envelopes
+    // and read them back decoded
+    val bus = new graft.operators.EnvelopeBus(spark, s"$work/bus")
+    bus.publish(store.read()
+      .filter(org.apache.spark.sql.functions.col("status") === "done")
+      .select("upload_id", "bucket_name", "file_name"))
+    println(s"--- envelope bus: ${bus.readAll().count()} message(s) ---")
+    bus.readAll().show(5, truncate = false)
     spark.stop()
   }
 }
