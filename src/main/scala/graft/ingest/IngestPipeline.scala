@@ -61,7 +61,8 @@ class IngestPipeline(
     quarantineDir: String,
     maxAttempts: Int = 5,
     now: () => Column = () => current_timestamp(),
-    wholeFileMaxBytes: Long = 64L << 20) {
+    wholeFileMaxBytes: Long = 64L << 20,
+    contentIdentity: Boolean = false) {
 
   /** Discover files in `inbox` as a METADATA-ONLY events DataFrame:
     * path, bucket_name, file_name, file_size, created_iso. The binaryFile
@@ -94,15 +95,43 @@ class IngestPipeline(
     */
   def processEvents(events: DataFrame): IngestResult = {
     val ts = now()
-    val hasContent = events.columns.contains("content")
+    val streamedContent = events.columns.contains("content")
+    // Content-identity mode must hash the bytes before dedup can happen,
+    // so it forfeits the metadata-only fast path by construction.
+    val hasContent = streamedContent || contentIdentity
 
     // F1 — extension filter, pre-ledger (non-CSV leaves no trace).
-    val csvEvents = events
-      .filter(isCsvPath(col("file_name")))
-      // F2 — metadata-hash identity.
-      .withColumn("upload_id",
-        uploadId(col("bucket_name"), col("file_name"), col("file_size"),
-          col("created_iso")))
+    val csvFiles = events.filter(isCsvPath(col("file_name")))
+
+    // F2 — upload identity. Default: metadata hash, faithful to the
+    // reference's code (main.py:15-18) — same-name re-uploads with new
+    // mtime get a NEW id and reprocess. Opt-in `contentIdentity`: hash the
+    // bytes instead, honoring the reference README's (inaccurate) claim of
+    // content-keyed idempotency (SURVEY.md §2.7.3) — re-uploading
+    // identical bytes is then a no-op regardless of object generation.
+    val csvEvents =
+      if (!contentIdentity)
+        csvFiles.withColumn("upload_id",
+          uploadId(col("bucket_name"), col("file_name"), col("file_size"),
+            col("created_iso")))
+      else {
+        import spark.implicits._
+        val withContent =
+          if (streamedContent) csvFiles
+          else {
+            val paths = csvFiles.select("path").as[String].collect()
+            if (paths.isEmpty) csvFiles.withColumn("content", lit(null).cast("string"))
+            else {
+              val contents = spark.read.format("binaryFile").load(paths: _*)
+                .select(col("path").as("cpath"),
+                  decode(col("content"), "UTF-8").as("content"))
+              csvFiles.join(contents, col("path") === col("cpath"), "left")
+                .drop("cpath")
+            }
+          }
+        withContent.withColumn("upload_id",
+          substring(sha2(coalesce(col("content"), lit("")), 256), 1, 16))
+      }
 
     val ledger = store.read().persist()
     // D1 — idempotency: skip `done`; additionally skip quarantined rows
@@ -240,6 +269,20 @@ class IngestPipeline(
     updates.unpersist(); todo.unpersist(); ledger.unpersist()
     IngestResult(discovered, discovered - doneN - failedN, doneN, failedN,
       quarantinedN)
+  }
+
+  /** Ops hook: re-admit quarantined uploads — the engine's version of the
+    * reference's manual DLQ drain (test:1-2). Resets the attempts counter
+    * so the next pass retries them; returns how many were re-admitted.
+    */
+  def requeueQuarantined(): Long = {
+    val q = store.read().filter(
+      col("status") === UploadStatus.Failed && col("attempts") >= maxAttempts)
+    val n = q.count()
+    if (n > 0)
+      store.merge(q.select(col("upload_id"), lit(0).as("attempts")),
+        requireExisting = true)
+    n
   }
 
   /** Last byte of a (large) file == '\n'? One driver-side O(1) seek per

@@ -58,6 +58,12 @@ class LedgerStore(spark: SparkSession, dir: String) {
     case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Typed view of the ledger (compile-time field safety for callers). */
+  def readTyped(): org.apache.spark.sql.Dataset[graft.model.UploadRecord] = {
+    import spark.implicits._
+    read().as[graft.model.UploadRecord]
+  }
+
   /** MERGE: upsert `updates` into the ledger keyed on `upload_id`.
     *
     * Field semantics = Firestore `set(merge=True)`: a non-null update field

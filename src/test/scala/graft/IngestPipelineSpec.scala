@@ -155,4 +155,51 @@ class IngestPipelineSpec extends SparkSpec {
     val plain = ledger.filter($"file_name" === "big-plain.csv").collect().head
     assert(plain.getAs[Long]("lines_processed") == 501L) // 500 newlines + 1
   }
+
+  test("content-identity mode: identical bytes under a new name are skipped") {
+    val inbox = tmpDir("ci-inbox")
+    writeFile(inbox, "a.csv", "id,v\n1,2\n")
+    val store = new LedgerStore(spark, tmpDir("ci-ledger"))
+    val pipe = new IngestPipeline(spark, store, tmpDir("ci-q"),
+      contentIdentity = true)
+    val r1 = pipe.runOnce(inbox)
+    assert(r1.done == 1)
+    // same bytes, different object -> same upload_id -> skipped as done
+    writeFile(inbox, "b.csv", "id,v\n1,2\n")
+    val r2 = pipe.runOnce(inbox)
+    assert(r2.done == 0 && r2.skipped == 2)
+    assert(store.read().count() == 1)
+    // different bytes -> new identity -> processed
+    writeFile(inbox, "c.csv", "id,v\n9,9\n")
+    val r3 = pipe.runOnce(inbox)
+    assert(r3.done == 1)
+    assert(store.read().count() == 2)
+    // metadata mode on the same inbox would have seen 3 distinct ids
+    val store2 = new LedgerStore(spark, tmpDir("ci-ledger2"))
+    val meta = new IngestPipeline(spark, store2, tmpDir("ci-q2"))
+    meta.runOnce(inbox)
+    assert(store2.read().count() == 3)
+  }
+
+  test("requeueQuarantined re-admits DLQ'd uploads for retry") {
+    val (inbox, store, _, pipe) = harness(maxAttempts = 2)
+    pipe.runOnce(inbox); pipe.runOnce(inbox) // exhaust -> quarantined
+    assert(pipe.runOnce(inbox).failed == 0)  // skipped while quarantined
+    assert(pipe.requeueQuarantined() == 1)
+    val bad0 = store.read().filter($"status" === "failed").collect().head
+    assert(bad0.getAs[Int]("attempts") == 0)
+    val r = pipe.runOnce(inbox) // retried again
+    assert(r.failed == 1)
+    val bad = store.read().filter($"status" === "failed").collect().head
+    assert(bad.getAs[Int]("attempts") == 1)
+  }
+
+  test("typed ledger view exposes UploadRecord fields") {
+    val (inbox, store, _, pipe) = harness()
+    pipe.runOnce(inbox)
+    val recs = store.readTyped().collect()
+    assert(recs.length == 3)
+    assert(recs.filter(_.status.contains("done"))
+      .flatMap(_.lines_processed).sorted.toSeq == Seq(2L, 7L))
+  }
 }
