@@ -54,6 +54,7 @@ object SparkEntry {
     "q_distinct_agg" -> Seq("o_orderstatus"),
     "q7_nation_volume" -> Seq("supp_nation", "cust_nation", "l_year"),
     "q_asof_prior_purchase" -> Seq("event_id"),
+    "q4_priority_exists" -> Seq("o_orderpriority"),
     "q_pivot_counts" -> Seq("user_id"),
     "q_setops_users" -> Seq("tag", "user_id"),
     "q18_large_orders" -> Seq("o_orderkey"),

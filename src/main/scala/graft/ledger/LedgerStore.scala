@@ -105,10 +105,10 @@ class LedgerStore(spark: SparkSession, dir: String) {
         coalesce(n(key), o(key)).as(key) +:
           valueColumns.map(c => coalesce(n(c), o(c)).as(c)): _*
       )
-    merged
+    val rows = merged
       .persist()
       .count() // materialize BEFORE touching the old snapshot
-    writeSnapshot(merged)
+    writeSnapshot(merged, rows)
     merged.unpersist()
   }
 
@@ -117,15 +117,21 @@ class LedgerStore(spark: SparkSession, dir: String) {
   /** Overwrite the ledger wholesale (tests / bootstrap). */
   def overwrite(rows: DataFrame): Unit = {
     val aligned = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    writeSnapshot(aligned)
+    writeSnapshot(aligned, aligned.count())
   }
 
-  private def writeSnapshot(df: DataFrame): Unit = {
+  /** Rows per snapshot file: below this, one file keeps point lookups a
+    * single-footer read; above it, shard so no single writer task owns the
+    * whole (multi-GB) ledger — a million ~200-byte rows per file keeps
+    * files in the low hundreds of MB.
+    */
+  private val rowsPerSnapshotFile = 1000000L
+
+  private def writeSnapshot(df: DataFrame, rows: Long): Unit = {
     val version = s"v-${UUID.randomUUID().toString.take(12)}"
     val target = new Path(rootPath, version)
-    // The ledger is small (bounded by upload count); one file keeps the
-    // point-lookup path a single-footer read. Shard only if it grows.
-    df.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    val parts = math.max(1L, (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
+    df.coalesce(parts).write.mode("overwrite").parquet(target.toString)
     val prev = currentVersion()
     val tmp = new Path(rootPath, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)

@@ -267,6 +267,23 @@ object RelationalQueries {
         |    > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |       FROM orders)""".stripMargin)),
 
+    // TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with a
+    // non-key condition, then aggregate.
+    QueryDef("q4_priority_exists",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
     // As-of semantics via windows: each event joined to the user's most
     // recent PRIOR purchase (the composition-tier as-of join — no custom
     // operator needed when the frame is per-key ordered history).
