@@ -267,6 +267,31 @@ object RelationalQueries {
         |    > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |       FROM orders)""".stripMargin)),
 
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    // a fact-dimension join; the share is one division of two exact cents
+    // sums, so it's deterministic cross-engine.
+    QueryDef("q14_promo_share",
+      (s, d) => {
+        val l = table(s, d, "lineitem").filter(
+          expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'"))
+        l.join(broadcast(table(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", revCents).otherwise(0L))
+              .as("promo_c"),
+            sum(revCents).as("total_c"))
+          .withColumn("promo_share",
+            col("promo_c").cast("double") * 100.0 / col("total_c"))
+      },
+      Some(s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevSql ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_c,
+        |CAST(sum($RevSql) AS BIGINT) AS total_c,
+        |CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevSql ELSE CAST(0 AS BIGINT) END) AS DOUBLE) * 100.0
+        |  / CAST(sum($RevSql) AS BIGINT) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
     // TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with a
     // non-key condition, then aggregate.
     QueryDef("q4_priority_exists",
