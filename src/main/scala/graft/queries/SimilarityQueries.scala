@@ -23,17 +23,6 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Q._
 
-  /** Integer quantization of the float vector: exact BIGINT lattice. */
-  private val QuantSql =
-    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
-
-  private def quantized(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings").select(
-      col("vec_id"),
-      expr(QuantSql).as("qe"))
-      .withColumn("n2",
-        expr("aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-
   /** Deterministic random-hyperplane bucket per vector: 8 planes whose ±1
     * weights come from sha256(plane-dim) hex parity, projections as exact
     * integer sums, bucket = sign-bit signature.
