@@ -75,6 +75,7 @@ object SparkEntry {
     "text_quality" -> Seq("doc_id"),
     "text_lang_id" -> Seq("doc_id"),
     "text_fingerprint" -> Seq("doc_id"),
+    "text_winnow_fingerprint" -> Seq("doc_id", "fp"),
     "multimodal_meta" -> Seq("doc_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline over `documents`: token
@@ -104,6 +105,42 @@ object TextQueries {
       Some("""SELECT doc_id,
         |substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fingerprint
         |FROM documents""".stripMargin)),
+
+    // Winnowing fingerprints (the MOSS scheme): hash every char 8-gram,
+    // keep the minimum of each window of 4 consecutive gram hashes, distinct
+    // the selected minima — a position-robust fingerprint SET per document
+    // whose size adapts to content, guaranteed to share entries for any
+    // sufficiently long common substring. The window minima are plain
+    // windowed MIN over the exploded gram rows — no sequential rolling
+    // state, so it partitions freely at scale.
+    QueryDef("text_winnow_fingerprint",
+      (s, d) => {
+        val k = 8; val w = 4
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(when(length(col("text")) >= k + w - 1,
+                sequence(lit(1), length(col("text")) - (k - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("doc_id"), col("i"), length(col("text")).as("len"),
+            substring(sha2(col("text").substr(col("i"), lit(k)), 256), 1, 8)
+              .as("gh"))
+        val win = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(0, w - 1)
+        g.withColumn("fp", min(col("gh")).over(win))
+          .filter(col("i") <= col("len") - (k - 1) - (w - 1))
+          .select(col("doc_id"), col("fp")).distinct()
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id, i, length(text) AS len,
+        |    substr(sha256(substr(text, i, 8)), 1, 8) AS gh
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 6, 1))) AS i
+        |    FROM documents WHERE length(text) >= 11)),
+        |w AS (SELECT doc_id, i, len,
+        |  min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE i <= len - 7 - 3""".stripMargin)),
 
     // Multimodal plumbing: opaque binary content column + typed metadata.
     // (Real decode/feature-extract runs behind MultimodalPipeline's stub;
