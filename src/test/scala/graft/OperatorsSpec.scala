@@ -75,4 +75,25 @@ class OperatorsSpec extends SparkSpec {
     val (_, rows2) = wh.loadDone(store)
     assert(rows2 == 4)
   }
+
+  test("space-saving heavy hitters surface true frequent values") {
+    import graft.operators.HeavyHitters
+    // skewed synthetic stream: "hot" owns half, "warm" a quarter, the rest
+    // spread over 200 cold values; capacity 8 << 203 distinct values
+    val rows = Seq.fill(4000)("hot") ++ Seq.fill(2000)("warm") ++
+      (1 to 2000).map(i => s"cold-${i % 200}")
+    val df = scala.util.Random.shuffle(rows).toDF("v").repartition(16)
+    val out = df.agg(HeavyHitters.topValues(8)($"v").as("hh"))
+      .selectExpr("explode(hh) as h").select("h.*")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byKey = out.map(t => t._1 -> t).toMap
+    // guaranteed: any value with freq > N/capacity (= 1000) is present
+    assert(byKey.contains("hot") && byKey.contains("warm"))
+    // estimate >= true count, overestimate bounded by recorded error
+    val (_, hotC, hotE) = byKey("hot")
+    assert(hotC >= 4000 && hotC - hotE <= 4000)
+    val (_, warmC, warmE) = byKey("warm")
+    assert(warmC >= 2000 && warmC - warmE <= 2000)
+    assert(out.length <= 8)
+  }
 }
