@@ -157,6 +157,14 @@ class IngestPipeline(
     val discovered = events.count()
     val todoN = todo.count()
 
+    // Steady-state fast path: nothing new → zero ledger writes, zero
+    // content reads. A scheduled re-run over an all-ingested inbox costs
+    // one metadata listing and nothing else.
+    if (todoN == 0) {
+      todo.unpersist(); ledger.unpersist()
+      return IngestResult(discovered, discovered, 0, 0, 0)
+    }
+
     // A1 — observable `pending` upsert BEFORE any processing, exactly the
     // reference's write order (main.py:61-68). A crash after this merge
     // leaves real pending rows a status query can see.

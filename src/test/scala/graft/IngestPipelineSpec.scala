@@ -202,4 +202,20 @@ class IngestPipelineSpec extends SparkSpec {
     assert(recs.filter(_.status.contains("done"))
       .flatMap(_.lines_processed).sorted.toSeq == Seq(2L, 7L))
   }
+
+  test("steady-state pass over an all-done inbox writes nothing") {
+    val inbox = tmpDir("ss-inbox")
+    writeFile(inbox, "a.csv", "id,v\n1,2\n")
+    val ledgerDir = tmpDir("ss-ledger")
+    val store = new LedgerStore(spark, ledgerDir)
+    val pipe = new IngestPipeline(spark, store, tmpDir("ss-q"))
+    pipe.runOnce(inbox)
+    val pointerBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ledgerDir, "_current"))
+    val r = pipe.runOnce(inbox) // everything already done
+    assert(r.discovered == 1 && r.done == 0 && r.failed == 0 && r.skipped == 1)
+    val pointerAfter = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ledgerDir, "_current"))
+    assert(pointerBefore == pointerAfter) // no new ledger generation at all
+  }
 }
