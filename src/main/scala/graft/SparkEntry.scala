@@ -55,6 +55,7 @@ object SparkEntry {
     "q7_nation_volume" -> Seq("supp_nation", "cust_nation", "l_year"),
     "q_asof_prior_purchase" -> Seq("event_id"),
     "q4_priority_exists" -> Seq("o_orderpriority"),
+    "q_group_topk_native" -> Seq("event_type", "score"),
     "q_pivot_counts" -> Seq("user_id"),
     "q_setops_users" -> Seq("tag", "user_id"),
     "q18_large_orders" -> Seq("o_orderkey"),

@@ -373,6 +373,25 @@ object RelationalQueries {
         |  INTERSECT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin)),
 
+    // Per-group top-k through the CUSTOM physical operator
+    // (graft.plans.GroupTopK: logical node + Strategy + bounded-heap exec —
+    // O(n log k) and no sort, vs the window row_number's full sort). The
+    // score folds event_id in as a tiebreaker so the result is total-ordered
+    // and the DuckDB row_number oracle agrees exactly.
+    QueryDef("q_group_topk_native",
+      (s, d) => {
+        val base = table(s, d, "events").select(
+          col("event_id"), col("event_type"),
+          (cents(col("value")) * 100000L + col("event_id")).as("score"))
+        graft.plans.GroupTopK(base, Seq("event_type"), "score", k = 3)
+      },
+      Some("""SELECT event_id, event_type, score FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) * 100000 + event_id AS score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT) * 100000 + event_id DESC) AS rn
+        |  FROM events) AS t WHERE rn <= 3""".stripMargin)),
+
     // Sketch aggregate: HyperLogLog++ distinct counting — the sketch a
     // 100 TB pipeline uses where exact distinct would shuffle every key.
     // No SQL oracle (sketch estimates are engine-specific); the error
