@@ -85,11 +85,22 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try {
-      val buf = new Array[Byte](64 * 1024)
-      val n = math.max(in.read(buf), 0)
-      val firstLine = new String(buf, 0, n, "UTF-8").takeWhile(_ != '\n')
+      // read until the first newline or EOF — a single read() may return
+      // short (stream implementations only guarantee > 0 bytes), which
+      // would truncate the header and split one schema into two tables
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8 * 1024)
+      var done = false
+      while (!done && out.size() < (1 << 20)) {
+        val n = in.read(buf)
+        if (n <= 0) done = true
+        else buf.indexWhere(_ == '\n'.toByte, 0) match {
+          case i if i >= 0 && i < n => out.write(buf, 0, i); done = true
+          case _ => out.write(buf, 0, n)
+        }
+      }
       java.security.MessageDigest.getInstance("SHA-256")
-        .digest(firstLine.getBytes("UTF-8"))
+        .digest(out.toByteArray)
         .take(4).map("%02x".format(_)).mkString
     } finally in.close()
   }

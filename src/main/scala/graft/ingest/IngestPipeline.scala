@@ -120,9 +120,12 @@ class IngestPipeline(
           if (streamedContent) csvFiles
           else {
             val paths = csvFiles.select("path").as[String].collect()
+              .filter(fileExists)
             if (paths.isEmpty) csvFiles.withColumn("content", lit(null).cast("string"))
             else {
-              val contents = spark.read.format("binaryFile").load(paths: _*)
+              val contents = spark.read.format("binaryFile")
+                .option("ignoreMissingFiles", "true")
+                .load(paths: _*)
                 .select(col("path").as("cpath"),
                   decode(col("content"), "UTF-8").as("content"))
               csvFiles.join(contents, col("path") === col("cpath"), "left")
@@ -201,8 +204,14 @@ class IngestPipeline(
         val normalize = (p: Column) => regexp_replace(p, "^file:/+", "file:/")
         val small = todo.filter(col("file_size") <= wholeFileMaxBytes)
         val big = todo.filter(col("file_size") > wholeFileMaxBytes)
-        val smallPaths = small.select("path").as[String].collect() // bounded per pass
-        val bigPaths = big.select("path").as[String].collect() // few, large
+        // Re-check existence at fetch time: a file deleted between listing
+        // and read must degrade to THAT upload failing, not abort the pass
+        // (load() on an explicit path list throws at resolution otherwise;
+        // ignoreMissingFiles below covers the remaining read-time window).
+        val smallPaths = small.select("path").as[String].collect()
+          .filter(fileExists) // bounded per pass
+        val bigPaths = big.select("path").as[String].collect()
+          .filter(fileExists) // few, large
 
         val emptyCounts = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -211,7 +220,9 @@ class IngestPipeline(
 
         val smallCounts =
           if (smallPaths.isEmpty) emptyCounts
-          else spark.read.format("binaryFile").load(smallPaths: _*)
+          else spark.read.format("binaryFile")
+            .option("ignoreMissingFiles", "true")
+            .load(smallPaths: _*)
             .select(normalize(col("path")).as("jpath"),
               pySplitLineCount(decode(col("content"), "UTF-8")).cast("long")
                 .as("n_lines"))
@@ -220,6 +231,7 @@ class IngestPipeline(
           if (bigPaths.isEmpty) emptyCounts
           else {
             val rowsPerFile = spark.read.option("lineSep", "\n")
+              .option("ignoreMissingFiles", "true")
               .textFile(bigPaths: _*)
               .select(normalize(input_file_name()).as("jpath"))
               .groupBy("jpath").agg(count(lit(1)).as("t_rows"))
@@ -282,6 +294,11 @@ class IngestPipeline(
   /** Ops hook: re-admit quarantined uploads — the engine's version of the
     * reference's manual DLQ drain (test:1-2). Resets the attempts counter
     * so the next pass retries them; returns how many were re-admitted.
+    *
+    * The quarantine parquet is an append-only LOG (like the reference's
+    * DLQ topic): a requeued upload that exhausts again appends a NEW row,
+    * distinguished by `quarantined_at` — consumers wanting current state
+    * take the latest row per upload_id.
     */
   def requeueQuarantined(): Long = {
     val q = store.read().filter(
@@ -291,6 +308,12 @@ class IngestPipeline(
       store.merge(q.select(col("upload_id"), lit(0).as("attempts")),
         requireExisting = true)
     n
+  }
+
+  /** Driver-side existence probe for the bounded fetch path lists. */
+  private def fileExists(p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
   /** Last byte of a (large) file == '\n'? One driver-side O(1) seek per

@@ -5,62 +5,76 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import scala.collection.mutable
 
+/** Sketch state: bounded counter map (count, max-overestimate per key) plus
+  * a `floor` — the largest count ever discarded from this sketch, which
+  * upper-bounds the true count of ANY key currently absent from the map.
+  */
+case class SSBuffer(
+    counters: mutable.Map[String, (Long, Long)],
+    floor: Long)
+
 /** Space-Saving heavy hitters (Metwally et al.) as a typed Spark
   * `Aggregator` — the bounded-memory sketch a 100 TB pipeline uses to find
   * frequent values (domains, tokens, user agents) without shuffling every
-  * distinct key: each partition keeps at most `capacity` counters, partial
-  * sketches merge associatively, and any value with true frequency
-  * > N/capacity is guaranteed to surface (with an overestimate bounded by
-  * the smallest displaced counter).
+  * distinct key: each partition keeps at most `capacity` counters and
+  * partial sketches merge associatively.
   *
-  * The buffer is a plain Map (count + max-error per key), kryo-encoded;
-  * merge sums counts and errors then re-prunes to capacity with the
-  * standard displaced-minimum accounting.
+  * Error accounting: inserts that displace a counter inherit its count as
+  * their max-overestimate (classic Space-Saving); merges that prune back
+  * to capacity record the largest discarded count in `floor`, and later
+  * re-insertions start from the floor — so a surviving key's reported
+  * count NEVER underestimates its true count, and the overestimate is
+  * bounded by the reported per-key error plus the final floor. Any value
+  * with true frequency > N/capacity + floor is guaranteed to surface.
   */
 class SpaceSaving(capacity: Int)
-    extends Aggregator[String, mutable.Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+    extends Aggregator[String, SSBuffer, Seq[(String, Long, Long)]] {
 
-  override def zero: mutable.Map[String, (Long, Long)] = mutable.Map.empty
+  override def zero: SSBuffer = SSBuffer(mutable.Map.empty, 0L)
 
-  override def reduce(
-      b: mutable.Map[String, (Long, Long)], v: String): mutable.Map[String, (Long, Long)] = {
-    b.get(v) match {
-      case Some((c, e)) => b.update(v, (c + 1, e))
-      case None if b.size < capacity => b.update(v, (1L, 0L))
+  private def insert(b: SSBuffer, v: String, c: Long, e: Long): SSBuffer = {
+    val m = b.counters
+    m.get(v) match {
+      case Some((c0, e0)) => m.update(v, (c0 + c, math.max(e0, e))); b
+      case None if m.size < capacity =>
+        // an absent key may have held up to `floor` mass before discard
+        m.update(v, (c + b.floor, math.max(e, b.floor))); b
       case None =>
-        // displace the minimum counter: new key inherits its count as error
-        val (minK, (minC, _)) = b.minBy { case (k, (c, _)) => (c, k) }
-        b.remove(minK)
-        b.update(v, (minC + 1, minC))
+        val (minK, (minC, _)) = m.minBy { case (k, (cc, _)) => (cc, k) }
+        m.remove(minK)
+        val base = math.max(minC, b.floor)
+        m.update(v, (c + base, math.max(e, base)))
+        b.copy(floor = math.max(b.floor, minC))
     }
-    b
   }
 
-  override def merge(
-      a: mutable.Map[String, (Long, Long)],
-      b: mutable.Map[String, (Long, Long)]): mutable.Map[String, (Long, Long)] = {
-    b.foreach { case (k, (c, e)) =>
-      a.get(k) match {
-        case Some((c0, e0)) => a.update(k, (c0 + c, e0 + e))
-        case None => a.update(k, (c, e))
+  override def reduce(b: SSBuffer, v: String): SSBuffer = insert(b, v, 1L, 0L)
+
+  override def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
+    var acc = a.copy(floor = math.max(a.floor, b.floor))
+    b.counters.foreach { case (k, (c, e)) =>
+      acc.counters.get(k) match {
+        case Some((c0, e0)) => acc.counters.update(k, (c0 + c, e0 + e))
+        case None => acc.counters.update(k, (c, e))
       }
     }
-    // re-prune to capacity: displaced keys' counts become error mass of
-    // the survivors' guarantee (standard merged-sketch accounting)
-    while (a.size > capacity) {
-      val (minK, _) = a.minBy { case (k, (c, _)) => (c, k) }
-      a.remove(minK)
+    // prune back to capacity: the discarded mass raises the floor instead
+    // of vanishing, preserving the no-underestimate guarantee
+    while (acc.counters.size > capacity) {
+      val (minK, (minC, _)) =
+        acc.counters.minBy { case (k, (c, _)) => (c, k) }
+      acc.counters.remove(minK)
+      acc = acc.copy(floor = math.max(acc.floor, minC))
     }
-    a
+    acc
   }
 
   /** (value, estimated count, max overestimate), most frequent first. */
-  override def finish(b: mutable.Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
-    b.toSeq.map { case (k, (c, e)) => (k, c, e) }
+  override def finish(b: SSBuffer): Seq[(String, Long, Long)] =
+    b.counters.toSeq.map { case (k, (c, e)) => (k, c, e) }
       .sortBy { case (k, c, _) => (-c, k) }
 
-  override def bufferEncoder: Encoder[mutable.Map[String, (Long, Long)]] =
-    Encoders.kryo[mutable.Map[String, (Long, Long)]]
+  override def bufferEncoder: Encoder[SSBuffer] = Encoders.kryo[SSBuffer]
   override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
     ExpressionEncoder[Seq[(String, Long, Long)]]()
 }

@@ -26,7 +26,10 @@ import scala.collection.mutable
   * inserts the usual hash shuffle; AQE still sizes it. Determinism: ties
   * on the score are broken by nothing — callers who need a total order
   * must fold a tiebreaker into the score expression (the registered query
-  * does).
+  * does). NULL scores are EXCLUDED from ranking (as if filtered with
+  * `score IS NOT NULL`) — this deliberately differs from the window
+  * row_number shape, which places nulls last and can emit them when a
+  * group has fewer than k non-null rows.
   */
 case class GroupTopKPlan(
     groupCols: Seq[Expression],

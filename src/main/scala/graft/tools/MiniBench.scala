@@ -17,7 +17,11 @@ object MiniBench {
     args.foreach { name =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        // full materialization, like Bench — count() would let Catalyst
+        // prune the computed columns and under-measure
+        val df = SparkEntry.queries(name)(spark, dir)
+        var n = 0L
+        df.toLocalIterator().forEachRemaining(_ => n += 1)
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
       }
     }

@@ -218,4 +218,22 @@ class IngestPipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(ledgerDir, "_current"))
     assert(pointerBefore == pointerAfter) // no new ledger generation at all
   }
+
+  test("a file deleted between listing and read fails that upload only") {
+    val inbox = tmpDir("del-inbox")
+    writeFile(inbox, "keep.csv", "a,b\n1,2\n")
+    writeFile(inbox, "gone.csv", "a,b\n3,4\n")
+    val store = new LedgerStore(spark, tmpDir("del-ledger"))
+    val pipe = new IngestPipeline(spark, store, tmpDir("del-q"))
+    val events = pipe.discover(inbox).persist()
+    events.count() // snapshot the listing while both files exist
+    java.nio.file.Files.delete(Paths.get(inbox, "gone.csv"))
+    val r = pipe.processEvents(events) // must not abort the pass
+    events.unpersist()
+    assert(r.done == 1 && r.failed == 1)
+    val gone = store.read().filter($"file_name" === "gone.csv").collect().head
+    assert(gone.getAs[String]("status") == "failed")
+    val kept = store.read().filter($"file_name" === "keep.csv").collect().head
+    assert(kept.getAs[String]("status") == "done")
+  }
 }
