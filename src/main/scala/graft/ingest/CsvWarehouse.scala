@@ -52,14 +52,20 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
         .withColumn("jpath", regexp_replace(input_file_name(), "^file:/+", "file:/"))
         .join(broadcast(idByPath), Seq("jpath"))
         .drop("jpath")
-      val target = new Path(warehouseDir, s"t_$sig").toString
-      data.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_upload_id")
-        .parquet(target)
-      tables += 1
-      rows += spark.read.parquet(target).count()
+      // a headerless-but-valid upload (e.g. a single "\n", which passes
+      // the reference's validation — SURVEY §2.7.2) has no data columns;
+      // there is nothing to warehouse and partitionBy would reject a
+      // table whose only column is the partition key
+      if (data.columns.length > 1) {
+        val target = new Path(warehouseDir, s"t_$sig").toString
+        data.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_upload_id")
+          .parquet(target)
+        tables += 1
+        rows += spark.read.parquet(target).count()
+      }
     }
     (tables, rows)
   }

@@ -56,6 +56,7 @@ class OperatorsSpec extends SparkSpec {
     put("a1.csv", "id,name\n1,ant\n2,bee\n")
     put("a2.csv", "id,name\n3,cow\n")
     put("b1.csv", "x,y,z\n9,8,7\n")
+    put("empty-ok.csv", "\n") // passes validation (2 split elements), no data columns
     val store = new LedgerStore(spark, tmpDir("wh-ledger"))
     val pipe = new IngestPipeline(spark, store, tmpDir("wh-q"))
     pipe.runOnce(inbox)
