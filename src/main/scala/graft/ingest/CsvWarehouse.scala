@@ -37,7 +37,21 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
       .select(col("upload_id"),
         concat(col("bucket_name"), lit("/"), col("file_name")).as("path"))
       .as[(String, String)].collect() // bounded by upload count
-    val byHeader = done.groupBy { case (_, path) => headerSignature(path) }
+    // A source file deleted after ingest (inbox cleanup, GDPR delete) must
+    // degrade to skipping THAT upload, not abort the whole warehouse load —
+    // the same contract IngestPipeline keeps for its fetch path. The probe
+    // is the header read itself; `ignoreMissingFiles` below covers the
+    // remaining probe-to-scan window.
+    val withSig = done.flatMap { case (id, path) =>
+      try Some((headerSignature(path), id, path))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          System.err.println(s"[warehouse] skipping missing upload $id: $path")
+          None
+      }
+    }
+    val byHeader = withSig.groupBy(_._1)
+      .view.mapValues(_.map { case (_, id, p) => (id, p) }).toMap
 
     var tables = 0L
     var rows = 0L
@@ -48,6 +62,7 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
       }.toSeq.toDF("jpath", "_upload_id")
       val data = spark.read
         .option("header", "true").option("inferSchema", "false")
+        .option("ignoreMissingFiles", "true")
         .csv(paths: _*)
         .withColumn("jpath", regexp_replace(input_file_name(), "^file:/+", "file:/"))
         .join(broadcast(idByPath), Seq("jpath"))

@@ -116,12 +116,18 @@ class IngestPipeline(
             col("created_iso")))
       else {
         import spark.implicits._
+        // No bytes ⇒ no content identity: a file deleted between listing
+        // and fetch yields content=null, which must be DROPPED — hashing
+        // it as "" would collapse every transiently-deleted file into one
+        // upload_id that also collides with a genuinely empty file's
+        // identity (and could permanently block a later empty upload).
         val withContent =
           if (streamedContent) csvFiles
           else {
             val paths = csvFiles.select("path").as[String].collect()
               .filter(fileExists)
-            if (paths.isEmpty) csvFiles.withColumn("content", lit(null).cast("string"))
+            if (paths.isEmpty) csvFiles.limit(0)
+              .withColumn("content", lit(null).cast("string"))
             else {
               val contents = spark.read.format("binaryFile")
                 .option("ignoreMissingFiles", "true")
@@ -130,6 +136,7 @@ class IngestPipeline(
                   decode(col("content"), "UTF-8").as("content"))
               csvFiles.join(contents, col("path") === col("cpath"), "left")
                 .drop("cpath")
+                .filter(col("content").isNotNull)
             }
           }
         withContent.withColumn("upload_id",

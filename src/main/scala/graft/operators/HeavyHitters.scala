@@ -51,12 +51,22 @@ class SpaceSaving(capacity: Int)
   override def reduce(b: SSBuffer, v: String): SSBuffer = insert(b, v, 1L, 0L)
 
   override def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
-    var acc = a.copy(floor = math.max(a.floor, b.floor))
-    b.counters.foreach { case (k, (c, e)) =>
-      acc.counters.get(k) match {
-        case Some((c0, e0)) => acc.counters.update(k, (c0 + c, e0 + e))
-        case None => acc.counters.update(k, (c, e))
+    // A key present in only one sketch may have held up to the OTHER
+    // sketch's floor in discarded mass there — compensate one-sided keys
+    // with that floor (mirroring what insert() does for absent keys), or
+    // the merged count could underestimate the true count.
+    val aFloor = a.floor
+    val bFloor = b.floor
+    var acc = SSBuffer(mutable.Map.empty, math.max(aFloor, bFloor))
+    a.counters.foreach { case (k, (c, e)) =>
+      b.counters.get(k) match {
+        case Some((cb, eb)) => acc.counters.update(k, (c + cb, e + eb))
+        case None => acc.counters.update(k, (c + bFloor, e + bFloor))
       }
+    }
+    b.counters.foreach { case (k, (c, e)) =>
+      if (!a.counters.contains(k))
+        acc.counters.update(k, (c + aFloor, e + aFloor))
     }
     // prune back to capacity: the discarded mass raises the floor instead
     // of vanishing, preserving the no-underestimate guarantee

@@ -82,13 +82,17 @@ case class GroupTopKExec(
               h
           }
           if (heap.size < kLocal) {
-            heap.enqueue((s, row.copy().asInstanceOf[UnsafeRow]))
+            // copy the score too: for non-primitive score types (string,
+            // binary, big decimal, array) eval() returns a VIEW into the
+            // child's reused UnsafeRow buffer — storing it uncopied lets
+            // later rows silently rewrite heap keys
+            heap.enqueue((InternalRow.copyValue(s), row.copy().asInstanceOf[UnsafeRow]))
           } else {
             val worst = heap.head._1
             val better = if (desc) base.gt(s, worst) else base.lt(s, worst)
             if (better) {
               heap.dequeue()
-              heap.enqueue((s, row.copy().asInstanceOf[UnsafeRow]))
+              heap.enqueue((InternalRow.copyValue(s), row.copy().asInstanceOf[UnsafeRow]))
             }
           }
         }

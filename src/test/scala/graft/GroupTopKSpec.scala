@@ -33,6 +33,23 @@ class GroupTopKSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"))
   }
 
+  test("non-primitive (string) scores survive the child's row-buffer reuse") {
+    // string scores are UTF8String VIEWS into the child's reused UnsafeRow;
+    // without copyValue at enqueue, later rows corrupt stored heap keys
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang",
+        // doc_id suffix = total order (near-dup docs can share a prefix)
+        concat(substring($"text", 1, 24), lit("|"),
+          lpad($"doc_id".cast("string"), 8, "0")).as("prefix"))
+    val custom = GroupTopK(df, Seq("lang"), "prefix", k = 3)
+      .orderBy("lang", "prefix").collect()
+    val w = Window.partitionBy("lang").orderBy($"prefix".desc)
+    val reference = df
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+      .orderBy("lang", "prefix").collect()
+    assert(custom.nonEmpty && custom.toSeq == reference.toSeq)
+  }
+
   test("ascending mode, k larger than group, and missing column") {
     val asc = GroupTopK(base, Seq("event_type"), "score", k = 2,
       descending = false)

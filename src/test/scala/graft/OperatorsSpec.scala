@@ -77,6 +77,38 @@ class OperatorsSpec extends SparkSpec {
     assert(rows2 == 4)
   }
 
+  test("csv warehouse skips uploads whose source file is gone") {
+    val inbox = tmpDir("whm-inbox")
+    def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
+    put("a1.csv", "id,name\n1,ant\n2,bee\n")
+    put("a2.csv", "id,name\n3,cow\n")
+    put("b1.csv", "x,y,z\n9,8,7\n")
+    val store = new LedgerStore(spark, tmpDir("whm-ledger"))
+    new IngestPipeline(spark, store, tmpDir("whm-q")).runOnce(inbox)
+
+    // inbox cleanup / GDPR delete after ingest: one source file vanishes
+    Files.delete(Paths.get(inbox, "a1.csv"))
+    val wh = new CsvWarehouse(spark, tmpDir("whm-warehouse"))
+    val (tables, rows) = wh.loadDone(store) // must not throw
+    assert(tables == 2 && rows == 2) // a2 (1 row) + b1 (1 row); a1 skipped
+  }
+
+  test("space-saving merge compensates one-sided keys with the other floor") {
+    import graft.operators.{SSBuffer, SpaceSaving}
+    import scala.collection.mutable
+    val ss = new SpaceSaving(4)
+    // sketch A has discarded mass (floor 5): a key absent from A may have
+    // held up to 5 there before discard
+    val a = SSBuffer(mutable.Map("a1" -> ((10L, 0L))), 5L)
+    val b = SSBuffer(mutable.Map("b1" -> ((3L, 1L))), 0L)
+    val m = ss.merge(a, b)
+    // one-sided b1 gains A's floor on both count and error bound
+    assert(m.counters("b1") == ((8L, 6L)))
+    // one-sided a1 gains B's floor (0) — unchanged
+    assert(m.counters("a1") == ((10L, 0L)))
+    assert(m.floor == 5L)
+  }
+
   test("space-saving heavy hitters surface true frequent values") {
     import graft.operators.HeavyHitters
     // skewed synthetic stream: "hot" owns half, "warm" a quarter, the rest
