@@ -122,16 +122,21 @@ object SimilarityQueries {
       },
       None),
 
-    // Embedding-cosine near-dup: all pairs above a cosine threshold — the
-    // dedup-flavored use of the similarity kernel (candidate pruning at
-    // scale comes from ann_lsh_buckets; this is the exact form).
+    // Embedding-cosine near-dup, EXACT form over a BOUNDED probe set: the
+    // 128 lowest vec_ids vs the whole corpus. The probe side is broadcast,
+    // so the plan is O(|probe|·n) — linear in the corpus, never all-pairs
+    // (the corpus-wide dedup path is dedup_embedding_lsh below; this exact
+    // fixture is what you run to audit LSH recall on a sample). An
+    // unbounded all-pairs self-join is the 100 TB anti-pattern and is
+    // deliberately NOT registered.
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val a = v.filter(col("vec_id") < 128)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
         val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        a.join(b, col("vec_a") < col("vec_b"))
+        broadcast(a).join(b, col("vec_a") < col("vec_b"))
           .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
           .filter(col("cosine") >= 0.4)
           .select("vec_a", "vec_b", "cosine")
@@ -144,7 +149,7 @@ object SimilarityQueries {
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
         |  a.n2 AS n2a, b.n2 AS n2b
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  FROM n a JOIN n b ON a.vec_id < 128 AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b,
         |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
         |FROM p

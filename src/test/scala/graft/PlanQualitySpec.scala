@@ -58,6 +58,24 @@ class PlanQualitySpec extends SparkSpec {
       "ann brute force must broadcast the query vectors")
   }
 
+  test("no registered query plans an unbounded all-pairs join") {
+    // every non-equi join in the contract must broadcast a BOUNDED side —
+    // O(c·n), linear in the corpus; a plain CartesianProduct or a
+    // nested-loop over two corpus-sized sides is the 100 TB anti-pattern
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n$p")
+    }
+    // the exact embedding-dedup fixture must bound+broadcast its probe side
+    val ded = plan("dedup_embedding_cosine")
+    assert(ded.contains("BroadcastNestedLoopJoin"),
+      "dedup_embedding_cosine must broadcast its bounded probe side")
+    assert(ded.contains("LessThan(vec_id,128)") || ded.contains("vec_id < 128")
+      || ded.contains("(vec_id#"), // pushed filter rendering differs by version
+      s"dedup_embedding_cosine must bound the probe side:\n$ded")
+  }
+
   test("aggregates are partial (map-side combine) before the shuffle") {
     val q1 = plan("q1_pricing_summary")
     assert(q1.contains("partial_sum") || q1.contains("Partial"),
