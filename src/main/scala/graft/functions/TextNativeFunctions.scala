@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the winnowing fingerprint set (the MOSS
+  * scheme — Schleimer/Wilkerson/Aiken, SIGMOD'03) of one text block.
+  *
+  * `winnow_fps(btext, n_win, k, w)` hashes every char `k`-gram of `btext`
+  * with md5 (the cheapest hash Spark and DuckDB share bit-for-bit), takes
+  * the minimum of each of the `n_win` windows of `w` consecutive gram
+  * hashes, and returns the DISTINCT minima as `array<string>` (8 hex chars
+  * = the md5's first 4 bytes, exactly `substr(md5(gram), 1, 8)`).
+  *
+  * Why native: the same computation as a Catalyst HOF chain
+  * (`transform` + `slice` + `array_min`) evaluates interpreted lambdas with
+  * per-element allocation — measured ~3x slower than even the exploded
+  * sha256+window plan. Here the grams are hashed once each into an unsigned
+  * int array and the window minima come from one flat loop — per-row cost
+  * is ~n_grams md5 calls and nothing else. Codegen emits a single static
+  * call, keeping the surrounding projection inside whole-stage codegen.
+  *
+  * Character semantics match SQL `substr` (code points) for BMP text;
+  * comparison of hex strings equals unsigned comparison of the int hashes,
+  * which is how minima are selected.
+  */
+case class WinnowFingerprints(left: Expression, right: Expression,
+    k: Int, w: Int) extends BinaryExpression {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WinnowFingerprints.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[Int], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WinnowFingerprints.compute($t, $n, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WinnowFingerprints {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Distinct winnowed minima of `text`'s first `nWin` windows, as 8-hex
+    * gram-hash prefixes. Called from both eval and generated code.
+    */
+  def compute(text: UTF8String, nWin: Int, k: Int, w: Int): ArrayData = {
+    val str = text.toString
+    val md = digest.get()
+    // grams needed: window start j in [0, nWin) covers grams j..j+w-1
+    val nGrams = math.min(nWin + w - 1, str.length - k + 1)
+    if (nGrams <= 0 || nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    // first 4 md5 bytes as an unsigned int in a long — hex-lexicographic
+    // order on substr(md5, 1, 8) IS unsigned numeric order on these
+    val gh = new Array[Long](nGrams)
+    var j = 0
+    while (j < nGrams) {
+      md.reset()
+      val d = md.digest(str.substring(j, j + k).getBytes(StandardCharsets.UTF_8))
+      gh(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      j += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    val lastStart = math.min(nWin, nGrams - w + 1)
+    while (s < lastStart) {
+      var m = Long.MaxValue
+      var t = s
+      while (t < s + w) { if (gh(t) < m) m = gh(t); t += 1 }
+      seen.add(m)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    var idx = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val v = it.next().longValue()
+      val cs = new Array[Char](8)
+      var sh = 28
+      var c = 0
+      while (c < 8) { cs(c) = HEX(((v >>> sh) & 0xf).toInt); sh -= 4; c += 1 }
+      out(idx) = UTF8String.fromString(new String(cs))
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Make `winnow_fps(text, n_win, k, w)` usable from SQL in `spark`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      { exprs =>
+        require(exprs.length == 4, "winnow_fps(text, n_win, k, w)")
+        WinnowFingerprints(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue())
+      },
+      "built-in")
+}

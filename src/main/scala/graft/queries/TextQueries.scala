@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline over `documents`: token
@@ -110,29 +109,42 @@ object TextQueries {
     // keep the minimum of each window of 4 consecutive gram hashes, distinct
     // the selected minima — a position-robust fingerprint SET per document
     // whose size adapts to content, guaranteed to share entries for any
-    // sufficiently long common substring. The window minima are plain
-    // windowed MIN over the exploded gram rows — no sequential rolling
-    // state, so it partitions freely at scale.
+    // sufficiently long common substring.
+    //
+    // Plan shape (the 100 TB lens): winnowing is BLOCK-LOCAL — a window of
+    // w gram hashes spans at most k+w-2 chars beyond its start, so blocks
+    // of B window-starts overlapping by that margin compute every window
+    // exactly once with no cross-block state. Each (doc, block) row derives
+    // its distinct-minima set in ONE call to the native `winnow_fps`
+    // expression (graft.functions.WinnowFingerprints — md5 grams hashed
+    // once each into an int array, flat window-min loop): no explode of one
+    // row per character, no doc-wide window shuffle — a 1 GB document
+    // becomes len/B bounded tasks instead of one straggler. The only
+    // shuffle is the final cross-block distinct, whose input is already
+    // per-block deduped minima (~2/(w+1) of gram count).
     QueryDef("text_winnow_fingerprint",
       (s, d) => {
-        val k = 8; val w = 4
-        val g = table(s, d, "documents")
+        graft.functions.WinnowFingerprints.register(s)
+        val k = 8; val w = 4; val b = 4096 // window-starts per block
+        table(s, d, "documents")
+          .filter(length(col("text")) >= k + w - 1)
           .select(col("doc_id"), col("text"),
-            explode(when(length(col("text")) >= k + w - 1,
-                sequence(lit(1), length(col("text")) - (k - 1)))
-              .otherwise(array().cast("array<int>"))).as("i"))
-          .select(col("doc_id"), col("i"), length(col("text")).as("len"),
-            substring(sha2(col("text").substr(col("i"), lit(k)), 256), 1, 8)
-              .as("gh"))
-        val win = Window.partitionBy("doc_id").orderBy("i")
-          .rowsBetween(0, w - 1)
-        g.withColumn("fp", min(col("gh")).over(win))
-          .filter(col("i") <= col("len") - (k - 1) - (w - 1))
-          .select(col("doc_id"), col("fp")).distinct()
+            (length(col("text")) - (k - 1) - (w - 1)).as("n_win"))
+          .select(col("doc_id"), col("text"), col("n_win"),
+            explode(sequence(lit(0),
+              floor((col("n_win") - 1) / b).cast("int"))).as("blk"))
+          .select(col("doc_id"),
+            col("text").substr(col("blk") * b + 1, lit(b + k + w - 2))
+              .as("btext"),
+            least(lit(b), col("n_win") - col("blk") * b).cast("int")
+              .as("loc_win"))
+          .select(col("doc_id"),
+            explode(expr(s"winnow_fps(btext, loc_win, $k, $w)")).as("fp"))
+          .distinct()
       },
       Some("""WITH g AS (
         |  SELECT doc_id, i, length(text) AS len,
-        |    substr(sha256(substr(text, i, 8)), 1, 8) AS gh
+        |    substr(md5(substr(text, i, 8)), 1, 8) AS gh
         |  FROM (SELECT doc_id, text,
         |    unnest(range(1, greatest(length(text) - 6, 1))) AS i
         |    FROM documents WHERE length(text) >= 11)),
