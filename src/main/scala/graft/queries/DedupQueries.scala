@@ -24,6 +24,12 @@ object DedupQueries {
 
   private val Hex = "0123456789abcdef"
 
+  /** Max document frequency a gram may have and still enter the Jaccard
+    * self-join (see dedup_ngram_jaccard). 100 bounds any single join key
+    * to ≤ 100²/2 pairs while keeping every discriminative gram.
+    */
+  val MaxGramDf = 100
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: survivors + multiplicity per content digest.
@@ -127,11 +133,20 @@ object DedupQueries {
 
     // Word 3-gram Jaccard ≥ 0.5: the exact near-dup ground truth (the
     // planted duplicate pairs in the corpus sit at J ≈ 0.9).
+    //
+    // Hot-gram guard: the gram-key self-join is quadratic in a gram's
+    // document frequency — at corpus scale one stop-phrase gram ("of the
+    // same") would blow up the shuffle on a single hot key. Grams with
+    // df > MaxGramDf are dropped BEFORE the join, and Jaccard is computed
+    // over the filtered gram universe on both engines (the standard
+    // df-pruning trick: near-dup pairs share mostly RARE grams, so J≥0.5
+    // candidates survive essentially exactly while the join input gets a
+    // hard per-key bound). The DuckDB oracle mirrors the filter.
     QueryDef("dedup_ngram_jaccard",
       (s, d) => {
         val w = table(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        val g = w
+        val g0 = w
           .select(col("doc_id"),
             explode(when(size(col("ws")) >= 3,
                 sequence(lit(1), size(col("ws")) - 2))
@@ -141,6 +156,13 @@ object DedupQueries {
             "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
             .as("gram"))
           .distinct()
+        // df-bound: each surviving gram contributes at most MaxGramDf²/2
+        // pairs to the join — no hot key can dominate a shuffle partition
+        val rareGrams = g0.groupBy("gram")
+          .agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= MaxGramDf)
+          .select("gram")
+        val g = g0.join(rareGrams, "gram")
         val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val ga = g.select(col("doc_id").as("doc_a"), col("gram"))
         val gb = g.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"))
@@ -153,9 +175,11 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
         |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w)),
+        |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $MaxGramDf),
+        |g AS (SELECT doc_id, gram FROM g0 JOIN rare USING (gram)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_n
         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)

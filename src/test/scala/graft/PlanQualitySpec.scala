@@ -76,6 +76,14 @@ class PlanQualitySpec extends SparkSpec {
       s"dedup_embedding_cosine must bound the probe side:\n$ded")
   }
 
+  test("ngram-jaccard join input is document-frequency bounded") {
+    // the gram self-join must consume the df-filtered gram set: without
+    // the bound, one hot gram makes the join quadratic in its frequency
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains(s"<= ${graft.queries.DedupQueries.MaxGramDf}"),
+      s"gram df-bound filter missing from plan:\n$p")
+  }
+
   test("aggregates are partial (map-side combine) before the shuffle") {
     val q1 = plan("q1_pricing_summary")
     assert(q1.contains("partial_sum") || q1.contains("Partial"),
