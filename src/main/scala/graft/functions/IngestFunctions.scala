@@ -34,12 +34,20 @@ object IngestFunctions {
   /** Deterministic upload identity from file metadata.
     *
     * `upload_id = sha256(f"{bucket}-{name}-{size}-{created}")[:16]`
-    * (reference: csv-processor-function/main.py:15-18). `created` is the
-    * already-formatted isoformat string, with the reference's `""` fallback
-    * for a missing creation time (main.py:47). concat_ws would *skip* SQL
-    * NULLs — Python f-strings do not — so every part is null-coalesced
-    * explicitly ("None" never occurs in the reference because attributes are
-    * guarded, and "" is the documented fallback).
+    * (reference: csv-processor-function/main.py:15-18), with real size and
+    * mtime. DELIBERATE DEVIATION from the reference's *effective* behavior:
+    * the reference builds its blob handle locally without an RPC
+    * (`bucket.blob(file_name)`, main.py:41), so `blob.size` is None —
+    * rendered literally as `"None"` by the f-string (only `time_created`
+    * is None-guarded to "", main.py:47) — and its effective hash input is
+    * `f"{bucket}-{name}-None-"`: the idempotency key degenerates to
+    * bucket+name only. This engine hashes the REAL size and creation time
+    * (both always present in the listing), so a same-name re-upload with
+    * new content gets a new identity and reprocesses — the behavior the
+    * reference's formula clearly intended. The degenerate reference key is
+    * golden-tested in IngestFunctionsSpec to document the divergence.
+    * concat_ws would *skip* SQL NULLs — Python f-strings do not — so every
+    * part is null-coalesced explicitly to "" (the isoformat fallback).
     */
   def uploadId(bucket: Column, name: Column, size: Column, createdIso: Column): Column =
     substring(

@@ -29,6 +29,26 @@ class IngestFunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq("ca46259397da0d7f", "1ea08f2fe4ac0097"))
   }
 
+  test("golden: the reference's EFFECTIVE key degenerates to bucket+name") {
+    // The reference never fetches blob metadata (bucket.blob() is a local
+    // handle, main.py:41): blob.size is None and the f-string renders the
+    // literal "None", so its effective hash input is f"{bucket}-{name}-None-".
+    // CPython: sha256('my-bucket-data.csv-None-').hexdigest()[:16].
+    // The engine DELIBERATELY deviates, hashing real size+mtime — assert
+    // both the degenerate reference key and that the engine's differs.
+    val refEffective = Seq(("my-bucket", "data.csv"))
+      .toDF("b", "n")
+      .select(substring(sha2(concat_ws("-",
+        $"b", $"n", lit("None"), lit("")), 256), 1, 16).as("id"))
+      .as[String].head()
+    assert(refEffective == "137505f703c7d4a7")
+    val engine = Seq(("my-bucket", "data.csv", 271L, "2025-11-28T09:30:00+00:00"))
+      .toDF("b", "n", "s", "c")
+      .select(uploadId($"b", $"n", $"s", $"c").as("id"))
+      .as[String].head()
+    assert(engine != refEffective)
+  }
+
   test("uploadId null created behaves as the reference's '' fallback") {
     val got = Seq(("b", "f.csv", 0L))
       .toDF("b", "n", "s")
