@@ -228,13 +228,23 @@ object RelationalQueries {
     QueryDef("q18_large_orders",
       (s, d) => {
         GraftTables.registerViews(s, d)
-        s.sql("""SELECT c_name, o_orderkey,
-          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-          |FROM lineitem
+        // Pre-aggregate lineitem by l_orderkey (with the HAVING pushed
+        // into the aggregate) BEFORE touching orders/customer: the big
+        // shuffle then moves one row per QUALIFYING order instead of the
+        // full join fan-out — at 100 TB the join input shrinks by the
+        // lineitem-per-order multiplicity times the >180 selectivity.
+        // Equivalent because o_orderkey is unique in orders (one customer
+        // per order), so grouping by l_orderkey == (c_name, o_orderkey).
+        s.sql("""WITH lq AS (
+          |  SELECT l_orderkey,
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |  FROM lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+          |SELECT c_name, o_orderkey, total_qty
+          |FROM lq
           |JOIN orders ON l_orderkey = o_orderkey
-          |JOIN customer ON o_custkey = c_custkey
-          |GROUP BY c_name, o_orderkey
-          |HAVING sum(CAST(l_quantity AS BIGINT)) > 180""".stripMargin)
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin)
       },
       Some("""SELECT c_name, o_orderkey,
         |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
