@@ -21,15 +21,23 @@ import java.util.UUID
   * A merge reads the live snapshot, full-outer-joins the updates on
   * `upload_id`, per-column `coalesce(new, old)` (exactly Firestore
   * merge=True field semantics), writes a NEW snapshot dir, then atomically
-  * swaps the pointer. Readers never observe a partial write; the swap is a
-  * single-file rename. Crash before the swap leaves the old version live.
+  * publishes it. Readers never observe a partial write. Crash before the
+  * publish leaves the old version live.
+  *
+  * Writer safety is COMPARE-AND-SWAP, not convention: the live version is
+  * named by the highest-numbered `_ptr-<seq>` file, and a merge that read
+  * seq S may only publish seq S+1 — via rename-WITHOUT-overwrite, which is
+  * atomic-exclusive on HDFS (and effectively so on the local FS). Two
+  * concurrent merges both read S; the first to publish S+1 wins, the other
+  * gets [[ConcurrentLedgerWriteException]] and its orphan snapshot is
+  * removed — a lost update becomes a loud retry instead of a silent
+  * clobber. (The reference got this serialization for free from Firestore,
+  * main.py:53-68.)
   *
   * Scale notes (100 TB design): the ledger is bounded by *upload count*,
   * not data volume — millions of rows at most, a few hundred MB of parquet.
   * The merge is one shuffle on a small table; callers broadcast the `done`
-  * key set against the (huge) event stream, never the reverse. Single
-  * writer (the streaming driver) matches the reference's effective
-  * serialization through Firestore and makes the swap safe without locks.
+  * key set against the (huge) event stream, never the reverse.
   */
 class LedgerStore(spark: SparkSession, dir: String) {
   import Ledger.{key, schema, valueColumns}
@@ -37,20 +45,34 @@ class LedgerStore(spark: SparkSession, dir: String) {
   private val rootPath = new Path(dir)
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val pointer = new Path(rootPath, "_current")
 
-  private def currentVersion(): Option[String] = {
-    if (!fs.exists(pointer)) None
-    else {
-      val in = fs.open(pointer)
-      try {
-        val bytes = new Array[Byte](256)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim)
-          .filter(_.nonEmpty)
-      } finally in.close()
-    }
+  private def ptrPath(seq: Long) = new Path(rootPath, f"_ptr-$seq%012d")
+
+  private def readPtrFile(p: Path): Option[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](256)
+      val n = in.read(bytes)
+      Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim)
+        .filter(_.nonEmpty)
+    } finally in.close()
   }
+
+  /** Highest committed (seq, snapshot version dir name), if any. */
+  private[ledger] def currentPointer(): Option[(Long, String)] = {
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_ptr-"))
+      .flatMap { p =>
+        p.getName.stripPrefix("_ptr-").toLongOption
+          .flatMap(seq => readPtrFile(p).map(seq -> _))
+      }
+      .sortBy(-_._1)
+      .headOption
+  }
+
+  private def currentVersion(): Option[String] = currentPointer().map(_._2)
 
   /** Live ledger snapshot; empty (schema'd) DataFrame if none exists yet. */
   def read(): DataFrame = currentVersion() match {
@@ -95,7 +117,15 @@ class LedgerStore(spark: SparkSession, dir: String) {
       throw new IllegalArgumentException(
         s"ledger merge rejected: invalid status '${badStatus.head.getString(0)}' " +
           s"(domain: ${UploadStatusValues.mkString("|")})")
-    val old = read()
+    // Pin the pointer ONCE: the snapshot this merge reads is the state the
+    // CAS commit below requires to still be live at publish time.
+    val pinned = currentPointer()
+    val old = pinned match {
+      case Some((_, v)) =>
+        spark.read.schema(schema).parquet(new Path(rootPath, v).toString)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val joinType = if (requireExisting) "right_outer" else "full_outer"
     val n = aligned.as("n")
     val o = old.as("o")
@@ -108,16 +138,18 @@ class LedgerStore(spark: SparkSession, dir: String) {
     val rows = merged
       .persist()
       .count() // materialize BEFORE touching the old snapshot
-    writeSnapshot(merged, rows)
+    commitSnapshot(merged, rows, pinned)
     merged.unpersist()
   }
 
   private val UploadStatusValues = graft.model.UploadStatus.All.toSeq
 
-  /** Overwrite the ledger wholesale (tests / bootstrap). */
+  /** Overwrite the ledger wholesale (tests / bootstrap). Subject to the
+    * same CAS commit as merge: a concurrent writer makes this fail loudly.
+    */
   def overwrite(rows: DataFrame): Unit = {
     val aligned = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    writeSnapshot(aligned, aligned.count())
+    commitSnapshot(aligned, aligned.count(), currentPointer())
   }
 
   /** Rows per snapshot file: below this, one file keeps point lookups a
@@ -127,36 +159,85 @@ class LedgerStore(spark: SparkSession, dir: String) {
     */
   private val rowsPerSnapshotFile = 1000000L
 
-  private def writeSnapshot(df: DataFrame, rows: Long): Unit = {
+  /** Write `df` as a new snapshot dir, then CAS-publish it: the pointer
+    * file for `expected.seq + 1` is created via rename-WITHOUT-overwrite
+    * (atomic-exclusive), so the publish succeeds only if no other writer
+    * committed after `expected` was read. On a lost race the orphan
+    * snapshot is deleted and [[ConcurrentLedgerWriteException]] thrown —
+    * the caller's merge was computed against a stale base and must be
+    * retried against the winner's state.
+    */
+  private[ledger] def commitSnapshot(df: DataFrame, rows: Long,
+      expected: Option[(Long, String)]): Unit = {
     val version = s"v-${UUID.randomUUID().toString.take(12)}"
     val target = new Path(rootPath, version)
     val parts = math.max(1L, (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
     df.coalesce(parts).write.mode("overwrite").parquet(target.toString)
-    val prev = currentVersion()
-    val tmp = new Path(rootPath, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+    val nextSeq = expected.map(_._1 + 1).getOrElse(1L)
+    val tmp = new Path(rootPath, s"_tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // Crash-atomic pointer swap: a single rename-with-overwrite (atomic on
-    // HDFS and local FS via FileContext) — never delete-then-rename, which
-    // had a window where `_current` was absent and a crash lost the whole
-    // ledger's visibility (ADVICE round 1).
+    // Readers only ever see a COMPLETE pointer file (content is renamed
+    // into place, never written in place); Rename without OVERWRITE is the
+    // compare-and-swap — it fails iff another writer already published
+    // this sequence number.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptrPath(nextSeq)))
+    } catch {
+      case e: java.io.IOException =>
+        // distinguish a lost CAS (the pointer now exists — someone else
+        // published this seq) from a genuine IO failure
+        val lostRace = try fs.exists(ptrPath(nextSeq)) catch { case _: Throwable => false }
+        fs.delete(tmp, false)
+        if (!lostRace) throw e
+        fs.delete(target, true)
+        throw new ConcurrentLedgerWriteException(
+          s"ledger CAS failed: another writer published seq $nextSeq under " +
+            s"$rootPath while this merge was computing against seq " +
+            s"${expected.map(_._1).getOrElse(0L)}; retry against the new state", e)
+    }
     // Retain current + previous + two older generations: a lazy DataFrame
     // from an earlier read() (e.g. a StatusQueries result acted on after a
     // merge) can still resolve its files even across a full ingest pass,
     // which performs THREE merges (pending + processing + terminal).
     // Current and previous are protected unconditionally; among the rest
-    // only the two newest stay.
-    val protect = Set(version) ++ prev
+    // only the two newest stay — and ONLY once old enough that no
+    // concurrent writer can still be producing them: a racing merge's
+    // in-flight snapshot dir is an unprotected `v-*` too, and deleting it
+    // mid-write was exactly the clobber the CAS exists to prevent.
+    // Pointer files follow the same policy.
+    val protect = Set(version) ++ expected.map(_._2)
+    val cutoff = System.currentTimeMillis() - retentionGraceMs
     fs.listStatus(rootPath)
       .filter(st => st.getPath.getName.startsWith("v-") &&
-        !protect.contains(st.getPath.getName))
+        !protect.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
       .sortBy(-_.getModificationTime)
       .drop(2)
       .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(rootPath)
+      .filter(st => st.getPath.getName.startsWith("_ptr-") &&
+        st.getModificationTime < cutoff)
+      .sortBy(_.getPath.getName)
+      .dropRight(4)
+      .foreach(st => fs.delete(st.getPath, false))
   }
+
+  /** Unprotected generations younger than this are never swept: they may
+    * belong to a writer that is still publishing (or to a reader that just
+    * resolved them). Bounds stale-snapshot accumulation to the merge rate
+    * over this window — single-digit dirs for any sane cadence.
+    */
+  private val retentionGraceMs = 10L * 60 * 1000
 }
+
+/** A ledger merge lost the compare-and-swap publish race: another writer
+  * committed first and the merge was computed against a stale snapshot.
+  * The ledger state is the WINNER's; the loser's snapshot was discarded.
+  * Callers retry by re-running the merge (it re-reads the live state).
+  */
+class ConcurrentLedgerWriteException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)

@@ -210,13 +210,17 @@ class IngestPipelineSpec extends SparkSpec {
     val store = new LedgerStore(spark, ledgerDir)
     val pipe = new IngestPipeline(spark, store, tmpDir("ss-q"))
     pipe.runOnce(inbox)
-    val pointerBefore = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(ledgerDir, "_current"))
+    def livePointer(): (String, String) = {
+      val ptrs = new java.io.File(ledgerDir).listFiles()
+        .map(_.getName).filter(_.startsWith("_ptr-")).sorted
+      val top = ptrs.last
+      (top, java.nio.file.Files.readString(
+        java.nio.file.Paths.get(ledgerDir, top)))
+    }
+    val pointerBefore = livePointer()
     val r = pipe.runOnce(inbox) // everything already done
     assert(r.discovered == 1 && r.done == 0 && r.failed == 0 && r.skipped == 1)
-    val pointerAfter = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(ledgerDir, "_current"))
-    assert(pointerBefore == pointerAfter) // no new ledger generation at all
+    assert(livePointer() == pointerBefore) // no new ledger generation at all
   }
 
   test("a file deleted between listing and read fails that upload only") {

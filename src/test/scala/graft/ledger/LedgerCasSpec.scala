@@ -1,0 +1,53 @@
+package graft.ledger
+
+import graft.SparkSpec
+import graft.model.UploadStatus
+
+/** Compare-and-swap publish semantics of the ledger: a merge computed
+  * against a stale snapshot must fail loudly, never silently clobber the
+  * winner's rows (the reference got this serialization for free from
+  * Firestore; the pointer-file ledger has to earn it).
+  */
+class LedgerCasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: String*) =
+    ids.map((_, UploadStatus.Pending)).toDF("upload_id", "status")
+
+  test("a merge that lost the publish race fails loudly and clobbers nothing") {
+    val store = new LedgerStore(spark, tmpDir("cas-ledger"))
+    store.merge(rows("u1"))
+    // writer A pins the live state...
+    val stale = store.currentPointer()
+    // ...writer B commits first...
+    store.merge(rows("u2"))
+    // ...writer A tries to publish against its stale base → loud failure
+    val attempt = store.read()
+    intercept[ConcurrentLedgerWriteException] {
+      store.commitSnapshot(attempt, attempt.count(), stale)
+    }
+    // the winner's state is intact and fully visible
+    val ids = store.read().select("upload_id").as[String].collect().toSet
+    assert(ids == Set("u1", "u2"))
+  }
+
+  test("racing merges: at most one winner per sequence, no lost updates") {
+    val store = new LedgerStore(spark, tmpDir("cas-race"))
+    store.merge(rows("seed"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val outcomes = Await.result(Future.sequence((1 to 4).map { i =>
+      Future {
+        try { store.merge(rows(s"w$i")); Right(s"w$i") }
+        catch { case _: ConcurrentLedgerWriteException => Left(s"w$i") }
+      }
+    }), 3.minutes).toList
+    val won = outcomes.collect { case Right(id) => id }.toSet
+    val ids = store.read().select("upload_id").as[String].collect().toSet
+    // every winner's row IS in the final state (no silent clobber), plus
+    // the seed; losers raised instead of overwriting
+    assert(won.nonEmpty)
+    assert(ids == won + "seed")
+  }
+}
