@@ -15,8 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    IngestOpQueries.defs ++ RelationalQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs
+    IngestOpQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -46,6 +46,7 @@ object SparkEntry {
     "d2_point_lookup" -> Seq("event_id"),
     "st1_windowed_counts" -> Seq("hour_us", "event_type"),
     "st5_first_per_key" -> Seq("user_id"),
+    "st4_replay_ledger" -> Seq("file_name"),
     "q1_pricing_summary" -> Seq("l_returnflag", "l_linestatus"),
     "q3_top_orders" -> Seq("l_orderkey"),
     "q5_region_revenue" -> Seq("n_name"),

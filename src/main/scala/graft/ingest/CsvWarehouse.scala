@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   * the first line (same magnitude as the todo-path listing); the data load
   * is Spark's parallel CSV scan per table group; partitioning by upload
   * keeps re-loads and per-upload deletes (GDPR-style) partition-local.
+  *
+  * `inferTypes = true` opts into per-table schema inference (the
+  * reference's "transform data… connect to a data warehouse" roadmap,
+  * README.md:159-163): each header group's columns are inferred over the
+  * whole group in one extra scan, so a numeric CSV column lands in parquet
+  * as a numeric type and downstream aggregation is typed. Inference is per
+  * header-group — uploads in one group re-infer TOGETHER on every load, so
+  * a group's parquet schema stays consistent across re-loads. Default off:
+  * schema-per-upload stays dynamic/stringly, matching the reference's
+  * schema-agnostic treatment.
   */
-class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
+class CsvWarehouse(spark: SparkSession, warehouseDir: String,
+    inferTypes: Boolean = false) {
 
   /** Load all `done` uploads from the ledger into warehouse tables.
     * Returns (tables touched, rows written).
@@ -61,7 +72,7 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String) {
         (normalize(p), id)
       }.toSeq.toDF("jpath", "_upload_id")
       val data = spark.read
-        .option("header", "true").option("inferSchema", "false")
+        .option("header", "true").option("inferSchema", inferTypes.toString)
         .option("ignoreMissingFiles", "true")
         .csv(paths: _*)
         .withColumn("jpath", regexp_replace(input_file_name(), "^file:/+", "file:/"))

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.ingest.{CsvWarehouse, IngestPipeline}
+import graft.ledger.LedgerStore
+import graft.streaming.StreamingIngest
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline queries: unlike the per-operator queries in
+  * [[IngestOpQueries]] (which prove each operator's dataflow over the
+  * parquet tables), these run the REAL machinery — the streaming ingest
+  * with its checkpointed source and ledger merges, and the CSV warehouse
+  * with schema inference — over a deterministic CSV inbox derived from
+  * `documents`, then surface the resulting state for the DuckDB oracle.
+  * This is how ST4's exactly-once effect and the typed warehouse get
+  * CORRECTNESS rows, not just ScalaTest coverage.
+  */
+object PipelineQueries {
+  import Q._
+
+  /** Materialize a deterministic CSV inbox from `documents` (doc_id < 100):
+    * `f<id>.csv` holds a typed 2-column row `k,v` = (doc_id, text length);
+    * every 7th file is the 1-line invalid shape (fails the <2-split-element
+    * validation, reference main.py:126-127). Bounded: ≤100 tiny files,
+    * driver-side — a test fixture, not a data path.
+    */
+  private def writeInbox(s: SparkSession, d: String): String = {
+    val base = Files.createTempDirectory("graft-e2e-").toString
+    table(s, d, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val content =
+          if (id % 7 == 0) "x" else s"k,v\n$id,${r.getInt(1)}"
+        Files.write(Paths.get(base, s"f$id.csv"),
+          content.getBytes(StandardCharsets.UTF_8))
+      }
+    base
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ST4 — exactly-once EFFECT under redelivery: drain the inbox through
+    // the streaming ingest, then drain it AGAIN with a fresh checkpoint
+    // (worst-case redelivery: every file re-presented, as after checkpoint
+    // loss). The ledger must show each valid upload done exactly once
+    // (lines_processed from the single processing) and each invalid upload
+    // retried (attempts = 2) — at-least-once delivery × idempotent merge.
+    QueryDef("st4_replay_ledger",
+      (s, d) => {
+        val inbox = writeInbox(s, d)
+        val tmp = Files.createTempDirectory("graft-st4-").toString
+        val store = new LedgerStore(s, s"$tmp/ledger")
+        val pipe = new IngestPipeline(s, store, s"$tmp/dlq")
+        val si = new StreamingIngest(s, pipe)
+        si.runAvailableNow(inbox, s"$tmp/ckpt1")
+        si.runAvailableNow(inbox, s"$tmp/ckpt2") // full redelivery
+        store.read().select(
+          col("file_name"), col("status"),
+          col("lines_processed").cast("long").as("lines_processed"),
+          col("attempts").cast("long").as("attempts"))
+      },
+      Some("""SELECT 'f' || CAST(doc_id AS VARCHAR) || '.csv' AS file_name,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'failed' ELSE 'done' END AS status,
+        |  CASE WHEN doc_id % 7 <> 0 THEN CAST(2 AS BIGINT) END AS lines_processed,
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(2 AS BIGINT) END AS attempts
+        |FROM documents WHERE doc_id < 100""".stripMargin)),
+
+    // Typed warehouse: batch-ingest the same inbox, load the done uploads
+    // into the warehouse WITH schema inference, and aggregate the numeric
+    // columns of the resulting table — proving CSV strings became typed
+    // parquet columns whose sums match the source-of-truth documents.
+    QueryDef("wh_typed_agg",
+      (s, d) => {
+        val inbox = writeInbox(s, d)
+        val tmp = Files.createTempDirectory("graft-wh-").toString
+        val store = new LedgerStore(s, s"$tmp/ledger")
+        new IngestPipeline(s, store, s"$tmp/dlq").runOnce(inbox)
+        val wh = new CsvWarehouse(s, s"$tmp/warehouse", inferTypes = true)
+        wh.loadDone(store)
+        // all done uploads share the k,v header → exactly one table
+        wh.table(wh.tables().head)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("k")).cast("long").as("sum_k"),
+            sum(col("v")).cast("long").as("sum_v"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_k,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_v
+        |FROM documents WHERE doc_id < 100 AND doc_id % 7 <> 0""".stripMargin))
+  )
+}

@@ -77,6 +77,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows2 == 4)
   }
 
+  test("csv warehouse schema inference loads typed columns (opt-in)") {
+    val inbox = tmpDir("wht-inbox")
+    def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
+    put("n1.csv", "id,amount\n1,2.5\n2,3.5\n")
+    put("n2.csv", "id,amount\n3,4.0\n")
+    val store = new LedgerStore(spark, tmpDir("wht-ledger"))
+    new IngestPipeline(spark, store, tmpDir("wht-q")).runOnce(inbox)
+
+    val typed = new CsvWarehouse(spark, tmpDir("wht-wh"), inferTypes = true)
+    typed.loadDone(store)
+    val t = typed.table(typed.tables().head)
+    assert(t.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t.schema("amount").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(t.agg(sum($"amount")).head.getDouble(0) == 10.0)
+
+    // default stays stringly (the reference's schema-agnostic treatment)
+    val raw = new CsvWarehouse(spark, tmpDir("wht-raw"))
+    raw.loadDone(store)
+    val r = raw.table(raw.tables().head)
+    assert(r.schema("amount").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("csv warehouse skips uploads whose source file is gone") {
     val inbox = tmpDir("whm-inbox")
     def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
