@@ -156,6 +156,10 @@ object DedupQueries {
             "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
             .as("gram"))
           .distinct()
+          // materialize once: the (doc, gram) set feeds the df computation,
+          // the join's BOTH sides, and the per-doc sizes — without this the
+          // whole explode/distinct pipeline re-runs four times
+          .localCheckpoint()
         // df-bound: each surviving gram contributes at most MaxGramDf²/2
         // pairs to the join — no hot key can dominate a shuffle partition
         val rareGrams = g0.groupBy("gram")
