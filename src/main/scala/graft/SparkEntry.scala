@@ -16,7 +16,8 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     IngestOpQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
+      ScaleOpQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -67,6 +68,9 @@ object SparkEntry {
     "dedup_exact" -> Seq("content_hash"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
     "dedup_simhash" -> Seq("doc_id"),
+    "dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_salted_agg" -> Seq("user_id"),
+    "q_heavy_hitters" -> Seq("value"),
     "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "dedup_embedding_cosine" -> Seq("vec_a", "vec_b"),
     "dedup_embedding_lsh" -> Seq("vec_a", "vec_b"),

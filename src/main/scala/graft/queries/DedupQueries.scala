@@ -30,6 +30,32 @@ object DedupQueries {
     */
   val MaxGramDf = 100
 
+  /** SimHash signature of `hexDigits * 4` bits per document: each word
+    * votes its sha256-prefix bits ±1 per position; the signature's bit b is
+    * 1 iff the vote is positive. Linear in word count, two groupBys,
+    * deterministic across engines (the "random" projection is sha256).
+    */
+  private def simhashBits(s: org.apache.spark.sql.SparkSession, d: String,
+      hexDigits: Int): org.apache.spark.sql.DataFrame = {
+    val words = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val bits = words
+      .select(col("doc_id"),
+        substring(sha2(col("w"), 256), 1, hexDigits).as("hx"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0), lit(hexDigits * 4 - 1))).as("b"))
+      .withColumn("v",
+        expr(s"instr('$Hex', substr(hx, (b DIV 4) + 1, 1)) - 1"))
+      .withColumn("bit", expr("shiftright(v, 3 - (b % 4)) & 1"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(expr("2 * bit - 1")).as("vote"))
+      .withColumn("bitval",
+        when(col("vote") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: survivors + multiplicity per content digest.
@@ -99,26 +125,56 @@ object DedupQueries {
           |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin
       }),
 
+    // SimHash near-dup PAIRS at scale: 32-bit signatures, banded into
+    // 4 × 8-bit keys — by pigeonhole any pair within hamming distance 3
+    // shares at least one band, so candidate generation is a band-key
+    // equi-join (never all-pairs), then the exact hamming verify
+    // (bit_count(xor)) runs on candidates only. This completes the simhash
+    // story: dedup_simhash is the signature operator, this is the
+    // candidates+verify dedup built on it.
+    QueryDef("dedup_simhash_pairs",
+      (s, d) => {
+        val sh = simhashBits(s, d, hexDigits = 8)
+          // one 8-row-per-doc pipeline feeds both join sides
+          .localCheckpoint()
+        val bands = sh.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bv", expr("(simhash >> (b * 8)) & 255"))
+        val a = bands.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sim_a"), col("b"), col("bv"))
+        val bb = bands.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"), col("b").as("b_b"), col("bv").as("bv_b"))
+        a.join(bb, col("b") === col("b_b") && col("bv") === col("bv_b") &&
+            col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+          .withColumn("hamming",
+            expr("bit_count(sim_a ^ sim_b)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, substr(sha256(w), 1, 8) AS hx FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, hx, unnest(range(0, 32)) AS b FROM h),
+        |v AS (SELECT doc_id, b,
+        |  ((instr('$Hex', substr(hx, (b // 4) + 1, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+        |  FROM e),
+        |votes AS (SELECT doc_id, b, CAST(sum(2 * bit - 1) AS BIGINT) AS vote
+        |  FROM v GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.simhash AS sim_a, b2.simhash AS sim_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
+
     // SimHash: 16-bit signature from per-word sha256 bit votes.
     QueryDef("dedup_simhash",
-      (s, d) => {
-        val words = table(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-        val bits = words
-          .select(col("doc_id"), substring(sha2(col("w"), 256), 1, 4).as("h4"))
-          .select(col("doc_id"), col("h4"),
-            explode(sequence(lit(0), lit(15))).as("b"))
-          .withColumn("v",
-            expr(s"instr('$Hex', substr(h4, (b DIV 4) + 1, 1)) - 1"))
-          .withColumn("bit", expr("shiftright(v, 3 - (b % 4)) & 1"))
-        bits.groupBy("doc_id", "b")
-          .agg(sum(expr("2 * bit - 1")).as("vote"))
-          .withColumn("bitval",
-            when(col("vote") > 0, lit(1L)).otherwise(lit(0L)))
-          .groupBy("doc_id")
-          .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
-      },
+      (s, d) => simhashBits(s, d, hexDigits = 4),
       Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |h AS (SELECT doc_id, substr(sha256(w), 1, 4) AS h4 FROM w WHERE len(w) > 0),
         |e AS (SELECT doc_id, h4, unnest(range(0, 16)) AS b FROM h),
