@@ -33,6 +33,19 @@ object ScaleOpQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Arbitrary-state streaming surface (flatMapGroupsWithState) in its
+    // batch-planned form: per-user running totals. On a bounded input the
+    // final state equals a plain GROUP BY — which oracles the operator's
+    // state-update logic (the incremental/multi-batch behavior is
+    // StreamingAnalyticsSpec's job).
+    QueryDef("st_user_state",
+      (s, d) => graft.streaming.StreamingAnalytics
+        .runningUserTotals(table(s, d, "events")).toDF(),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        |FROM events GROUP BY user_id""".stripMargin)),
+
     // Space-Saving heavy hitters: bounded-memory typed Aggregator, merged
     // across partitions. With capacity >= distinct-key count no counter is
     // ever evicted, so the sketch is EXACT (est = true count, error 0) and
