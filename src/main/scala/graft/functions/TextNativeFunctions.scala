@@ -124,3 +124,110 @@ object WinnowFingerprints {
       },
       "built-in")
 }
+
+/** Native Catalyst expression: the 16 MinHash signature pieces of one
+  * document in a single fused loop.
+  *
+  * `minhash_sigs(t)` reproduces, bit-for-bit, the declarative chain in
+  * dedup_minhash_lsh's oracle: char-5-gram shingles at stride 2, one
+  * sha256‖md5 hex digest per shingle, signature piece j = the MINIMUM of
+  * `substr(hex, 6j+1, 6)` over all shingles (string order on lowercase hex
+  * == unsigned numeric order on the 24-bit nibble group, which is how the
+  * minima are tracked — as ints, formatted at the end).
+  *
+  * Why native: the same computation as explode-shingles → groupBy(doc) with
+  * 16 min() aggregates materializes ~100 rows per document and shuffles
+  * them; per-row here it's ~100 digest pairs in a tight loop and NO
+  * shuffle at all in the signature stage. Documents shorter than k return
+  * an empty array (the declarative form emits no shingle rows — such docs
+  * then simply have no bands).
+  */
+case class MinhashSigs(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashSigs.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.MinhashSigs.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSigs {
+  private val K = 5          // shingle length (chars)
+  private val Stride = 2     // shingle stride
+  private val Pieces = 16    // 6-hex-digit signature pieces
+
+  private val sha = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** nibble i (0-based) of the 96-hex sha256‖md5 concatenation. */
+  @inline private def nibble(s: Array[Byte], m: Array[Byte], i: Int): Int = {
+    val b = if (i < 64) s(i >> 1) else m((i - 64) >> 1)
+    if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val str = text.toString
+    if (str.length < K) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(Pieces)(Int.MaxValue)
+    val shaMd = sha.get(); val md5Md = md5.get()
+    var i = 0
+    val last = str.length - K
+    while (i <= last) {
+      val bytes = str.substring(i, i + K).getBytes(StandardCharsets.UTF_8)
+      shaMd.reset(); val ds = shaMd.digest(bytes)
+      md5Md.reset(); val dm = md5Md.digest(bytes)
+      var j = 0
+      while (j < Pieces) {
+        val n0 = 6 * j
+        val v = (nibble(ds, dm, n0) << 20) | (nibble(ds, dm, n0 + 1) << 16) |
+          (nibble(ds, dm, n0 + 2) << 12) | (nibble(ds, dm, n0 + 3) << 8) |
+          (nibble(ds, dm, n0 + 4) << 4) | nibble(ds, dm, n0 + 5)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += Stride
+    }
+    val out = new Array[Any](Pieces)
+    var j = 0
+    while (j < Pieces) {
+      val v = mins(j)
+      val cs = new Array[Char](6)
+      var sh = 20; var c = 0
+      while (c < 6) { cs(c) = HEX((v >>> sh) & 0xf); sh -= 4; c += 1 }
+      out(j) = UTF8String.fromString(new String(cs))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Make `minhash_sigs(text)` usable from SQL in `spark`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      { exprs =>
+        require(exprs.length == 1, "minhash_sigs(text)")
+        MinhashSigs(exprs(0))
+      },
+      "built-in")
+}

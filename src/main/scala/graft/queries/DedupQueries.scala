@@ -77,28 +77,25 @@ object DedupQueries {
     // than the naive 16×sha256 with the same banding S-curve.
     QueryDef("dedup_minhash_lsh",
       (s, d) => {
-        val docs = table(s, d, "documents")
+        // Signature stage is the native `minhash_sigs` expression
+        // (graft.functions.MinhashSigs): all 16 minima of one document's
+        // shingle digests in one fused per-row loop — the declarative
+        // equivalent (explode ~100 shingle rows/doc → groupBy(doc) with 16
+        // min() aggs, what the DuckDB oracle still runs) materializes and
+        // SHUFFLES those rows; this plan's signature stage shuffles
+        // nothing. Docs shorter than one shingle yield an empty array =
+        // no bands, matching the oracle's empty shingle set.
+        graft.functions.MinhashSigs.register(s)
+        val mh = table(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
-        val sh = docs
-          .select(col("doc_id"),
-            explode(when(length(col("t")) >= 5,
-                sequence(lit(1), length(col("t")) - 4, lit(2)))
-              .otherwise(array().cast("array<int>"))).as("i"),
-            col("t"))
-          // no distinct: MIN over the shingle multiset == MIN over its set,
-          // so a dedup shuffle would be pure waste
-          .select(col("doc_id"),
-            concat(sha2(col("t").substr(col("i"), lit(5)), 256),
-              md5(col("t").substr(col("i"), lit(5)))).as("h"))
-        val mhAggs = (0 until 16).map(j =>
-          min(substring(col("h"), 6 * j + 1, 6)).as(s"mh$j"))
-        val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+          .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
+          .filter(size(col("mhs")) > 0)
           // one row per doc — materialize so the band self-join below does
-          // not re-run the whole shingle/digest pipeline on both sides
+          // not re-run the digest loop on both sides
           .localCheckpoint()
         val bandCols = (0 to 3).map(b => concat(
-          col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-          col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}")))
+          element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
+          element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
         val bands = mh.select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
         val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))

@@ -70,6 +70,34 @@ class TextNativeFunctionsSpec extends SparkSpec {
     assert(got(2L) == naiveWinnow(t) && got(2L).size == 1)
   }
 
+  test("minhash_sigs equals the declarative shingle-min chain exactly") {
+    graft.functions.MinhashSigs.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", substring($"text", 1, 200).as("t"))
+    val native = docs.select($"doc_id", expr("minhash_sigs(t)").as("mhs"))
+      .filter(size($"mhs") > 0)
+    val sh = docs
+      .select($"doc_id",
+        explode(when(length($"t") >= 5,
+            sequence(lit(1), length($"t") - 4, lit(2)))
+          .otherwise(array().cast("array<int>"))).as("i"), $"t")
+      .select($"doc_id", concat(sha2($"t".substr($"i", lit(5)), 256),
+        md5($"t".substr($"i", lit(5)))).as("h"))
+    val aggs = (0 until 16).map(j => min(substring($"h", 6 * j + 1, 6)).as(s"mh$j"))
+    val ref = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    assert(native.count() == ref.count())
+    val mismatches = native.join(ref, "doc_id")
+      .filter((0 until 16).map(j =>
+        element_at($"mhs", j + 1) =!= col(s"mh$j")).reduce(_ || _))
+      .count()
+    assert(mismatches == 0)
+
+    // shorter than one shingle → empty signature (no bands downstream)
+    val empty = Seq("abcd").toDF("t")
+      .select(size(expr("minhash_sigs(t)")).as("n")).as[Int].head()
+    assert(empty == 0)
+  }
+
   test("winnow_fps agrees with the SQL md5 rendering per gram") {
     WinnowFingerprints.register(spark)
     val one = Seq(("abcdefgh")).toDF("t")
