@@ -23,29 +23,14 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Q._
 
-  /** Deterministic random-hyperplane bucket per vector: 8 planes whose ±1
-    * weights come from sha256(plane-dim) hex parity, projections as exact
-    * integer sums, bucket = sign-bit signature.
+  /** DuckDB rendering of the deterministic random-hyperplane bucketing
+    * (±1 weights from sha256(plane-dim) hex parity, exact integer
+    * projections, bucket = sign-bit signature) as a `buckets` CTE. The
+    * Spark side computes the same thing with the native `lsh_bits`
+    * expression (graft.functions.LshBits) — one fused loop per vector over
+    * a static weight table instead of a 64-row explode + plane join + two
+    * aggregations.
     */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val planes = s.range(0, 8).select(col("id").as("p"))
-      .crossJoin(s.range(1, 65).select(col("id").as("dim")))
-      .withColumn("w", when(
-        expr("instr('02468ace', substr(sha2(concat(CAST(p AS STRING), '-', CAST(dim AS STRING)), 256), 1, 1))") > 0,
-        lit(1L)).otherwise(lit(-1L)))
-    val comps = table(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        round(col("x").cast("double") * 10000).cast("long").as("qx"))
-    comps.join(broadcast(planes), "dim")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("w") * col("qx")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
-  }
-
-  /** DuckDB rendering of [[lshBuckets]] as a `buckets` CTE fragment. */
   private val BucketsSql =
     """planes AS (
       |  SELECT p, dim,
@@ -162,21 +147,13 @@ object SimilarityQueries {
     // candidates. Never an all-pairs join; the cost dial is (tables, planes).
     QueryDef("dedup_embedding_lsh",
       (s, d) => {
-        val planes = s.range(0, 16).select(col("id").as("p"))
-          .crossJoin(s.range(1, 65).select(col("id").as("dim")))
-          .withColumn("w", when(
-            expr("instr('02468ace', substr(sha2(concat(CAST(p AS STRING), '-', CAST(dim AS STRING)), 256), 1, 1))") > 0,
-            lit(1L)).otherwise(lit(-1L)))
-        val comps = table(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("vec_id"), (col("pos") + 1).as("dim"),
-            round(col("x").cast("double") * 10000).cast("long").as("qx"))
-        val tb = comps.join(broadcast(planes), "dim")
-          .groupBy("vec_id", "p")
-          .agg(sum(col("w") * col("qx")).as("proj"))
-          .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-          .groupBy(col("vec_id"), expr("p DIV 4").as("t"))
-          .agg(sum(expr("shiftleft(bit, CAST(p % 4 AS INT))")).as("bucket"))
+        graft.functions.LshBits.register(s)
+        val tb = table(s, d, "embeddings")
+          .select(col("vec_id"), expr("lsh_bits(embedding, 16)").as("bits"))
+          .select(col("vec_id"),
+            explode(sequence(lit(0L), lit(3L))).as("t"), col("bits"))
+          .withColumn("bucket", expr("(bits >> (t * 4)) & 15"))
+          .drop("bits")
         val cand = tb.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
           .join(tb.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
             col("bucket").as("bucket_b")),
@@ -228,7 +205,11 @@ object SimilarityQueries {
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
     // bucket are each other's ANN candidates.
     QueryDef("ann_lsh_buckets",
-      (s, d) => lshBuckets(s, d),
+      (s, d) => {
+        graft.functions.LshBits.register(s)
+        table(s, d, "embeddings")
+          .select(col("vec_id"), expr("lsh_bits(embedding, 8)").as("bucket"))
+      },
       Some(s"WITH $BucketsSql SELECT vec_id, bucket FROM buckets"))
   )
 }
