@@ -56,6 +56,58 @@ object DedupQueries {
       .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
   }
 
+  /** MinHash-band candidate pairs (doc_a < doc_b). Signature stage is the
+    * native `minhash_sigs` expression (graft.functions.MinhashSigs): all 16
+    * minima of one document's shingle digests in one fused per-row loop —
+    * the declarative equivalent (explode ~100 shingle rows/doc →
+    * groupBy(doc) with 16 min() aggs, what the DuckDB oracle still runs)
+    * materializes and SHUFFLES those rows; this plan's signature stage
+    * shuffles nothing. Docs shorter than one shingle yield an empty array =
+    * no bands, matching the oracle's empty shingle set.
+    */
+  private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.MinhashSigs.register(s)
+    val mh = table(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+      .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
+      .filter(size(col("mhs")) > 0)
+      // one row per doc — materialize so the band self-join below does
+      // not re-run the digest loop on both sides
+      .localCheckpoint()
+    val bandCols = (0 to 3).map(b => concat(
+      element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
+      element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** DuckDB rendering of [[minhashCandidates]]: a CTE prefix ending in
+    * `cand(doc_a, doc_b)`. Keep in lockstep with the Spark builder.
+    */
+  private val MinhashCandSql: String = {
+    val mhs = (0 until 16)
+      .map(j => s"min(substr(h, ${6 * j + 1}, 6)) AS mh$j")
+      .mkString(", ")
+    val bands = (0 to 3).map(b =>
+      s"SELECT doc_id, $b AS band, mh${4 * b}||mh${4 * b + 1}||mh${4 * b + 2}||mh${4 * b + 3} AS bv FROM mh")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+      |sh AS (SELECT doc_id, sha256(substr(t, i, 5)) || md5(substr(t, i, 5)) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1), 2)) AS i FROM t)),
+      |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+      |bands AS ($bands),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: survivors + multiplicity per content digest.
@@ -76,51 +128,67 @@ object DedupQueries {
     // row count and the digest-split halves the per-row work — ~3x faster
     // than the naive 16×sha256 with the same banding S-curve.
     QueryDef("dedup_minhash_lsh",
+      (s, d) => minhashCandidates(s, d),
+      Some(s"$MinhashCandSql SELECT doc_a, doc_b FROM cand")),
+
+    // The COMPOSED 100 TB near-dup path, end to end: MinHash band
+    // candidates (the S-curve recall stage), then the exact word-3-gram
+    // Jaccard verify computed ONLY for candidate pairs — the gram join is
+    // keyed by (candidate doc, gram), so its size is |cand| × grams/doc,
+    // never corpus-quadratic and immune to hot grams. This is the plan
+    // you actually run over a corpus: dedup_minhash_lsh and
+    // dedup_ngram_jaccard prove the stages, this proves the composition.
+    QueryDef("dedup_near_dup_pipeline",
       (s, d) => {
-        // Signature stage is the native `minhash_sigs` expression
-        // (graft.functions.MinhashSigs): all 16 minima of one document's
-        // shingle digests in one fused per-row loop — the declarative
-        // equivalent (explode ~100 shingle rows/doc → groupBy(doc) with 16
-        // min() aggs, what the DuckDB oracle still runs) materializes and
-        // SHUFFLES those rows; this plan's signature stage shuffles
-        // nothing. Docs shorter than one shingle yield an empty array =
-        // no bands, matching the oracle's empty shingle set.
-        graft.functions.MinhashSigs.register(s)
-        val mh = table(s, d, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
-          .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
-          .filter(size(col("mhs")) > 0)
-          // one row per doc — materialize so the band self-join below does
-          // not re-run the digest loop on both sides
-          .localCheckpoint()
-        val bandCols = (0 to 3).map(b => concat(
-          element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
-          element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
-        val bands = mh.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-        val b = bands.select(col("doc_id").as("doc_b"),
-          col("band").as("band_b"), col("bv").as("bv_b"))
-        a.join(b, col("band") === col("band_b") &&
-            col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        val cand = minhashCandidates(s, d).localCheckpoint()
+        val inCand = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 3,
+                sequence(lit(1), size(col("ws")) - 2))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), expr(
+            "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
+            .as("gram"))
+          .distinct()
+          // verify stage only ever reads grams of candidate docs
+          .join(broadcast(inCand), "doc_id")
+        val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b2"),
+            col("gram").as("gram_b")),
+            col("doc_b") === col("doc_b2") && col("gram") === col("gram_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_n"))
+        inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+          .withColumn("jaccard",
+            col("i_n").cast("double") / (col("n_a") + col("n_b") - col("i_n")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
       },
-      Some {
-        val mhs = (0 until 16)
-          .map(j => s"min(substr(h, ${6 * j + 1}, 6)) AS mh$j")
-          .mkString(", ")
-        val bands = (0 to 3).map(b =>
-          s"SELECT doc_id, $b AS band, mh${4 * b}||mh${4 * b + 1}||mh${4 * b + 2}||mh${4 * b + 3} AS bv FROM mh")
-          .mkString(" UNION ALL ")
-        s"""WITH t AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
-          |sh AS (SELECT doc_id, sha256(substr(t, i, 5)) || md5(substr(t, i, 5)) AS h
-          |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1), 2)) AS i FROM t)),
-          |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
-          |bands AS ($bands)
-          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM bands a JOIN bands b
-          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin
-      }),
+      Some(s"""$MinhashCandSql,
+        |cd AS (SELECT doc_a AS doc_id FROM cand
+        |  UNION SELECT doc_b FROM cand),
+        |g AS (SELECT doc_id, gram FROM (
+        |    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |    FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+        |  WHERE doc_id IN (SELECT doc_id FROM cd)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i_n
+        |  FROM cand c
+        |  JOIN g a ON a.doc_id = c.doc_a
+        |  JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5""".stripMargin)),
 
     // SimHash near-dup PAIRS at scale: 32-bit signatures, banded into
     // 4 × 8-bit keys — by pigeonhole any pair within hamming distance 3
