@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_cosine_topk" -> Seq("query_id", "rank"),
     "ann_cosine_native" -> Seq("query_id", "rank"),
     "ann_lsh_buckets" -> Seq("vec_id"),
+    "ann_ivf_topk" -> Seq("query_id", "rank"),
     "text_token_stats" -> Seq("doc_id"),
     "text_quality" -> Seq("doc_id"),
     "text_lang_id" -> Seq("doc_id"),

@@ -201,6 +201,80 @@ object SimilarityQueries {
         |FROM p2
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
 
+    // IVF (inverted-file) ANN — the other classic scale path next to LSH:
+    // a coarse codebook quantizes the corpus into lists (here: the 16
+    // lowest-id vectors as deterministic centroids — production would
+    // k-means; the IVF *structure* is what's exercised), each vector is
+    // assigned to its nearest centroid, and a query probes only its
+    // nprobe=4 closest lists, exact-ranking within them. Search cost is
+    // O(centroids + corpus·nprobe/lists) instead of O(corpus); every join
+    // is a broadcast of a tiny side (centroids, probe map, query vectors) —
+    // the corpus-sized assignment scan is touched exactly once.
+    QueryDef("ann_ivf_topk",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cent = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val simv = v.crossJoin(broadcast(cent))
+          .withColumn("sim", expr("quant_cosine_sim(embedding, ce)"))
+        val wNearest = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cent_id"))
+        val assign = simv.withColumn("rn", row_number().over(wNearest))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("list_id"))
+        val probe = simv.filter(col("vec_id") < 5)
+          .withColumn("rn", row_number().over(wNearest))
+          .filter(col("rn") <= 4)
+          .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"))
+        val candp = broadcast(probe).join(assign, "list_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val qe = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        val ne = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"))
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        candp.join(broadcast(qe), "query_id")
+          .join(ne, "neighbor_id")
+          .withColumn("cosine", expr("quant_cosine_sim(qemb, nemb)"))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            row_number().over(wRank).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      Some("""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |cent AS (SELECT vec_id AS cent_id, qe AS ce, n2 AS cn2 FROM n WHERE vec_id < 16),
+        |simv AS (SELECT a.vec_id, c.cent_id,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * c.ce[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS sim
+        |  FROM n a, cent c),
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM simv) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cent_id AS list_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM simv WHERE vec_id < 5) WHERE rn <= 4),
+        |candp AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.query_id),
+        |pair AS (SELECT query_id, neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM candp JOIN n q ON query_id = q.vec_id JOIN n b ON neighbor_id = b.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
+        |  FROM pair)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 10""".stripMargin)),
+
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
     // bucket are each other's ANN candidates.
