@@ -108,6 +108,69 @@ object DedupQueries {
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** The composed near-dup path: MinHash band candidates, then the exact
+    * word-3-gram Jaccard verify computed ONLY for candidate pairs — the
+    * gram join is keyed by (candidate doc, gram), so it is linear in
+    * candidates and immune to hot grams. Returns verified (doc_a, doc_b,
+    * jaccard) with J ≥ 0.5, doc_a < doc_b.
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cand = minhashCandidates(s, d).localCheckpoint()
+    val inCand = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val g = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 3,
+            sequence(lit(1), size(col("ws")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), expr(
+        "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
+        .as("gram"))
+      .distinct()
+      // verify stage only ever reads grams of candidate docs
+      .join(broadcast(inCand), "doc_id")
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b2"),
+        col("gram").as("gram_b")),
+        col("doc_b") === col("doc_b2") && col("gram") === col("gram_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("i_n").cast("double") / (col("n_a") + col("n_b") - col("i_n")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB rendering of [[nearDupPairs]]: [[MinhashCandSql]] extended to a
+    * CTE prefix ending in `ndup(doc_a, doc_b, jaccard)`.
+    */
+  private val NearDupSql: String =
+    s"""$MinhashCandSql,
+      |cd AS (SELECT doc_a AS doc_id FROM cand
+      |  UNION SELECT doc_b FROM cand),
+      |g AS (SELECT doc_id, gram FROM (
+      |    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |    FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+      |  WHERE doc_id IN (SELECT doc_id FROM cd)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i_n
+      |  FROM cand c
+      |  JOIN g a ON a.doc_id = c.doc_a
+      |  JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+      |  GROUP BY 1, 2),
+      |ndup AS (SELECT doc_a, doc_b,
+      |    CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
+      |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: survivors + multiplicity per content digest.
@@ -139,56 +202,34 @@ object DedupQueries {
     // you actually run over a corpus: dedup_minhash_lsh and
     // dedup_ngram_jaccard prove the stages, this proves the composition.
     QueryDef("dedup_near_dup_pipeline",
+      (s, d) => nearDupPairs(s, d),
+      Some(s"""$NearDupSql
+        |SELECT doc_a, doc_b, jaccard FROM ndup""".stripMargin)),
+
+    // The full training-data CURATION flow in one plan: quality gate
+    // (≥10 words) → exact dedup (keep the lowest doc_id per content hash)
+    // → near-dup removal (drop the higher id of every verified J≥0.5
+    // pair). What a 100 TB corpus build actually materializes: each stage
+    // is the scale-safe form proven above; the composition is one more
+    // oracle row.
+    QueryDef("corpus_curation",
       (s, d) => {
-        val cand = minhashCandidates(s, d).localCheckpoint()
-        val inCand = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val g = table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"),
-            explode(when(size(col("ws")) >= 3,
-                sequence(lit(1), size(col("ws")) - 2))
-              .otherwise(array().cast("array<int>"))).as("i"),
-            col("ws"))
-          .select(col("doc_id"), expr(
-            "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
-            .as("gram"))
-          .distinct()
-          // verify stage only ever reads grams of candidate docs
-          .join(broadcast(inCand), "doc_id")
-        val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-          .join(g.select(col("doc_id").as("doc_b2"),
-            col("gram").as("gram_b")),
-            col("doc_b") === col("doc_b2") && col("gram") === col("gram_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_n"))
-        inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-          .withColumn("jaccard",
-            col("i_n").cast("double") / (col("n_a") + col("n_b") - col("i_n")))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
+        val dupB = nearDupPairs(s, d)
+          .select(col("doc_b").as("doc_id")).distinct()
+        table(s, d, "documents")
+          .filter(size(split(col("text"), " ")) >= 10)
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .join(dupB, Seq("doc_id"), "left_anti")
+          .select("doc_id")
       },
-      Some(s"""$MinhashCandSql,
-        |cd AS (SELECT doc_a AS doc_id FROM cand
-        |  UNION SELECT doc_b FROM cand),
-        |g AS (SELECT doc_id, gram FROM (
-        |    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-        |    FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
-        |  WHERE doc_id IN (SELECT doc_id FROM cd)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i_n
-        |  FROM cand c
-        |  JOIN g a ON a.doc_id = c.doc_a
-        |  JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
-        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5""".stripMargin)),
+      Some(s"""$NearDupSql,
+        |dupb AS (SELECT DISTINCT doc_b AS doc_id FROM ndup),
+        |q AS (SELECT doc_id, sha256(text) AS h FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY h)
+        |SELECT doc_id FROM k
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dupb)""".stripMargin)),
 
     // SimHash near-dup PAIRS at scale: 32-bit signatures, banded into
     // 4 × 8-bit keys — by pigeonhole any pair within hamming distance 3
