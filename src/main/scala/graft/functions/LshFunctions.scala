@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * precomputed static weight table and no shuffle at all.
   */
 case class LshBits(child: Expression, nPlanes: Int) extends UnaryExpression {
-  require(nPlanes > 0 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
+  require(nPlanes > 0 && nPlanes <= LshBits.MaxPlanes,
+    s"nPlanes must be in [1,${LshBits.MaxPlanes}], got $nPlanes " +
+      "(the static weight table is sized for MaxPlanes)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -50,7 +52,7 @@ case class LshBits(child: Expression, nPlanes: Int) extends UnaryExpression {
 }
 
 object LshBits {
-  private val MaxPlanes = 16
+  val MaxPlanes = 16
   private val CachedDims = 64
 
   /** weights(p)(d) = ±1 for plane p, 0-based dim d (sha input is 1-based).

@@ -133,7 +133,10 @@ object WinnowFingerprints {
   * sha256‖md5 hex digest per shingle, signature piece j = the MINIMUM of
   * `substr(hex, 6j+1, 6)` over all shingles (string order on lowercase hex
   * == unsigned numeric order on the 24-bit nibble group, which is how the
-  * minima are tracked — as ints, formatted at the end).
+  * minima are tracked — as ints, formatted at the end). Like
+  * [[WinnowFingerprints]], character indexing matches SQL `substr` (code
+  * points) for BMP text only — supplementary characters (surrogate pairs)
+  * would shift shingle positions relative to the oracle.
   *
   * Why native: the same computation as explode-shingles → groupBy(doc) with
   * 16 min() aggregates materializes ~100 rows per document and shuffles

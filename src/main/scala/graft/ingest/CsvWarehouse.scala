@@ -67,30 +67,35 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
     var tables = 0L
     var rows = 0L
     byHeader.foreach { case (sig, uploads) =>
-      val paths = uploads.map(_._2)
-      val idByPath = uploads.map { case (id, p) =>
-        (normalize(p), id)
-      }.toSeq.toDF("jpath", "_upload_id")
-      val data = spark.read
-        .option("header", "true").option("inferSchema", inferTypes.toString)
-        .option("ignoreMissingFiles", "true")
-        .csv(paths: _*)
-        .withColumn("jpath", regexp_replace(input_file_name(), "^file:/+", "file:/"))
-        .join(broadcast(idByPath), Seq("jpath"))
-        .drop("jpath")
-      // a headerless-but-valid upload (e.g. a single "\n", which passes
-      // the reference's validation — SURVEY §2.7.2) has no data columns;
-      // there is nothing to warehouse and partitionBy would reject a
-      // table whose only column is the partition key
-      if (data.columns.length > 1) {
-        val target = new Path(warehouseDir, s"t_$sig").toString
-        data.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_upload_id")
-          .parquet(target)
-        tables += 1
-        rows += spark.read.parquet(target).count()
+      // re-probe right before the read: an explicit path list throws
+      // PATH_NOT_FOUND at RESOLUTION time for an already-deleted file —
+      // ignoreMissingFiles only covers files vanishing during execution
+      val paths = uploads.map(_._2).filter(fileExists)
+      if (paths.nonEmpty) {
+        val idByPath = uploads.map { case (id, p) =>
+          (normalize(p), id)
+        }.toSeq.toDF("jpath", "_upload_id")
+        val data = spark.read
+          .option("header", "true").option("inferSchema", inferTypes.toString)
+          .option("ignoreMissingFiles", "true")
+          .csv(paths: _*)
+          .withColumn("jpath", regexp_replace(input_file_name(), "^file:/+", "file:/"))
+          .join(broadcast(idByPath), Seq("jpath"))
+          .drop("jpath")
+        // a headerless-but-valid upload (e.g. a single "\n", which passes
+        // the reference's validation — SURVEY §2.7.2) has no data columns;
+        // there is nothing to warehouse and partitionBy would reject a
+        // table whose only column is the partition key
+        if (data.columns.length > 1) {
+          val target = new Path(warehouseDir, s"t_$sig").toString
+          data.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_upload_id")
+            .parquet(target)
+          tables += 1
+          rows += spark.read.parquet(target).count()
+        }
       }
     }
     (tables, rows)
@@ -135,6 +140,13 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
         .digest(out.toByteArray)
         .take(4).map("%02x".format(_)).mkString
     } finally in.close()
+  }
+
+  /** Driver-side existence probe (bounded by per-group upload count). */
+  private def fileExists(p: String): Boolean = {
+    val path = new Path(if (p.startsWith("file:")) p else s"file:$p")
+    try path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    catch { case _: java.io.IOException => false }
   }
 
   private def normalize(p: String): String = {

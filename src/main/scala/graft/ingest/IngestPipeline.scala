@@ -134,9 +134,11 @@ class IngestPipeline(
                 .load(paths: _*)
                 .select(col("path").as("cpath"),
                   decode(col("content"), "UTF-8").as("content"))
-              csvFiles.join(contents, col("path") === col("cpath"), "left")
+              // inner: a listed file whose content could not be fetched
+              // (deleted in the window ignoreMissingFiles covers) simply
+              // drops out — same effect as a left join + not-null filter
+              csvFiles.join(contents, col("path") === col("cpath"), "inner")
                 .drop("cpath")
-                .filter(col("content").isNotNull)
             }
           }
         withContent.withColumn("upload_id",

@@ -26,12 +26,14 @@ import java.util.UUID
   *
   * Writer safety is COMPARE-AND-SWAP, not convention: the live version is
   * named by the highest-numbered `_ptr-<seq>` file, and a merge that read
-  * seq S may only publish seq S+1 — via rename-WITHOUT-overwrite, which is
-  * atomic-exclusive on HDFS (and effectively so on the local FS). Two
-  * concurrent merges both read S; the first to publish S+1 wins, the other
-  * gets [[ConcurrentLedgerWriteException]] and its orphan snapshot is
-  * removed — a lost update becomes a loud retry instead of a silent
-  * clobber. (The reference got this serialization for free from Firestore,
+  * seq S may only publish seq S+1 — via rename-WITHOUT-overwrite
+  * (atomic-exclusive on HDFS; check-then-rename on the local FS), followed
+  * by a post-publish verification that the pointer still carries this
+  * writer's version AND is still the maximum sequence. Two concurrent
+  * merges both read S; the first to publish S+1 wins, the other gets
+  * [[ConcurrentLedgerWriteException]] and its orphan snapshot is removed —
+  * a lost update becomes a loud retry instead of a silent clobber. (The
+  * reference got this serialization for free from Firestore,
   * main.py:53-68.)
   *
   * Scale notes (100 TB design): the ledger is bounded by *upload count*,
@@ -58,18 +60,38 @@ class LedgerStore(spark: SparkSession, dir: String) {
     } finally in.close()
   }
 
-  /** Highest committed (seq, snapshot version dir name), if any. */
+  /** Highest committed (seq, snapshot version dir name), if any. Only the
+    * MAX-seq pointer is opened (older ones may be swept concurrently —
+    * opening them both raced with the sweep and cost one file-open per
+    * historical pointer); if the sweep deletes the max between listing and
+    * open, the listing is retried.
+    */
   private[ledger] def currentPointer(): Option[(Long, String)] = {
-    if (!fs.exists(rootPath)) return None
-    fs.listStatus(rootPath).toSeq
-      .map(_.getPath)
-      .filter(_.getName.startsWith("_ptr-"))
-      .flatMap { p =>
-        p.getName.stripPrefix("_ptr-").toLongOption
-          .flatMap(seq => readPtrFile(p).map(seq -> _))
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      if (!fs.exists(rootPath)) return None
+      val top = fs.listStatus(rootPath).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("_ptr-"))
+        .flatMap(p => p.getName.stripPrefix("_ptr-").toLongOption.map(_ -> p))
+        .sortBy(-_._1)
+        .headOption
+      top match {
+        case None =>
+          // migration: a pre-CAS ledger has a single `_current` pointer —
+          // read it as sequence 0 rather than silently starting empty
+          val legacy = new Path(rootPath, "_current")
+          return (try {
+            if (fs.exists(legacy)) readPtrFile(legacy).map(0L -> _) else None
+          } catch { case _: java.io.FileNotFoundException => None })
+        case Some((seq, p)) =>
+          try return readPtrFile(p).map(seq -> _)
+          catch { case _: java.io.FileNotFoundException => () /* retry */ }
       }
-      .sortBy(-_._1)
-      .headOption
+    }
+    throw new java.io.IOException(
+      s"ledger pointer listing unstable after $attempts attempts under $rootPath")
   }
 
   private def currentVersion(): Option[String] = currentPointer().map(_._2)
@@ -138,8 +160,8 @@ class LedgerStore(spark: SparkSession, dir: String) {
     val rows = merged
       .persist()
       .count() // materialize BEFORE touching the old snapshot
-    commitSnapshot(merged, rows, pinned)
-    merged.unpersist()
+    try commitSnapshot(merged, rows, pinned)
+    finally merged.unpersist() // also on a lost CAS race (the retry path)
   }
 
   private val UploadStatusValues = graft.model.UploadStatus.All.toSeq
@@ -188,16 +210,59 @@ class LedgerStore(spark: SparkSession, dir: String) {
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptrPath(nextSeq)))
     } catch {
       case e: java.io.IOException =>
-        // distinguish a lost CAS (the pointer now exists — someone else
-        // published this seq) from a genuine IO failure
-        val lostRace = try fs.exists(ptrPath(nextSeq)) catch { case _: Throwable => false }
-        fs.delete(tmp, false)
-        if (!lostRace) throw e
-        fs.delete(target, true)
-        throw new ConcurrentLedgerWriteException(
-          s"ledger CAS failed: another writer published seq $nextSeq under " +
-            s"$rootPath while this merge was computing against seq " +
-            s"${expected.map(_._1).getOrElse(0L)}; retry against the new state", e)
+        // The local ChecksumFileSystem renames the data file BEFORE its
+        // .crc sidecar — a stale sidecar (crash debris) can make the crc
+        // rename throw after the pointer itself already landed. If the
+        // pointer now exists WITH OUR content, the publish succeeded;
+        // otherwise distinguish a lost CAS (someone else's content / this
+        // seq taken) from a genuine IO failure.
+        val ourPublishLanded =
+          try readPtrFile(ptrPath(nextSeq)).contains(version)
+          catch { case _: Throwable => false }
+        if (!ourPublishLanded) {
+          val lostRace = try fs.exists(ptrPath(nextSeq)) catch { case _: Throwable => false }
+          fs.delete(tmp, false)
+          if (!lostRace) throw e
+          fs.delete(target, true)
+          throw new ConcurrentLedgerWriteException(
+            s"ledger CAS failed: another writer published seq $nextSeq under " +
+              s"$rootPath while this merge was computing against seq " +
+              s"${expected.map(_._1).getOrElse(0L)}; retry against the new state", e)
+        }
+        fs.delete(tmp, false) // leftover data/crc of the tmp name
+    }
+    // Post-publish verification, closing two non-HDFS holes: (a) the local
+    // FS implements no-overwrite rename as check-then-rename, so a same-seq
+    // racer can silently replace this pointer — detected here by re-reading
+    // it; (b) the retention sweep may have REOPENED this sequence slot
+    // (deleted its old pointer) while this merge was stalled for longer
+    // than the grace window, in which case a HIGHER seq is already live and
+    // this publish, though it "succeeded", is stale — detected by checking
+    // nothing newer exists. Either way: loud retry, never a silent clobber.
+    val (ownIsOurs, isMax) =
+      try {
+        val own = try readPtrFile(ptrPath(nextSeq)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        (own.contains(version), currentPointer().exists(_._1 == nextSeq))
+      } catch { case _: java.io.IOException => (true, true) /* can't tell; keep */ }
+    if (!ownIsOurs) {
+      // a same-seq racer replaced our pointer: their state is live, our
+      // snapshot is an unreferenced orphan
+      fs.delete(target, true)
+      throw new ConcurrentLedgerWriteException(
+        s"ledger CAS failed post-publish: seq $nextSeq under $rootPath was " +
+          s"replaced by a concurrent writer; retry against the new state", null)
+    }
+    if (!isMax) {
+      // our publish landed in a REOPENED slot (we stalled past the sweep's
+      // grace window and newer seqs exist): ours, but stale — withdraw it
+      fs.delete(ptrPath(nextSeq), false)
+      fs.delete(target, true)
+      throw new ConcurrentLedgerWriteException(
+        s"ledger CAS failed post-publish: seq $nextSeq under $rootPath is " +
+          s"older than the live sequence; this merge was computed against a " +
+          s"superseded base — retry against the new state", null)
     }
     // Retain current + previous + two older generations: a lazy DataFrame
     // from an earlier read() (e.g. a StatusQueries result acted on after a

@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import Q._
 
+  /** Eagerly materialize `df` (localCheckpoint), then delete the fixture
+    * directories it was derived from — a Verify+Bench sweep would otherwise
+    * leak hundreds of files into the temp dir per round. The returned
+    * DataFrame is checkpoint-backed, so later materialization (the
+    * contract's ORDER BY, the driver's parquet dump) no longer needs the
+    * fixture on disk.
+    */
+  private def cleanupAfter(dirs: String*)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = df.localCheckpoint()
+    dirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(d)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    out
+  }
+
   /** Materialize a deterministic CSV inbox from `documents` (doc_id < 100):
     * `f<id>.csv` holds a typed 2-column row `k,v` = (doc_id, text length);
     * every 7th file is the 1-line invalid shape (fails the <2-split-element
@@ -59,10 +82,12 @@ object PipelineQueries {
         val si = new StreamingIngest(s, pipe)
         si.runAvailableNow(inbox, s"$tmp/ckpt1")
         si.runAvailableNow(inbox, s"$tmp/ckpt2") // full redelivery
-        store.read().select(
-          col("file_name"), col("status"),
-          col("lines_processed").cast("long").as("lines_processed"),
-          col("attempts").cast("long").as("attempts"))
+        cleanupAfter(inbox, tmp) {
+          store.read().select(
+            col("file_name"), col("status"),
+            col("lines_processed").cast("long").as("lines_processed"),
+            col("attempts").cast("long").as("attempts"))
+        }
       },
       Some("""SELECT 'f' || CAST(doc_id AS VARCHAR) || '.csv' AS file_name,
         |  CASE WHEN doc_id % 7 = 0 THEN 'failed' ELSE 'done' END AS status,
@@ -83,10 +108,12 @@ object PipelineQueries {
         val wh = new CsvWarehouse(s, s"$tmp/warehouse", inferTypes = true)
         wh.loadDone(store)
         // all done uploads share the k,v header → exactly one table
-        wh.table(wh.tables().head)
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            sum(col("k")).cast("long").as("sum_k"),
-            sum(col("v")).cast("long").as("sum_v"))
+        cleanupAfter(inbox, tmp) {
+          wh.table(wh.tables().head)
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              sum(col("k")).cast("long").as("sum_k"),
+              sum(col("v")).cast("long").as("sum_v"))
+        }
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_k,
