@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_salted_agg" -> Seq("user_id"),
     "st_user_state" -> Seq("user_id"),
+    "q_range_join" -> Seq("event_id"),
+    "q_percentiles" -> Seq("event_type"),
     "q_heavy_hitters" -> Seq("value"),
     "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "dedup_embedding_cosine" -> Seq("vec_a", "vec_b"),

@@ -46,6 +46,65 @@ object ScaleOpQueries {
         |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Range (interval) join, bucketized: Spark plans a raw
+    // `s.ts BETWEEN e.ts AND e.ts + W` join as a nested loop — quadratic
+    // at corpus scale. The scale shape: quantize time into buckets of the
+    // window width, explode each interval to the (≤2) buckets it touches,
+    // equi-join on the bucket, then apply the exact BETWEEN as a residual
+    // filter. The shuffle is keyed by time bucket — linear, skew-bounded by
+    // events-per-window. Here: for every error event, how many signups
+    // land in the 30 minutes after it (incident-window attribution).
+    QueryDef("q_range_join",
+      (s, d) => {
+        val w = 1800000000L // 30 min in micros = bucket width
+        val ev = table(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), tsMicros.as("e_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(tsMicros.as("s_us"))
+        // integer DIV, not double `/`: micros exceed the range where
+        // floor(double-division) is reliably the integer quotient
+        val eB = errors.select(col("event_id"), col("e_us"),
+          explode(array_distinct(array(
+            expr(s"e_us DIV $w"), expr(s"(e_us + $w) DIV $w")))).as("bucket"))
+        val sB = signups.select(col("s_us"), expr(s"s_us DIV $w").as("bucket"))
+        val matched = eB.join(sB, Seq("bucket"))
+          .filter(col("s_us") >= col("e_us") && col("s_us") <= col("e_us") + w)
+          .groupBy("event_id").agg(count(lit(1)).as("n_in_window"))
+        errors.select("event_id")
+          .join(matched, Seq("event_id"), "left")
+          .na.fill(0L, Seq("n_in_window"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+        |  FROM events WHERE event_type = 'error'),
+        |s AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id,
+        |  CAST(count(s.s_us) AS BIGINT) AS n_in_window
+        |FROM e LEFT JOIN s
+        |  ON s.s_us >= e.e_us AND s.s_us <= e.e_us + 1800000000
+        |GROUP BY e.event_id""".stripMargin)),
+
+    // Exact per-group percentiles: Spark's `percentile` buffers a
+    // value→count map (bounded by DISTINCT values — here integer cents —
+    // not row count) and merges distributively; DuckDB's quantile_cont is
+    // the same linear-interpolated definition. Inputs are exact longs so
+    // the interpolation arithmetic is reproducible across engines. (At
+    // 100 TB with an unbounded value domain you'd switch to
+    // percentile_approx/t-digest; this is the exact form.)
+    QueryDef("q_percentiles",
+      (s, d) => table(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5D)").as("p50_c"),
+          expr("percentile(CAST(round(value * 100) AS BIGINT), 0.95D)").as("p95_c"),
+          max(cents(col("value"))).as("max_c")),
+      Some("""SELECT event_type,
+        |  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_c,
+        |  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95_c,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // Space-Saving heavy hitters: bounded-memory typed Aggregator, merged
     // across partitions. With capacity >= distinct-key count no counter is
     // ever evicted, so the sketch is EXACT (est = true count, error 0) and
