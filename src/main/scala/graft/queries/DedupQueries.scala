@@ -231,6 +231,29 @@ object DedupQueries {
         |SELECT doc_id FROM k
         |WHERE doc_id NOT IN (SELECT doc_id FROM dupb)""".stripMargin)),
 
+    // Fuzzy matching on candidates: character edit distance as the verify
+    // metric (both engines implement classic Levenshtein identically on
+    // integers). Same composition discipline as the Jaccard verify: the
+    // O(len²) DP runs ONLY for MinHash candidate pairs, never all-pairs —
+    // at corpus scale edit distance is strictly a post-candidate metric.
+    QueryDef("text_edit_distance",
+      (s, d) => {
+        val cand = minhashCandidates(s, d)
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 100).as("t100"))
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("t100").as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("t100").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      },
+      Some(s"""$MinhashCandSql
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(substr(da.text, 1, 100), substr(db.text, 1, 100)) AS BIGINT) AS edit_dist
+        |FROM cand
+        |JOIN documents da ON doc_a = da.doc_id
+        |JOIN documents db ON doc_b = db.doc_id""".stripMargin)),
+
     // SimHash near-dup PAIRS at scale: 32-bit signatures, banded into
     // 4 × 8-bit keys — by pigeonhole any pair within hamming distance 3
     // shares at least one band, so candidate generation is a band-key
