@@ -13,35 +13,53 @@ import java.util.UUID
   * `set(..., merge=True)` and partial `update()` calls (reference:
   * csv-processor-function/main.py:61-68,110-113,133-137,148-152). No
   * MERGE-capable table format ships in this environment, so the classic
-  * pointer-file pattern is used instead (SURVEY.md §7.3):
+  * pointer-file + base/delta pattern is used instead (SURVEY.md §7.3):
   *
-  *   dir/_current            ← tiny text file naming the live version dir
-  *   dir/v-<uuid>/ (parquet) ← immutable snapshot versions
+  *   dir/_ptr-<seq>          ← tiny text files; the MAX seq names the live
+  *                             head. Content `v-x` = base snapshot,
+  *                             `delta:d-x` / `deltar:d-x` = delta (the `r`
+  *                             variant has Firestore update() must-exist
+  *                             semantics)
+  *   dir/v-<uuid>/ (parquet) ← immutable full snapshots
+  *   dir/d-<uuid>/ (parquet) ← immutable delta generations (just the
+  *                             updates of one merge)
   *
-  * A merge reads the live snapshot, full-outer-joins the updates on
-  * `upload_id`, per-column `coalesce(new, old)` (exactly Firestore
-  * merge=True field semantics), writes a NEW snapshot dir, then atomically
-  * publishes it. Readers never observe a partial write. Crash before the
-  * publish leaves the old version live.
+  * A merge writes its aligned updates as a NEW delta dir — O(updates),
+  * never O(ledger) — and CAS-publishes it as the next sequence. `read()`
+  * merges on read: per key, per column, the latest non-null value in
+  * sequence order (exactly Firestore `merge=True` field accretion), with
+  * rows from must-exist deltas dropped unless their key was created by an
+  * earlier generation (Firestore `update()` on a missing doc throws and
+  * leaves no trace — SURVEY.md §2.7.5). Every `compactEvery` deltas the
+  * chain is compacted into a fresh base snapshot, so reads stay
+  * O(base + bounded deltas). Readers never observe a partial write; a
+  * crash before publish leaves the old head live.
   *
-  * Writer safety is COMPARE-AND-SWAP, not convention: the live version is
-  * named by the highest-numbered `_ptr-<seq>` file, and a merge that read
-  * seq S may only publish seq S+1 — via rename-WITHOUT-overwrite
-  * (atomic-exclusive on HDFS; check-then-rename on the local FS), followed
-  * by a post-publish verification that the pointer still carries this
-  * writer's version AND is still the maximum sequence. Two concurrent
-  * merges both read S; the first to publish S+1 wins, the other gets
-  * [[ConcurrentLedgerWriteException]] and its orphan snapshot is removed —
-  * a lost update becomes a loud retry instead of a silent clobber. (The
-  * reference got this serialization for free from Firestore,
-  * main.py:53-68.)
+  * Writer safety is COMPARE-AND-SWAP, not convention: a writer that read
+  * head seq S may only publish seq S+1 — via rename-WITHOUT-overwrite
+  * (atomic-exclusive on HDFS), followed by a post-publish verification
+  * that the pointer still carries this writer's content AND is still the
+  * maximum sequence. Within one JVM, publishes to the same ledger path are
+  * additionally serialized by a process-level lock: the local filesystem
+  * implements no-overwrite rename as check-then-rename, so without the
+  * lock two same-JVM writers could both "win" the same sequence — the lock
+  * gives the test/local filesystem real CAS semantics. ACROSS processes on
+  * a non-atomic filesystem a same-seq race remains detectable-only (the
+  * post-publish re-read narrows but cannot close it); the exclusive-rename
+  * guarantee is HDFS-class filesystems'. A lost race throws
+  * [[ConcurrentLedgerWriteException]]; since a delta is self-contained
+  * (not computed from any base), `merge` retries it cheaply by
+  * re-publishing the same delta dir at the new head — the documented
+  * retry contract is implemented here, not delegated to callers.
   *
   * Scale notes (100 TB design): the ledger is bounded by *upload count*,
-  * not data volume — millions of rows at most, a few hundred MB of parquet.
-  * The merge is one shuffle on a small table; callers broadcast the `done`
-  * key set against the (huge) event stream, never the reverse.
+  * not data volume. Writes are O(updates) per merge (the reference's
+  * Firestore writes were per-document too); reads are one bounded
+  * merge-on-read aggregation keyed on `upload_id` — and callers broadcast
+  * the `done` key set against the (huge) event stream, never the reverse.
   */
-class LedgerStore(spark: SparkSession, dir: String) {
+class LedgerStore(spark: SparkSession, dir: String,
+    compactEvery: Int = 8) {
   import Ledger.{key, schema, valueColumns}
 
   private val rootPath = new Path(dir)
@@ -60,46 +78,119 @@ class LedgerStore(spark: SparkSession, dir: String) {
     } finally in.close()
   }
 
-  /** Highest committed (seq, snapshot version dir name), if any. Only the
-    * MAX-seq pointer is opened (older ones may be swept concurrently —
-    * opening them both raced with the sweep and cost one file-open per
-    * historical pointer); if the sweep deletes the max between listing and
-    * open, the listing is retried.
+  /** One link of the live chain: a base snapshot or a delta generation. */
+  private[ledger] case class ChainLink(seq: Long, dirName: String,
+      isDelta: Boolean, requireExisting: Boolean)
+
+  private def parsePtr(seq: Long, content: String): ChainLink =
+    if (content.startsWith("deltar:"))
+      ChainLink(seq, content.stripPrefix("deltar:"), isDelta = true,
+        requireExisting = true)
+    else if (content.startsWith("delta:"))
+      ChainLink(seq, content.stripPrefix("delta:"), isDelta = true,
+        requireExisting = false)
+    else ChainLink(seq, content, isDelta = false, requireExisting = false)
+
+  /** The live chain, ascending: the newest base snapshot at or below the
+    * head, then every delta above it. Walks pointer files downward from
+    * the max sequence until a base is found. Pointer reads race the
+    * retention sweep (which only ever deletes BELOW the live base), so a
+    * vanished file retries the listing.
     */
-  private[ledger] def currentPointer(): Option[(Long, String)] = {
+  private[ledger] def liveChain(): Seq[ChainLink] = {
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
-      if (!fs.exists(rootPath)) return None
-      val top = fs.listStatus(rootPath).toSeq
+      if (!fs.exists(rootPath)) return Seq.empty
+      val ptrs = fs.listStatus(rootPath).toSeq
         .map(_.getPath)
         .filter(_.getName.startsWith("_ptr-"))
         .flatMap(p => p.getName.stripPrefix("_ptr-").toLongOption.map(_ -> p))
         .sortBy(-_._1)
-        .headOption
-      top match {
-        case None =>
-          // migration: a pre-CAS ledger has a single `_current` pointer —
-          // read it as sequence 0 rather than silently starting empty
-          val legacy = new Path(rootPath, "_current")
-          return (try {
-            if (fs.exists(legacy)) readPtrFile(legacy).map(0L -> _) else None
-          } catch { case _: java.io.FileNotFoundException => None })
-        case Some((seq, p)) =>
-          try return readPtrFile(p).map(seq -> _)
-          catch { case _: java.io.FileNotFoundException => () /* retry */ }
+      if (ptrs.isEmpty) {
+        // migration: a pre-CAS ledger has a single `_current` pointer —
+        // read it as sequence 0 rather than silently starting empty
+        return legacyLink(0L).toSeq
       }
+      try {
+        val links = scala.collection.mutable.ArrayBuffer.empty[ChainLink]
+        var foundBase = false
+        val it = ptrs.iterator
+        while (!foundBase && it.hasNext) {
+          val (seq, p) = it.next()
+          readPtrFile(p) match {
+            case Some(content) =>
+              val link = parsePtr(seq, content)
+              links += link
+              foundBase = !link.isDelta
+            case None => // truncated/in-flight pointer: retry the listing
+              throw new java.io.FileNotFoundException(p.toString)
+          }
+        }
+        // all-delta chain (first merges on an empty ledger) — unless a
+        // legacy `_current` base from the pre-delta layout sits below it
+        if (!foundBase)
+          legacyLink(links.last.seq - 1).foreach(links += _)
+        return links.reverse.toSeq
+      } catch { case _: java.io.FileNotFoundException => () /* retry */ }
     }
     throw new java.io.IOException(
-      s"ledger pointer listing unstable after $attempts attempts under $rootPath")
+      s"ledger pointer listing unstable after 5 attempts under $rootPath")
   }
 
-  private def currentVersion(): Option[String] = currentPointer().map(_._2)
+  private def legacyLink(seq: Long): Option[ChainLink] = {
+    val legacy = new Path(rootPath, "_current")
+    try {
+      if (fs.exists(legacy)) readPtrFile(legacy).map(parsePtr(seq, _))
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
 
-  /** Live ledger snapshot; empty (schema'd) DataFrame if none exists yet. */
-  def read(): DataFrame = currentVersion() match {
-    case Some(v) => spark.read.schema(schema).parquet(new Path(rootPath, v).toString)
-    case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  /** Highest committed (seq, dir name), if any — the CAS pin. */
+  private[ledger] def currentPointer(): Option[(Long, String)] =
+    liveChain().lastOption.map(l => (l.seq, l.dirName))
+
+  private def emptyLedger: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def snapshotDf(v: String): DataFrame =
+    spark.read.schema(schema).parquet(new Path(rootPath, v).toString)
+
+  /** Live ledger state; empty (schema'd) DataFrame if none exists yet.
+    *
+    * A single-base chain is a plain scan; a chain with deltas resolves
+    * merge-on-read: per key, per column, the latest non-null value in
+    * generation order, with must-exist delta rows dropped unless the key
+    * was created (by a base or a plain-merge delta) at or before that
+    * generation. One bounded aggregation keyed on `upload_id`.
+    */
+  def read(): DataFrame = {
+    val ch = liveChain()
+    if (ch.isEmpty) emptyLedger
+    else if (ch.size == 1 && !ch.head.isDelta) snapshotDf(ch.head.dirName)
+    else {
+      val parts = ch.map { l =>
+        spark.read.schema(schema)
+          .parquet(new Path(rootPath, l.dirName).toString)
+          .withColumn("_gen", lit(l.seq))
+          .withColumn("_req", lit(l.requireExisting))
+      }
+      val all = parts.reduce(_.unionByName(_))
+      // a key EXISTS from the first generation that created it (base or
+      // merge=True delta); rows of must-exist deltas for keys not yet
+      // created at their generation vanish (Firestore update() semantics)
+      val created = all.filter(!col("_req"))
+        .groupBy(col(key)).agg(min(col("_gen")).as("_cgen"))
+      val valid = all.join(created, Seq(key))
+        .filter(!col("_req") || col("_gen") >= col("_cgen"))
+      // per column: value of the latest generation that set it non-null
+      // (struct max: null generations sort below any real one)
+      val latest = valueColumns.map(c =>
+        max(struct(when(col(c).isNotNull, col("_gen")).as("g"),
+          col(c).as("v"))).getField("v").as(c))
+      valid.groupBy(col(key)).agg(latest.head, latest.tail: _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Typed view of the ledger (compile-time field safety for callers). */
@@ -107,6 +198,14 @@ class LedgerStore(spark: SparkSession, dir: String) {
     import spark.implicits._
     read().as[graft.model.UploadRecord]
   }
+
+  private val UploadStatusValues = graft.model.UploadStatus.All.toSeq
+
+  /** How many times a lost CAS race is retried before giving up. A delta
+    * is self-contained, so a retry is just a re-publish at the new head —
+    * no recomputation.
+    */
+  private val maxPublishRetries = 5
 
   /** MERGE: upsert `updates` into the ledger keyed on `upload_id`.
     *
@@ -119,6 +218,10 @@ class LedgerStore(spark: SparkSession, dir: String) {
     * `requireExisting=true` gives Firestore `update()` semantics (A2–A4):
     * rows whose key is absent from the ledger are dropped — the reference
     * throws for them and leaves no trace (SURVEY.md §2.7.5).
+    *
+    * Cost: O(updates) — one delta dir write plus a pointer publish; the
+    * existing ledger is neither read nor rewritten. Lost CAS races are
+    * retried here (bounded), honoring the documented retry contract.
     */
   def merge(updates: DataFrame, requireExisting: Boolean = false): Unit = {
     val aligned = {
@@ -127,51 +230,71 @@ class LedgerStore(spark: SparkSession, dir: String) {
         else lit(null).cast(f.dataType).as(f.name)
       }
       updates.select(cols.toIndexedSeq: _*)
-    }
-    // Status-domain check on the UPDATES, before the join: an invalid
-    // incoming status must be rejected loudly and can never remove or
-    // corrupt an existing ledger row. (Filtering the merged result instead
-    // silently deleted the pre-existing row — ADVICE round 1.)
-    val badStatus = aligned
-      .filter(col("status").isNotNull && !col("status").isin(UploadStatusValues: _*))
-      .select("status").limit(1).collect()
-    if (badStatus.nonEmpty)
-      throw new IllegalArgumentException(
-        s"ledger merge rejected: invalid status '${badStatus.head.getString(0)}' " +
-          s"(domain: ${UploadStatusValues.mkString("|")})")
-    // Pin the pointer ONCE: the snapshot this merge reads is the state the
-    // CAS commit below requires to still be live at publish time.
-    val pinned = currentPointer()
-    val old = pinned match {
-      case Some((_, v)) =>
-        spark.read.schema(schema).parquet(new Path(rootPath, v).toString)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    val joinType = if (requireExisting) "right_outer" else "full_outer"
-    val n = aligned.as("n")
-    val o = old.as("o")
-    val merged = n
-      .join(o, n(key) === o(key), joinType)
-      .select(
-        coalesce(n(key), o(key)).as(key) +:
-          valueColumns.map(c => coalesce(n(c), o(c)).as(c)): _*
-      )
-    val rows = merged
-      .persist()
-      .count() // materialize BEFORE touching the old snapshot
-    try commitSnapshot(merged, rows, pinned)
-    finally merged.unpersist() // also on a lost CAS race (the retry path)
+    }.persist()
+    try {
+      // One job for the row count AND the status-domain check: an invalid
+      // incoming status must be rejected loudly, before anything is
+      // written, and can never remove or corrupt an existing ledger row.
+      val stats = aligned.agg(
+        count(lit(1)).as("n"),
+        max(when(col("status").isNotNull &&
+          !col("status").isin(UploadStatusValues: _*), col("status"))).as("bad"))
+        .collect().head
+      if (!stats.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"ledger merge rejected: invalid status '${stats.getString(1)}' " +
+            s"(domain: ${UploadStatusValues.mkString("|")})")
+      val rows = stats.getLong(0)
+      val deltaName = s"d-${UUID.randomUUID().toString.take(12)}"
+      val target = new Path(rootPath, deltaName)
+      val parts = math.max(1L,
+        (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
+      aligned.coalesce(parts).write.mode("overwrite").parquet(target.toString)
+      val content = (if (requireExisting) "deltar:" else "delta:") + deltaName
+      var attempt = 0
+      var published = false
+      var lastLoss: ConcurrentLedgerWriteException = null
+      while (!published && attempt < maxPublishRetries) {
+        attempt += 1
+        try { publishPointer(content, currentPointer()); published = true }
+        catch {
+          case e: ConcurrentLedgerWriteException =>
+            lastLoss = e // self-contained delta: re-publish at the new head
+          case e: java.io.IOException =>
+            fs.delete(target, true); throw e // genuine IO failure: no orphan
+        }
+      }
+      if (!published) { fs.delete(target, true); throw lastLoss }
+      sweep()
+      maybeCompact()
+    } finally aligned.unpersist()
   }
 
-  private val UploadStatusValues = graft.model.UploadStatus.All.toSeq
-
   /** Overwrite the ledger wholesale (tests / bootstrap). Subject to the
-    * same CAS commit as merge: a concurrent writer makes this fail loudly.
+    * same CAS publish as merge: a concurrent writer makes this fail loudly.
     */
   def overwrite(rows: DataFrame): Unit = {
     val aligned = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     commitSnapshot(aligned, aligned.count(), currentPointer())
+  }
+
+  /** Compact the chain into a fresh base snapshot once it has accumulated
+    * `compactEvery` deltas: read the merged state (O(base + deltas), all
+    * bounded by upload count) and CAS-publish it as the next generation.
+    * Compaction is an optimization — losing the publish race to a
+    * concurrent merge just means the (longer) chain stands until the next
+    * attempt.
+    */
+  private def maybeCompact(): Unit = {
+    val ch = liveChain()
+    if (ch.count(_.isDelta) >= compactEvery) {
+      val merged = read().persist()
+      try {
+        val rows = merged.count() // materialize BEFORE touching pointers
+        try commitSnapshot(merged, rows, currentPointer())
+        catch { case _: ConcurrentLedgerWriteException => () }
+      } finally merged.unpersist()
+    }
   }
 
   /** Rows per snapshot file: below this, one file keeps point lookups a
@@ -181,13 +304,12 @@ class LedgerStore(spark: SparkSession, dir: String) {
     */
   private val rowsPerSnapshotFile = 1000000L
 
-  /** Write `df` as a new snapshot dir, then CAS-publish it: the pointer
-    * file for `expected.seq + 1` is created via rename-WITHOUT-overwrite
-    * (atomic-exclusive), so the publish succeeds only if no other writer
-    * committed after `expected` was read. On a lost race the orphan
-    * snapshot is deleted and [[ConcurrentLedgerWriteException]] thrown —
-    * the caller's merge was computed against a stale base and must be
-    * retried against the winner's state.
+  /** Write `df` as a new BASE snapshot dir, then CAS-publish it. On a lost
+    * race the orphan snapshot is deleted and
+    * [[ConcurrentLedgerWriteException]] thrown; on a genuine IO failure the
+    * orphan is likewise deleted before the error propagates (an unmerged
+    * ledger must not leak v-* dirs that only a later writer's sweep would
+    * reclaim).
     */
   private[ledger] def commitSnapshot(df: DataFrame, rows: Long,
       expected: Option[(Long, String)]): Unit = {
@@ -195,97 +317,123 @@ class LedgerStore(spark: SparkSession, dir: String) {
     val target = new Path(rootPath, version)
     val parts = math.max(1L, (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
     df.coalesce(parts).write.mode("overwrite").parquet(target.toString)
-    val nextSeq = expected.map(_._1 + 1).getOrElse(1L)
-    val tmp = new Path(rootPath, s"_tmp-${UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // Readers only ever see a COMPLETE pointer file (content is renamed
-    // into place, never written in place); Rename without OVERWRITE is the
-    // compare-and-swap — it fails iff another writer already published
-    // this sequence number.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    try {
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptrPath(nextSeq)))
-    } catch {
-      case e: java.io.IOException =>
-        // The local ChecksumFileSystem renames the data file BEFORE its
-        // .crc sidecar — a stale sidecar (crash debris) can make the crc
-        // rename throw after the pointer itself already landed. If the
-        // pointer now exists WITH OUR content, the publish succeeded;
-        // otherwise distinguish a lost CAS (someone else's content / this
-        // seq taken) from a genuine IO failure.
-        val ourPublishLanded =
-          try readPtrFile(ptrPath(nextSeq)).contains(version)
-          catch { case _: Throwable => false }
-        if (!ourPublishLanded) {
-          val lostRace = try fs.exists(ptrPath(nextSeq)) catch { case _: Throwable => false }
-          fs.delete(tmp, false)
-          if (!lostRace) throw e
-          fs.delete(target, true)
-          throw new ConcurrentLedgerWriteException(
-            s"ledger CAS failed: another writer published seq $nextSeq under " +
-              s"$rootPath while this merge was computing against seq " +
-              s"${expected.map(_._1).getOrElse(0L)}; retry against the new state", e)
-        }
-        fs.delete(tmp, false) // leftover data/crc of the tmp name
+    try publishPointer(version, expected)
+    catch {
+      case e: Throwable => fs.delete(target, true); throw e
     }
-    // Post-publish verification, closing two non-HDFS holes: (a) the local
-    // FS implements no-overwrite rename as check-then-rename, so a same-seq
-    // racer can silently replace this pointer — detected here by re-reading
-    // it; (b) the retention sweep may have REOPENED this sequence slot
-    // (deleted its old pointer) while this merge was stalled for longer
-    // than the grace window, in which case a HIGHER seq is already live and
-    // this publish, though it "succeeded", is stale — detected by checking
-    // nothing newer exists. Either way: loud retry, never a silent clobber.
-    val (ownIsOurs, isMax) =
+    sweep()
+  }
+
+  /** CAS-publish `content` as the pointer for `expected.seq + 1` via
+    * rename-WITHOUT-overwrite, then verify the publish survived (see class
+    * doc). Throws [[ConcurrentLedgerWriteException]] on a lost race —
+    * callers own any dir cleanup/retry. Publishes to the same ledger path
+    * are serialized within this JVM (the local FS's rename is
+    * check-then-rename, not atomic-exclusive).
+    */
+  private def publishPointer(content: String,
+      expected: Option[(Long, String)]): Unit =
+    LedgerStore.publishLock(fs.makeQualified(rootPath).toString).synchronized {
+      val nextSeq = expected.map(_._1 + 1).getOrElse(1L)
+      val tmp = new Path(rootPath, s"_tmp-${UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // Readers only ever see a COMPLETE pointer file (content is renamed
+      // into place, never written in place); rename without OVERWRITE is
+      // the compare-and-swap — it fails iff another writer already
+      // published this sequence number.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
       try {
-        val own = try readPtrFile(ptrPath(nextSeq)) catch {
-          case _: java.io.FileNotFoundException => None
-        }
-        (own.contains(version), currentPointer().exists(_._1 == nextSeq))
-      } catch { case _: java.io.IOException => (true, true) /* can't tell; keep */ }
-    if (!ownIsOurs) {
-      // a same-seq racer replaced our pointer: their state is live, our
-      // snapshot is an unreferenced orphan
-      fs.delete(target, true)
-      throw new ConcurrentLedgerWriteException(
-        s"ledger CAS failed post-publish: seq $nextSeq under $rootPath was " +
-          s"replaced by a concurrent writer; retry against the new state", null)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptrPath(nextSeq)))
+      } catch {
+        case e: java.io.IOException =>
+          // The local ChecksumFileSystem renames the data file BEFORE its
+          // .crc sidecar — a stale sidecar (crash debris) can make the crc
+          // rename throw after the pointer itself already landed. If the
+          // pointer now exists WITH OUR content, the publish succeeded;
+          // otherwise distinguish a lost CAS (someone else's content /
+          // this seq taken) from a genuine IO failure.
+          val ourPublishLanded =
+            try readPtrFile(ptrPath(nextSeq)).contains(content)
+            catch { case _: Throwable => false }
+          if (!ourPublishLanded) {
+            val lostRace = try fs.exists(ptrPath(nextSeq)) catch { case _: Throwable => false }
+            fs.delete(tmp, false)
+            if (!lostRace) throw e
+            throw new ConcurrentLedgerWriteException(
+              s"ledger CAS failed: another writer published seq $nextSeq under " +
+                s"$rootPath while this merge was computing against seq " +
+                s"${expected.map(_._1).getOrElse(0L)}; retry against the new state", e)
+          }
+          fs.delete(tmp, false) // leftover data/crc of the tmp name
+      }
+      // Post-publish verification, closing two non-HDFS holes: (a) a
+      // cross-process same-seq racer on a check-then-rename filesystem can
+      // silently replace this pointer — detected here by re-reading it
+      // (same-JVM racers are excluded by the publish lock); (b) the
+      // retention sweep may have REOPENED this sequence slot (deleted its
+      // old pointer) while this merge was stalled for longer than the
+      // grace window, in which case a HIGHER seq is already live and this
+      // publish, though it "succeeded", is stale — detected by checking
+      // nothing newer exists. Either way: loud retry, never a silent
+      // clobber. (This narrows but cannot fully close the cross-process
+      // local-FS window — see the class doc; exclusive rename is
+      // HDFS-class filesystems' guarantee.)
+      val (ownIsOurs, isMax) =
+        try {
+          val own = try readPtrFile(ptrPath(nextSeq)) catch {
+            case _: java.io.FileNotFoundException => None
+          }
+          (own.contains(content), currentPointer().exists(_._1 == nextSeq))
+        } catch { case _: java.io.IOException => (true, true) /* can't tell; keep */ }
+      if (!ownIsOurs)
+        // a same-seq racer replaced our pointer: their state is live
+        throw new ConcurrentLedgerWriteException(
+          s"ledger CAS failed post-publish: seq $nextSeq under $rootPath was " +
+            s"replaced by a concurrent writer; retry against the new state", null)
+      if (!isMax) {
+        // our publish landed in a REOPENED slot (we stalled past the
+        // sweep's grace window and newer seqs exist): ours, but stale —
+        // withdraw it
+        fs.delete(ptrPath(nextSeq), false)
+        throw new ConcurrentLedgerWriteException(
+          s"ledger CAS failed post-publish: seq $nextSeq under $rootPath is " +
+            s"older than the live sequence; this merge was computed against a " +
+            s"superseded base — retry against the new state", null)
+      }
     }
-    if (!isMax) {
-      // our publish landed in a REOPENED slot (we stalled past the sweep's
-      // grace window and newer seqs exist): ours, but stale — withdraw it
-      fs.delete(ptrPath(nextSeq), false)
-      fs.delete(target, true)
-      throw new ConcurrentLedgerWriteException(
-        s"ledger CAS failed post-publish: seq $nextSeq under $rootPath is " +
-          s"older than the live sequence; this merge was computed against a " +
-          s"superseded base — retry against the new state", null)
-    }
-    // Retain current + previous + two older generations: a lazy DataFrame
-    // from an earlier read() (e.g. a StatusQueries result acted on after a
-    // merge) can still resolve its files even across a full ingest pass,
-    // which performs THREE merges (pending + processing + terminal).
-    // Current and previous are protected unconditionally; among the rest
-    // only the two newest stay — and ONLY once old enough that no
-    // concurrent writer can still be producing them: a racing merge's
-    // in-flight snapshot dir is an unprotected `v-*` too, and deleting it
-    // mid-write was exactly the clobber the CAS exists to prevent.
-    // Pointer files follow the same policy.
-    val protect = Set(version) ++ expected.map(_._2)
+
+  /** Reclaim superseded generations. The live chain (base + its deltas) is
+    * protected unconditionally; among the rest, anything younger than the
+    * grace window stays (it may belong to a writer still publishing or a
+    * reader that just resolved it), and the two newest older-than-grace
+    * dirs stay for lazy DataFrames from earlier `read()`s. Pointer files
+    * BELOW the live base follow the same policy (pointers within the chain
+    * are load-bearing — `read()` walks them).
+    */
+  private def sweep(): Unit = {
+    val ch = liveChain()
+    val protect = ch.map(_.dirName).toSet
+    val baseSeq = ch.headOption.map(_.seq).getOrElse(0L)
     val cutoff = System.currentTimeMillis() - retentionGraceMs
     fs.listStatus(rootPath)
-      .filter(st => st.getPath.getName.startsWith("v-") &&
-        !protect.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith("v-") || n.startsWith("d-")) &&
+          !protect.contains(n) && st.getModificationTime < cutoff
+      }
       .sortBy(-_.getModificationTime)
       .drop(2)
       .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(rootPath)
-      .filter(st => st.getPath.getName.startsWith("_ptr-") &&
-        st.getModificationTime < cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("_ptr-") &&
+          n.stripPrefix("_ptr-").toLongOption.exists(_ < baseSeq) &&
+          st.getModificationTime < cutoff
+      }
       .sortBy(_.getPath.getName)
       .dropRight(4)
       .foreach(st => fs.delete(st.getPath, false))
@@ -299,10 +447,22 @@ class LedgerStore(spark: SparkSession, dir: String) {
   private val retentionGraceMs = 10L * 60 * 1000
 }
 
-/** A ledger merge lost the compare-and-swap publish race: another writer
-  * committed first and the merge was computed against a stale snapshot.
-  * The ledger state is the WINNER's; the loser's snapshot was discarded.
-  * Callers retry by re-running the merge (it re-reads the live state).
+object LedgerStore {
+  /** Per-ledger-path publish monitors: same-JVM writers to one ledger
+    * serialize their CAS publishes (the local FS's no-overwrite rename is
+    * check-then-rename, so without this two threads could both "win" a
+    * sequence). Keyed by qualified root path; bounded by live ledger count.
+    */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(path: String): Object =
+    publishLocks.computeIfAbsent(path, _ => new Object)
+}
+
+/** A ledger publish lost the compare-and-swap race: another writer
+  * committed the same sequence first. The ledger state is the WINNER's.
+  * `merge` retries its (self-contained) delta automatically; other
+  * publishers (overwrite, compaction) surface or swallow the loss.
   */
 class ConcurrentLedgerWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)

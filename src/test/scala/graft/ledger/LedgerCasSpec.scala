@@ -55,6 +55,54 @@ class LedgerCasSpec extends SparkSpec {
     assert(ids == Set("u1", "u2"))
   }
 
+  test("merges append deltas; the chain compacts into a base snapshot") {
+    val dir = tmpDir("delta-ledger")
+    val store = new LedgerStore(spark, dir, compactEvery = 3)
+    store.merge(rows("u1"))
+    store.merge(rows("u2"))
+    def topPointer(): String = {
+      val f = new java.io.File(dir)
+      val top = f.listFiles().map(_.getName)
+        .filter(_.startsWith("_ptr-")).sorted.last
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, top))
+    }
+    // below the compaction threshold the head is a delta — merges are
+    // O(updates) appends, never full rewrites
+    assert(topPointer().startsWith("delta:"))
+    store.merge(rows("u3")) // 3rd delta → compaction kicks in
+    assert(topPointer().startsWith("v-")) // head is a BASE snapshot now
+    assert(store.read().select("upload_id").as[String].collect().toSet
+      == Set("u1", "u2", "u3"))
+    // post-compaction merges start a fresh delta chain on the new base
+    store.merge(rows("u4"))
+    assert(topPointer().startsWith("delta:"))
+    assert(store.read().count() == 4)
+  }
+
+  test("merge-on-read resolves fields per column in generation order") {
+    val store = new LedgerStore(spark, tmpDir("mor-ledger"))
+    store.merge(Seq(("u1", UploadStatus.Pending, "bkt"))
+      .toDF("upload_id", "status", "bucket_name"))
+    // later generation sets status but NOT bucket_name: merge=True keeps it
+    store.merge(Seq(("u1", UploadStatus.Done)).toDF("upload_id", "status"),
+      requireExisting = true)
+    val row = store.read().collect().head
+    assert(row.getAs[String]("status") == UploadStatus.Done)
+    assert(row.getAs[String]("bucket_name") == "bkt") // preserved
+  }
+
+  test("a must-exist delta older than its key's creation leaves no trace") {
+    val store = new LedgerStore(spark, tmpDir("req-order-ledger"))
+    // gen 1: must-exist update for a key that does not exist yet
+    store.merge(Seq(("u9", UploadStatus.Done)).toDF("upload_id", "status"),
+      requireExisting = true)
+    assert(store.read().isEmpty)
+    // gen 2 creates the key: the gen-1 must-exist row must NOT resurface
+    store.merge(rows("u9"))
+    val row = store.read().collect().head
+    assert(row.getAs[String]("status") == UploadStatus.Pending)
+  }
+
   test("racing merges: at most one winner per sequence, no lost updates") {
     val store = new LedgerStore(spark, tmpDir("cas-race"))
     store.merge(rows("seed"))
