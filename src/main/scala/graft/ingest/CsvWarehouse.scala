@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * of a fixed file cannot duplicate rows — the same exactly-once-effect
   * contract as the ledger (ST4).
   *
-  * Scale: the per-upload header probe is one bounded driver-side read of
-  * the first line (same magnitude as the todo-path listing); the data load
-  * is Spark's parallel CSV scan per table group; partitioning by upload
-  * keeps re-loads and per-upload deletes (GDPR-style) partition-local.
+  * Scale: the per-upload header probe is ONE distributed first-line pass
+  * (executors read only the leading bytes of each file — the path list
+  * transiting the driver is bounded by upload count, the same magnitude
+  * as the ledger read); the data load is Spark's parallel CSV scan per
+  * table group; partitioning by upload keeps re-loads and per-upload
+  * deletes (GDPR-style) partition-local.
   *
   * `inferTypes = true` opts into per-table schema inference (the
   * reference's "transform data… connect to a data warehouse" roadmap,
@@ -48,21 +50,32 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
       .select(col("upload_id"),
         concat(col("bucket_name"), lit("/"), col("file_name")).as("path"))
       .as[(String, String)].collect() // bounded by upload count
+    // Header probe as ONE distributed pass: each task reads just the first
+    // line of its files (executors open the stream directly — at millions
+    // of done uploads a serial driver-side loop would be the bottleneck;
+    // the path list itself is bounded by upload count, the same magnitude
+    // the ledger read already materializes).
+    //
     // A source file deleted after ingest (inbox cleanup, GDPR delete) must
     // degrade to skipping THAT upload, not abort the whole warehouse load —
     // the same contract IngestPipeline keeps for its fetch path. The probe
     // is the header read itself; `ignoreMissingFiles` below covers the
     // remaining probe-to-scan window.
-    val withSig = done.flatMap { case (id, path) =>
-      try Some((headerSignature(path), id, path))
-      catch {
-        case _: java.io.FileNotFoundException =>
-          System.err.println(s"[warehouse] skipping missing upload $id: $path")
-          None
+    val slices = math.max(1,
+      math.min(done.length, spark.sparkContext.defaultParallelism * 4))
+    val probed = spark.sparkContext.parallelize(done.toSeq, slices)
+      .map { case (id, path) =>
+        (CsvWarehouse.headerSignatureOf(path), id, path)
       }
-    }
-    val byHeader = withSig.groupBy(_._1)
-      .view.mapValues(_.map { case (_, id, p) => (id, p) }).toMap
+      .collect()
+    val missingIds = probed.collect { case (None, id, path) =>
+      System.err.println(s"[warehouse] skipping missing upload $id: $path")
+      id
+    }.toSet
+    val byHeader = probed
+      .collect { case (Some(sig), id, p) => (sig, id, p) }
+      .groupBy(_._1)
+      .view.mapValues(_.map { case (_, id, p) => (id, p) }.toSeq).toMap
 
     var tables = 0L
     var rows = 0L
@@ -71,6 +84,7 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
       // PATH_NOT_FOUND at RESOLUTION time for an already-deleted file —
       // ignoreMissingFiles only covers files vanishing during execution
       val paths = uploads.map(_._2).filter(fileExists)
+      val anySkipped = paths.size < uploads.size
       if (paths.nonEmpty) {
         val idByPath = uploads.map { case (id, p) =>
           (normalize(p), id)
@@ -88,9 +102,28 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
         // table whose only column is the partition key
         if (data.columns.length > 1) {
           val target = new Path(warehouseDir, s"t_$sig").toString
+          // With inferTypes on, the group re-infers over the SURVIVING
+          // files — if a skipped (missing) upload's old partition was
+          // written under a wider inferred type (e.g. the one file that
+          // forced a column to string), dynamic overwrite would leave that
+          // stale partition's parquet type conflicting with the re-written
+          // ones. Rewrite the whole table directory in that case (static
+          // overwrite truncates it first); otherwise keep the
+          // partition-local idempotent re-load. A probe-missed upload's
+          // group is unknowable (its header is gone), so ask the table
+          // itself: does it hold a partition for any missing id?
+          val holdsMissing = inferTypes && missingIds.nonEmpty && {
+            val tdir = new Path(target)
+            val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            missingIds.exists(id =>
+              tfs.exists(new Path(tdir, s"_upload_id=$id")))
+          }
+          val overwriteMode =
+            if (inferTypes && (anySkipped || holdsMissing)) "static"
+            else "dynamic"
           data.write
             .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", overwriteMode)
             .partitionBy("_upload_id")
             .parquet(target)
           tables += 1
@@ -114,34 +147,6 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
       .filter(_.startsWith("t_")).map(_.stripPrefix("t_")).sorted
   }
 
-  /** Header signature: 8 hex chars of sha-256 over the first line.
-    * One bounded driver-side read per upload (first line only).
-    */
-  private[ingest] def headerSignature(path: String): String = {
-    val p = new Path(if (path.startsWith("file:")) path else s"file:$path")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      // read until the first newline or EOF — a single read() may return
-      // short (stream implementations only guarantee > 0 bytes), which
-      // would truncate the header and split one schema into two tables
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8 * 1024)
-      var done = false
-      while (!done && out.size() < (1 << 20)) {
-        val n = in.read(buf)
-        if (n <= 0) done = true
-        else buf.indexWhere(_ == '\n'.toByte, 0) match {
-          case i if i >= 0 && i < n => out.write(buf, 0, i); done = true
-          case _ => out.write(buf, 0, n)
-        }
-      }
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(out.toByteArray)
-        .take(4).map("%02x".format(_)).mkString
-    } finally in.close()
-  }
-
   /** Driver-side existence probe (bounded by per-group upload count). */
   private def fileExists(p: String): Boolean = {
     val path = new Path(if (p.startsWith("file:")) p else s"file:$p")
@@ -152,5 +157,41 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
   private def normalize(p: String): String = {
     val withScheme = if (p.startsWith("file:")) p else s"file:$p"
     withScheme.replaceFirst("^file:/+", "file:/")
+  }
+}
+
+object CsvWarehouse {
+
+  /** Header signature: 8 hex chars of sha-256 over the first line; None if
+    * the file is gone. Runs ON EXECUTORS (the probe is distributed), so it
+    * builds its own Hadoop configuration rather than capturing the
+    * session's — a fresh `Configuration()` resolves the same filesystem
+    * for any scheme'd path.
+    */
+  private[ingest] def headerSignatureOf(path: String): Option[String] = {
+    val p = new Path(if (path.startsWith("file:")) path else s"file:$path")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    try {
+      val in = fs.open(p)
+      try {
+        // read until the first newline or EOF — a single read() may return
+        // short (stream implementations only guarantee > 0 bytes), which
+        // would truncate the header and split one schema into two tables
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8 * 1024)
+        var done = false
+        while (!done && out.size() < (1 << 20)) {
+          val n = in.read(buf)
+          if (n <= 0) done = true
+          else buf.indexWhere(_ == '\n'.toByte, 0) match {
+            case i if i >= 0 && i < n => out.write(buf, 0, i); done = true
+            case _ => out.write(buf, 0, n)
+          }
+        }
+        Some(java.security.MessageDigest.getInstance("SHA-256")
+          .digest(out.toByteArray)
+          .take(4).map("%02x".format(_)).mkString)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 }

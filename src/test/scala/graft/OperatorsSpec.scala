@@ -99,6 +99,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.schema("amount").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  test("inferTypes reload after a skipped upload drops its stale partitions") {
+    val inbox = tmpDir("whs-inbox")
+    def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
+    put("w1.csv", "id,amount\n1,2.5\n")
+    put("w2.csv", "id,amount\n2,oops\n") // forces `amount` to string
+    val store = new LedgerStore(spark, tmpDir("whs-ledger"))
+    new IngestPipeline(spark, store, tmpDir("whs-q")).runOnce(inbox)
+
+    val wh = new CsvWarehouse(spark, tmpDir("whs-wh"), inferTypes = true)
+    wh.loadDone(store)
+    val before = wh.table(wh.tables().head)
+    assert(before.schema("amount").dataType == org.apache.spark.sql.types.StringType)
+    assert(before.count() == 2)
+
+    // w2 vanishes; the surviving group re-infers amount as DOUBLE — the
+    // stale string-typed w2 partition must not linger under the new schema
+    Files.delete(Paths.get(inbox, "w2.csv"))
+    wh.loadDone(store)
+    val after = wh.table(wh.tables().head)
+    assert(after.schema("amount").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(after.count() == 1) // only w1's partition remains
+    assert(after.select("_upload_id").distinct().count() == 1)
+  }
+
   test("csv warehouse skips uploads whose source file is gone") {
     val inbox = tmpDir("whm-inbox")
     def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
