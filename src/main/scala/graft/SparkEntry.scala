@@ -84,6 +84,8 @@ object SparkEntry {
     "ann_cosine_native" -> Seq("query_id", "rank"),
     "ann_lsh_buckets" -> Seq("vec_id"),
     "ann_ivf_topk" -> Seq("query_id", "rank"),
+    "ann_recall_audit" -> Seq("total_true"),
+    "q_percentiles_approx" -> Seq("event_type"),
     "text_token_stats" -> Seq("doc_id"),
     "text_quality" -> Seq("doc_id"),
     "text_lang_id" -> Seq("doc_id"),

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic IVF (inverted-file) codebook: fixed-iteration Lloyd
+  * (k-means) over integer-quantized embedding vectors.
+  *
+  * Everything is exact-integer until a single final division, so training
+  * is bit-reproducible across engines (the DuckDB oracle replays the same
+  * iterations):
+  *
+  *  - components quantize to `round(x * 10000)` BIGINT (the repo-wide
+  *    vector discipline);
+  *  - a centroid is the componentwise integer SUM of its members — cosine
+  *    against a sum equals cosine against the mean (the member count
+  *    scales dot and norm alike), so no division/rounding enters the loop;
+  *  - assignment is argmax of `dot / (sqrt(n2) * sqrt(cn2))` with exact
+  *    integer dot/norms and a cent_id tiebreak;
+  *  - a list that loses all members keeps its previous centroid;
+  *  - the seed is the `k` lowest-id vectors.
+  *
+  * Scale shape: one Lloyd iteration touches the corpus exactly once
+  * (assignment join keyed on `dim`, k·dims centroid rows broadcast-small),
+  * and the trained codebook is collected to a k·dims-row local DataFrame —
+  * the codebook broadcast step every production IVF performs. Training
+  * cost is O(n·d·k·iters); the codebook quality is what makes
+  * nprobe/lists the real search-cost dial (balanced lists ⇒ predictable
+  * probe fan-out).
+  */
+object IvfCodebook {
+
+  /** Integer-quantized components: (vec_id, dim 1-based, qx). */
+  def comps(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qx"))
+
+  /** Exact per-vector squared norms: (vec_id, n2). */
+  def norms(comps: DataFrame): DataFrame =
+    comps.groupBy("vec_id").agg(sum(col("qx") * col("qx")).as("n2"))
+
+  /** Seed codebook: the k lowest-id vectors, componentwise
+    * (cent_id, dim, cs).
+    */
+  def seed(comps: DataFrame, k: Int): DataFrame =
+    comps.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("dim"), col("qx").as("cs"))
+
+  /** (vec_id, cent_id, sim): exact integer dot and norms, one double
+    * division — identical operand order in any engine.
+    */
+  def similarities(comps: DataFrame, norms: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cn = cents.groupBy("cent_id").agg(sum(col("cs") * col("cs")).as("cn2"))
+    comps.join(cents, "dim")
+      .groupBy("vec_id", "cent_id")
+      .agg(sum(col("qx") * col("cs")).as("dot"))
+      .join(norms, "vec_id")
+      .join(broadcast(cn), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("sim"))
+  }
+
+  /** Nearest-list assignment: (vec_id, list_id), deterministic tiebreak on
+    * cent_id.
+    */
+  def assign(comps: DataFrame, norms: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    similarities(comps, norms, cents)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list_id"))
+  }
+
+  /** One Lloyd update: assign every vector, then componentwise integer sum
+    * per list; lists with no members keep their previous centroid.
+    */
+  def step(comps: DataFrame, norms: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val sums = comps.join(assign(comps, norms, cents), "vec_id")
+      .groupBy("list_id", "dim")
+      .agg(sum(col("qx")).as("cs_new"))
+      .withColumnRenamed("list_id", "cent_id")
+    cents.join(sums, Seq("cent_id", "dim"), "left")
+      .select(col("cent_id"), col("dim"),
+        coalesce(col("cs_new"), col("cs")).as("cs"))
+  }
+
+  /** Train the codebook: seed with the k lowest-id vectors, run `iters`
+    * Lloyd updates, and return the result as a small LOCAL DataFrame
+    * (k·dims rows, collected — the codebook broadcast every IVF search
+    * performs), so downstream plans reuse the trained codebook without
+    * re-running the training subtree.
+    */
+  def train(spark: SparkSession, embeddings: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val c = comps(embeddings)
+    val n = norms(c)
+    var cents = seed(c, k)
+    for (_ <- 1 to iters) cents = step(c, n, cents)
+    cents.select(col("cent_id"), col("dim").cast("int"), col("cs"))
+      .as[(Long, Int, Long)].collect().toSeq // bounded: k·dims rows
+      .toDF("cent_id", "dim", "cs")
+  }
+}

@@ -105,6 +105,45 @@ object ScaleOpQueries {
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Approximate per-group percentiles — the 100 TB regime the exact form
+    // above can't reach: `percentile`'s count-map buffer is bounded by
+    // DISTINCT values, which for an unbounded domain (raw latencies, money
+    // amounts at full precision) grows with the data until it OOMs.
+    // `percentile_approx` (Greenwald-Khanna quantile summaries) keeps a
+    // buffer bounded by the ACCURACY parameter instead, with a documented
+    // guarantee: the returned value's rank is within n/accuracy of the
+    // requested rank. The sketch's exact output depends on merge order, so
+    // the oracle row hashes the GUARANTEE, not the value: the Spark side
+    // recomputes each approx value's true rank and emits whether it is
+    // inside the bound (the oracle expects TRUE) — a violated bound is a
+    // hash mismatch, caught by the driver.
+    QueryDef("q_percentiles_approx",
+      (s, d) => {
+        val acc = 10000 // rank error <= n/acc (+1 for interpolation slack)
+        val ev = table(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("v"))
+        val approx = ev.groupBy("event_type").agg(
+          expr(s"percentile_approx(v, 0.5D, $acc)").as("a50"),
+          expr(s"percentile_approx(v, 0.95D, $acc)").as("a95"))
+        val err = col("n").cast("double") / acc + 1
+        ev.join(broadcast(approx), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+          .select(col("event_type"), col("n"),
+            (col("lt50") <= col("n") * 0.5 + err &&
+              col("le50") >= col("n") * 0.5 - err).as("p50_ok"),
+            (col("lt95") <= col("n") * 0.95 + err &&
+              col("le95") >= col("n") * 0.95 - err).as("p95_ok"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // Space-Saving heavy hitters: bounded-memory typed Aggregator, merged
     // across partitions. With capacity >= distinct-key count no counter is
     // ever evicted, so the sketch is EXACT (est = true count, error 0) and

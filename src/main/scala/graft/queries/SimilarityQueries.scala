@@ -49,6 +49,88 @@ object SimilarityQueries {
       |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << p) AS BIGINT) AS bucket
       |  FROM proj GROUP BY vec_id)""".stripMargin
 
+  /** Bounded-probe exact embedding near-dup pairs (the LSH recall ground
+    * truth): the 128 lowest vec_ids vs the whole corpus, broadcast probe,
+    * exact quantized cosine ≥ 0.4.
+    */
+  private def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val a = v.filter(col("vec_id") < 128)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Corpus-wide LSH candidates (4 tables × 4 hyperplanes) + exact
+    * quantized cosine ≥ 0.4 verify — the scale path whose recall the
+    * audit query below measures.
+    */
+  private def embeddingLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LshBits.register(s)
+    val tb = table(s, d, "embeddings")
+      .select(col("vec_id"), expr("lsh_bits(embedding, 16)").as("bits"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(3L))).as("t"), col("bits"))
+      .withColumn("bucket", expr("(bits >> (t * 4)) & 15"))
+      .drop("bits")
+    val cand = tb.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
+      .join(tb.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
+        col("bucket").as("bucket_b")),
+        col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    graft.functions.VectorFunctions.register(s)
+    val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** DuckDB CTE chain replaying the deterministic Lloyd training of
+    * [[graft.operators.IvfCodebook]]: integer-quantized comps, k lowest-id
+    * seeds, `iters` assign/update rounds (centroids = componentwise
+    * integer sums, argmax by exact-integer cosine with cent_id tiebreak,
+    * empty lists keep their centroid). Ends with `r<iters>` = the ranked
+    * similarities against the FINAL centroids, ready for assignment
+    * (`rn = 1`) and probing (`rn <= nprobe`).
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""comps AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |nq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM comps GROUP BY 1),
+        |c0 AS (SELECT vec_id AS cent_id, dim, qx AS cs FROM comps WHERE vec_id < $k)""".stripMargin)
+    for (t <- 0 to iters) {
+      sb.append(s""",
+        |cn$t AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM c$t GROUP BY 1),
+        |d$t AS (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
+        |  FROM comps JOIN c$t USING (dim) GROUP BY 1, 2),
+        |s$t AS (SELECT d$t.vec_id, d$t.cent_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+        |  FROM d$t JOIN nq ON d$t.vec_id = nq.vec_id JOIN cn$t ON d$t.cent_id = cn$t.cent_id),
+        |r$t AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM s$t)""".stripMargin)
+      if (t < iters) sb.append(s""",
+        |a$t AS (SELECT vec_id, cent_id AS list_id FROM r$t WHERE rn = 1),
+        |m${t + 1} AS (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
+        |  FROM comps JOIN a$t USING (vec_id) GROUP BY 1, 2),
+        |c${t + 1} AS (SELECT c$t.cent_id, c$t.dim, coalesce(m${t + 1}.cs_new, c$t.cs) AS cs
+        |  FROM c$t LEFT JOIN m${t + 1}
+        |    ON c$t.cent_id = m${t + 1}.cent_id AND c$t.dim = m${t + 1}.dim)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 for query vectors vec_id < 5, via the
@@ -115,17 +197,7 @@ object SimilarityQueries {
     // unbounded all-pairs self-join is the 100 TB anti-pattern and is
     // deliberately NOT registered.
     QueryDef("dedup_embedding_cosine",
-      (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val a = v.filter(col("vec_id") < 128)
-          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        broadcast(a).join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
-          .filter(col("cosine") >= 0.4)
-          .select("vec_a", "vec_b", "cosine")
-      },
+      (s, d) => embeddingCosine(s, d),
       Some("""WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
         |  FROM embeddings),
@@ -146,29 +218,225 @@ object SimilarityQueries {
     // recall amplification), then exact quantized cosine verify within
     // candidates. Never an all-pairs join; the cost dial is (tables, planes).
     QueryDef("dedup_embedding_lsh",
+      (s, d) => embeddingLsh(s, d),
+      Some("""WITH planes AS (
+        |  SELECT p, dim,
+        |    CASE WHEN instr('02468ace',
+        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS p),
+        |       (SELECT unnest(range(1, 65)) AS dim)),
+        |comps AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+        |tb AS (SELECT vec_id, p // 4 AS t,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p2 AS (SELECT vec_a, vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+        |FROM p2
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
+
+    // IVF (inverted-file) ANN — the other classic scale path next to LSH:
+    // a coarse codebook quantizes the corpus into lists, each vector is
+    // assigned to its nearest centroid, and a query probes only its
+    // nprobe=4 closest lists, exact-ranking within them. The codebook is
+    // TRAINED: deterministic fixed-iteration Lloyd over integer-quantized
+    // vectors (graft.operators.IvfCodebook — centroids are componentwise
+    // integer sums, seeded by the 16 lowest-id vectors, 2 iterations, the
+    // DuckDB oracle replays the identical iterations), which is what
+    // balances list sizes and makes nprobe/lists the real cost dial.
+    // Search cost is O(centroids + corpus·nprobe/lists) instead of
+    // O(corpus); the trained codebook is a collected k·dims-row local
+    // table (the codebook broadcast every IVF performs), so every join is
+    // a broadcast of a tiny side — the corpus-sized assignment scan is
+    // touched once per training iteration plus once at search.
+    QueryDef("ann_ivf_topk",
       (s, d) => {
-        graft.functions.LshBits.register(s)
-        val tb = table(s, d, "embeddings")
-          .select(col("vec_id"), expr("lsh_bits(embedding, 16)").as("bits"))
-          .select(col("vec_id"),
-            explode(sequence(lit(0L), lit(3L))).as("t"), col("bits"))
-          .withColumn("bucket", expr("(bits >> (t * 4)) & 15"))
-          .drop("bits")
-        val cand = tb.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
-          .join(tb.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
-            col("bucket").as("bucket_b")),
-            col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
-              col("vec_a") < col("vec_b"))
-          .select("vec_a", "vec_b").distinct()
+        import graft.operators.IvfCodebook
         graft.functions.VectorFunctions.register(s)
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        cand
-          .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-          .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
-          .filter(col("cosine") >= 0.4)
-          .select("vec_a", "vec_b", "cosine")
+        val cm = IvfCodebook.comps(v)
+        val nm = IvfCodebook.norms(cm)
+        val trained = broadcast(IvfCodebook.train(s, v, k = 16, iters = 2))
+        val sims = IvfCodebook.similarities(cm, nm, trained)
+        val wNearest = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cent_id"))
+        val assign = sims.withColumn("rn", row_number().over(wNearest))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("list_id"))
+        val probe = sims.filter(col("vec_id") < 5)
+          .withColumn("rn", row_number().over(wNearest))
+          .filter(col("rn") <= 4)
+          .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"))
+        val candp = broadcast(probe).join(assign, "list_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val qe = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        val ne = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"))
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        candp.join(broadcast(qe), "query_id")
+          .join(ne, "neighbor_id")
+          .withColumn("cosine", expr("quant_cosine_sim(qemb, nemb)"))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            row_number().over(wRank).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
       },
+      Some(s"""WITH ${lloydCtes(16, 2)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cent_id AS list_id
+        |  FROM r2 WHERE vec_id < 5 AND rn <= 4),
+        |candp AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.query_id),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |pair AS (SELECT query_id, neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM candp JOIN n q ON query_id = q.vec_id JOIN n b ON neighbor_id = b.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
+        |  FROM pair)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 10""".stripMargin)),
+
+    // Recall audit closing the LSH loop: the exact bounded-probe pairs
+    // (dedup_embedding_cosine) are the ground truth; how many of them does
+    // the corpus-wide LSH+verify path (dedup_embedding_lsh) find? This is
+    // the query you run on a sample whenever (tables, planes) change —
+    // silent recall collapse becomes a number, not a guess. Exact-oracled:
+    // both sides are deterministic, so found/total is too.
+    QueryDef("ann_recall_audit",
+      (s, d) => {
+        val truth = embeddingCosine(s, d).select(col("vec_a"), col("vec_b"))
+        val lsh = embeddingLsh(s, d)
+          .select(col("vec_a").as("l_a"), col("vec_b").as("l_b"))
+        truth.join(lsh,
+            col("vec_a") === col("l_a") && col("vec_b") === col("l_b"), "left")
+          .agg(count(lit(1)).cast("long").as("total_true"),
+            sum(when(col("l_a").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("found"))
+          .select(col("total_true"), col("found"),
+            when(col("total_true") === 0, lit(0.0))
+              .otherwise(col("found").cast("double") /
+                col("total_true").cast("double")).as("recall"))
+      },
+      Some("""WITH planes AS (
+        |  SELECT p, dim,
+        |    CASE WHEN instr('02468ace',
+        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS p),
+        |       (SELECT unnest(range(1, 65)) AS dim)),
+        |comps AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+        |tb AS (SELECT vec_id, p // 4 AS t,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p2 AS (SELECT vec_a, vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
+        |lshp AS (SELECT vec_a, vec_b FROM p2
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4),
+        |tp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM n a JOIN n b ON a.vec_id < 128 AND a.vec_id < b.vec_id),
+        |truep AS (SELECT vec_a, vec_b FROM tp
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS total_true,
+        |  CAST(coalesce(sum(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS found,
+        |  CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(CAST(coalesce(sum(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END AS recall
+        |FROM truep t LEFT JOIN lshp l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b""".stripMargin)),
+
+    // Brute-force cosine top-10 via the NATIVE codegen'd expression
+    // (graft.functions.CosineSimilarity) — the production hot path: one
+    // fused loop per pair inside whole-stage codegen, no per-row array
+    // allocation. No SQL oracle (float accumulation order is engine-
+    // specific); VectorFunctionsSpec proves it against the quantized
+    // integer-exact query above instead.
+    QueryDef("ann_cosine_native",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+          .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cosine"), row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      None),
+
+    // Embedding-cosine near-dup, EXACT form over a BOUNDED probe set: the
+    // 128 lowest vec_ids vs the whole corpus. The probe side is broadcast,
+    // so the plan is O(|probe|·n) — linear in the corpus, never all-pairs
+    // (the corpus-wide dedup path is dedup_embedding_lsh below; this exact
+    // fixture is what you run to audit LSH recall on a sample). An
+    // unbounded all-pairs self-join is the 100 TB anti-pattern and is
+    // deliberately NOT registered.
+    QueryDef("dedup_embedding_cosine",
+      (s, d) => embeddingCosine(s, d),
+      Some("""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM n a JOIN n b ON a.vec_id < 128 AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+        |FROM p
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
+
+    // The composed 100 TB near-dup path: MULTI-TABLE LSH candidate join
+    // (4 tables × 4 hyperplanes — at cosine 0.4 a single 8-plane table
+    // collides ~2.5% of true pairs; four 4-plane tables ~60%, the standard
+    // recall amplification), then exact quantized cosine verify within
+    // candidates. Never an all-pairs join; the cost dial is (tables, planes).
+    QueryDef("dedup_embedding_lsh",
+      (s, d) => embeddingLsh(s, d),
       Some("""WITH planes AS (
         |  SELECT p, dim,
         |    CASE WHEN instr('02468ace',
