@@ -385,163 +385,6 @@ object SimilarityQueries {
         |      / CAST(count(*) AS DOUBLE) END AS recall
         |FROM truep t LEFT JOIN lshp l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b""".stripMargin)),
 
-    // Brute-force cosine top-10 via the NATIVE codegen'd expression
-    // (graft.functions.CosineSimilarity) — the production hot path: one
-    // fused loop per pair inside whole-stage codegen, no per-row array
-    // allocation. No SQL oracle (float accumulation order is engine-
-    // specific); VectorFunctionsSpec proves it against the quantized
-    // integer-exact query above instead.
-    QueryDef("ann_cosine_native",
-      (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val q = v.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-          .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("vec_id"))
-        pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("cosine"), row_number().over(w).cast("long").as("rank"))
-          .filter(col("rank") <= 10)
-      },
-      None),
-
-    // Embedding-cosine near-dup, EXACT form over a BOUNDED probe set: the
-    // 128 lowest vec_ids vs the whole corpus. The probe side is broadcast,
-    // so the plan is O(|probe|·n) — linear in the corpus, never all-pairs
-    // (the corpus-wide dedup path is dedup_embedding_lsh below; this exact
-    // fixture is what you run to audit LSH recall on a sample). An
-    // unbounded all-pairs self-join is the 100 TB anti-pattern and is
-    // deliberately NOT registered.
-    QueryDef("dedup_embedding_cosine",
-      (s, d) => embeddingCosine(s, d),
-      Some("""WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
-        |  a.n2 AS n2a, b.n2 AS n2b
-        |  FROM n a JOIN n b ON a.vec_id < 128 AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
-        |FROM p
-        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
-
-    // The composed 100 TB near-dup path: MULTI-TABLE LSH candidate join
-    // (4 tables × 4 hyperplanes — at cosine 0.4 a single 8-plane table
-    // collides ~2.5% of true pairs; four 4-plane tables ~60%, the standard
-    // recall amplification), then exact quantized cosine verify within
-    // candidates. Never an all-pairs join; the cost dial is (tables, planes).
-    QueryDef("dedup_embedding_lsh",
-      (s, d) => embeddingLsh(s, d),
-      Some("""WITH planes AS (
-        |  SELECT p, dim,
-        |    CASE WHEN instr('02468ace',
-        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
-        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
-        |  FROM (SELECT unnest(range(0, 16)) AS p),
-        |       (SELECT unnest(range(1, 65)) AS dim)),
-        |comps AS (SELECT vec_id,
-        |    unnest(range(1, len(embedding) + 1)) AS dim,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
-        |  FROM embeddings),
-        |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
-        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
-        |tb AS (SELECT vec_id, p // 4 AS t,
-        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
-        |p2 AS (SELECT vec_a, vec_b,
-        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
-        |  a.n2 AS n2a, b.n2 AS n2b
-        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
-        |SELECT vec_a, vec_b,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
-        |FROM p2
-        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4""".stripMargin)),
-
-    // IVF (inverted-file) ANN — the other classic scale path next to LSH:
-    // a coarse codebook quantizes the corpus into lists (here: the 16
-    // lowest-id vectors as deterministic centroids — production would
-    // k-means; the IVF *structure* is what's exercised), each vector is
-    // assigned to its nearest centroid, and a query probes only its
-    // nprobe=4 closest lists, exact-ranking within them. Search cost is
-    // O(centroids + corpus·nprobe/lists) instead of O(corpus); every join
-    // is a broadcast of a tiny side (centroids, probe map, query vectors) —
-    // the corpus-sized assignment scan is touched exactly once.
-    QueryDef("ann_ivf_topk",
-      (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val cent = v.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val simv = v.crossJoin(broadcast(cent))
-          .withColumn("sim", expr("quant_cosine_sim(embedding, ce)"))
-        val wNearest = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("cent_id"))
-        val assign = simv.withColumn("rn", row_number().over(wNearest))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("list_id"))
-        val probe = simv.filter(col("vec_id") < 5)
-          .withColumn("rn", row_number().over(wNearest))
-          .filter(col("rn") <= 4)
-          .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"))
-        val candp = broadcast(probe).join(assign, "list_id")
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        val qe = v.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-        val ne = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"))
-        val wRank = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        candp.join(broadcast(qe), "query_id")
-          .join(ne, "neighbor_id")
-          .withColumn("cosine", expr("quant_cosine_sim(qemb, nemb)"))
-          .select(col("query_id"), col("neighbor_id"), col("cosine"),
-            row_number().over(wRank).cast("long").as("rank"))
-          .filter(col("rank") <= 10)
-      },
-      Some("""WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
-        |cent AS (SELECT vec_id AS cent_id, qe AS ce, n2 AS cn2 FROM n WHERE vec_id < 16),
-        |simv AS (SELECT a.vec_id, c.cent_id,
-        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * c.ce[i])) AS BIGINT) AS DOUBLE)
-        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS sim
-        |  FROM n a, cent c),
-        |assign AS (SELECT vec_id, cent_id AS list_id FROM (
-        |  SELECT vec_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |  FROM simv) WHERE rn = 1),
-        |probe AS (SELECT vec_id AS query_id, cent_id AS list_id FROM (
-        |  SELECT vec_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |  FROM simv WHERE vec_id < 5) WHERE rn <= 4),
-        |candp AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
-        |  WHERE a.vec_id <> p.query_id),
-        |pair AS (SELECT query_id, neighbor_id,
-        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
-        |  q.n2 AS qn2, b.n2 AS bn2
-        |  FROM candp JOIN n q ON query_id = q.vec_id JOIN n b ON neighbor_id = b.vec_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
-        |  FROM pair)
-        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM r) WHERE rank <= 10""".stripMargin)),
 
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
