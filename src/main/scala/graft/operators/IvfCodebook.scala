@@ -98,15 +98,39 @@ object IvfCodebook {
     * performs), so downstream plans reuse the trained codebook without
     * re-running the training subtree.
     */
+  /** Train the codebook on a deterministic SAMPLE (`vec_id % sampleEvery
+    * == 0`) — the 100 TB discipline: Lloyd is iterative, so training cost
+    * is iters × corpus unless the corpus is sampled; codebook quality
+    * needs only a representative sample, and assignment of the FULL
+    * corpus against the trained codebook stays a single pass. The seed is
+    * the k lowest-id vectors of the full corpus (deterministic whether or
+    * not they fall in the sample).
+    */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, sampleEvery: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val all = comps(embeddings)
+    val c = (if (sampleEvery <= 1) all
+      else all.filter(col("vec_id") % sampleEvery === 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = norms(c).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // each iteration materializes its k·dims centroid table locally
+      // (bounded, the codebook) so iteration t+1 starts from a shallow
+      // plan instead of re-running every earlier round's joins/windows
+      var cents = localize(spark, seed(all, k))
+      for (_ <- 1 to iters) cents = localize(spark, step(c, n, cents))
+      cents
+    } finally { c.unpersist(); n.unpersist() }
+  }
+
+  /** Collect a (cent_id, dim, cs) codebook to a small local DataFrame —
+    * k·dims rows, the broadcast-side shape every IVF search uses.
+    */
+  private def localize(spark: SparkSession, cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val c = comps(embeddings)
-    val n = norms(c)
-    var cents = seed(c, k)
-    for (_ <- 1 to iters) cents = step(c, n, cents)
     cents.select(col("cent_id"), col("dim").cast("int"), col("cs"))
-      .as[(Long, Int, Long)].collect().toSeq // bounded: k·dims rows
+      .as[(Long, Int, Long)].collect().toSeq
       .toDF("cent_id", "dim", "cs")
   }
 }

@@ -101,19 +101,23 @@ object SimilarityQueries {
     * similarities against the FINAL centroids, ready for assignment
     * (`rn = 1`) and probing (`rn <= nprobe`).
     */
-  private def lloydCtes(k: Int, iters: Int): String = {
+  private def lloydCtes(k: Int, iters: Int, sampleEvery: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""comps AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
         |  FROM embeddings),
+        |tc AS (SELECT * FROM comps WHERE vec_id % $sampleEvery = 0),
         |nq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM comps GROUP BY 1),
         |c0 AS (SELECT vec_id AS cent_id, dim, qx AS cs FROM comps WHERE vec_id < $k)""".stripMargin)
     for (t <- 0 to iters) {
+      // training rounds (t < iters) assign only the SAMPLE; the final
+      // round scores the FULL corpus against the trained centroids
+      val src = if (t < iters) "tc" else "comps"
       sb.append(s""",
         |cn$t AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM c$t GROUP BY 1),
         |d$t AS (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
-        |  FROM comps JOIN c$t USING (dim) GROUP BY 1, 2),
+        |  FROM $src JOIN c$t USING (dim) GROUP BY 1, 2),
         |s$t AS (SELECT d$t.vec_id, d$t.cent_id,
         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
         |  FROM d$t JOIN nq ON d$t.vec_id = nq.vec_id JOIN cn$t ON d$t.cent_id = cn$t.cent_id),
@@ -123,7 +127,7 @@ object SimilarityQueries {
       if (t < iters) sb.append(s""",
         |a$t AS (SELECT vec_id, cent_id AS list_id FROM r$t WHERE rn = 1),
         |m${t + 1} AS (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
-        |  FROM comps JOIN a$t USING (vec_id) GROUP BY 1, 2),
+        |  FROM tc JOIN a$t USING (vec_id) GROUP BY 1, 2),
         |c${t + 1} AS (SELECT c$t.cent_id, c$t.dim, coalesce(m${t + 1}.cs_new, c$t.cs) AS cs
         |  FROM c$t LEFT JOIN m${t + 1}
         |    ON c$t.cent_id = m${t + 1}.cent_id AND c$t.dim = m${t + 1}.dim)""".stripMargin)
@@ -272,7 +276,8 @@ object SimilarityQueries {
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cm = IvfCodebook.comps(v)
         val nm = IvfCodebook.norms(cm)
-        val trained = broadcast(IvfCodebook.train(s, v, k = 16, iters = 2))
+        val trained = broadcast(
+          IvfCodebook.train(s, v, k = 16, iters = 2, sampleEvery = 4))
         val sims = IvfCodebook.similarities(cm, nm, trained)
         val wNearest = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cent_id"))
@@ -298,7 +303,7 @@ object SimilarityQueries {
             row_number().over(wRank).cast("long").as("rank"))
           .filter(col("rank") <= 10)
       },
-      Some(s"""WITH ${lloydCtes(16, 2)},
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
         |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
         |probe AS (SELECT vec_id AS query_id, cent_id AS list_id
         |  FROM r2 WHERE vec_id < 5 AND rn <= 4),
