@@ -234,3 +234,98 @@ object MinhashSigs {
       },
       "built-in")
 }
+
+/** Native Catalyst expression: the SimHash signature of one document in a
+  * single fused loop.
+  *
+  * `simhash_bits(text, hexDigits)` reproduces, bit-for-bit, the
+  * declarative chain in dedup_simhash's oracle: words = split on single
+  * spaces (empties dropped), each word's sha256 hex prefix of `hexDigits`
+  * digits votes ±1 per bit position b (bit = digit `b DIV 4`'s bit
+  * `3 - b%4`), and signature bit b is 1 iff the vote is positive; result
+  * is the LONG `Σ bit_b << b`.
+  *
+  * Why native: the declarative form explodes words × (4·hexDigits) bit
+  * rows (tens of millions of rows at sf0.1) through two groupBy shuffles;
+  * here it is one sha256 per word and a vote array per row — the
+  * signature stage shuffles nothing.
+  */
+case class SimhashBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimhashBits.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.SimhashBits.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimhashBits {
+
+  private val sha = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+
+  /** nibble i (0-based, high first) of a digest — matches hex-string
+    * indexing `substr(hex, i+1, 1)`.
+    */
+  @inline private def nib(d: Array[Byte], i: Int): Int = {
+    val b = d(i >> 1)
+    if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+  }
+
+  def compute(text: UTF8String, hexDigits: Int): Long = {
+    val str = text.toString
+    val nBits = hexDigits * 4
+    val votes = new Array[Int](nBits)
+    val md = sha.get()
+    var start = 0
+    val len = str.length
+    while (start <= len) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) { // empty tokens (consecutive spaces) are dropped
+        md.reset()
+        val d = md.digest(
+          str.substring(start, end).getBytes(StandardCharsets.UTF_8))
+        var b = 0
+        while (b < nBits) {
+          val bit = (nib(d, b >> 2) >> (3 - (b & 3))) & 1
+          votes(b) += 2 * bit - 1
+          b += 1
+        }
+      }
+      start = end + 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < nBits) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+    sim
+  }
+
+  /** Make `simhash_bits(text, hex_digits)` usable from SQL in `spark`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits",
+      { exprs =>
+        require(exprs.length == 2, "simhash_bits(text, hex_digits)")
+        SimhashBits(exprs(0), exprs(1))
+      },
+      "built-in")
+}

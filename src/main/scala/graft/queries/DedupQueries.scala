@@ -66,28 +66,20 @@ object DedupQueries {
 
   /** SimHash signature of `hexDigits * 4` bits per document: each word
     * votes its sha256-prefix bits ±1 per position; the signature's bit b is
-    * 1 iff the vote is positive. Linear in word count, two groupBys,
-    * deterministic across engines (the "random" projection is sha256).
+    * 1 iff the vote is positive. Computed by the native fused
+    * `simhash_bits` expression (graft.functions.SimhashBits) — one sha256
+    * per word and a vote array per ROW, zero shuffle in the signature
+    * stage; the declarative equivalent (explode words × bits → two
+    * groupBys, what the DuckDB oracle still runs, and what
+    * TextNativeFunctionsSpec asserts the native form equals) shuffles
+    * tens of millions of rows at sf0.1.
     */
   private def simhashBits(s: org.apache.spark.sql.SparkSession, d: String,
       hexDigits: Int): org.apache.spark.sql.DataFrame = {
-    val words = table(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val bits = words
+    graft.functions.SimhashBits.register(s)
+    table(s, d, "documents")
       .select(col("doc_id"),
-        substring(sha2(col("w"), 256), 1, hexDigits).as("hx"))
-      .select(col("doc_id"), col("hx"),
-        explode(sequence(lit(0), lit(hexDigits * 4 - 1))).as("b"))
-      .withColumn("v",
-        expr(s"instr('$Hex', substr(hx, (b DIV 4) + 1, 1)) - 1"))
-      .withColumn("bit", expr("shiftright(v, 3 - (b % 4)) & 1"))
-    bits.groupBy("doc_id", "b")
-      .agg(sum(expr("2 * bit - 1")).as("vote"))
-      .withColumn("bitval",
-        when(col("vote") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
+        expr(s"simhash_bits(text, $hexDigits)").as("simhash"))
   }
 
   /** Distinct (doc_id, word-3-gram) set over the corpus, persisted once per

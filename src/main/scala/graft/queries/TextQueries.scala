@@ -170,6 +170,71 @@ object TextQueries {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS content_sha,
         |CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // Deterministic stratified (mixture) sampling — the training-data
+    // MIXING op: each language stratum keeps a configured fraction of its
+    // documents, selected by a hash of the stable key (md5(doc_id) prefix
+    // < per-stratum hex threshold), NOT by rand(). Hash-gating makes the
+    // sample reproducible across runs/engines/retries (a re-run of a
+    // 100 TB materialization selects the same rows), and the plan is a
+    // pure map-side filter — zero shuffle, the only way downsampling is
+    // affordable at corpus scale. Rates here: en 50%, de/fr 25%, es/zh
+    // 12.5% (the usual "downweight the dominant language" mix shape).
+    QueryDef("corpus_mix_sample",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val thr = when(col("lang") === "en", "8000")
+          .when(col("lang").isin("de", "fr"), "4000")
+          .otherwise("2000")
+        table(s, d, "documents")
+          .filter(h < thr)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '8000'
+        |       WHEN lang IN ('de', 'fr') THEN '4000'
+        |       ELSE '2000' END""".stripMargin)),
+
+    // Benchmark DECONTAMINATION — drop training documents that overlap
+    // the evaluation set: the eval fixture here is doc_id < 20, its
+    // distinct word-8-grams are the contamination probes (bounded:
+    // |eval| × grams/doc, broadcast), and any corpus document sharing
+    // one is flagged with its overlap count. The corpus side never
+    // shuffles for the probe — it streams through a broadcast-hash join;
+    // only the (small) matched set aggregates. 8-grams, not 3-grams:
+    // decontamination wants long, high-precision matches, not topical
+    // similarity.
+    QueryDef("corpus_decontaminate",
+      (s, d) => {
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 8,
+                sequence(lit(1), size(col("ws")) - 7))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), expr((1 to 7)
+            .map(o => s"element_at(ws, i + $o)")
+            .mkString("element_at(ws, i) || ' ' || ",
+              " || ' ' || ", "")).as("gram"))
+          .distinct()
+        val evalGrams = g.filter(col("doc_id") < 20).select("gram").distinct()
+        g.filter(col("doc_id") >= 20)
+          .join(broadcast(evalGrams), "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contam"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |    ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM w)),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+        |FROM g JOIN eg USING (gram)
+        |WHERE g.doc_id >= 20
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The corpus-level curation extensions: deterministic mixture sampling
+  * and benchmark decontamination.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mix sample hits its per-stratum rates, deterministically") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = SparkEntry.queries("corpus_mix_sample")(spark, dir)
+    val got = sampled.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val expected = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 0.125, "zh" -> 0.125)
+    expected.foreach { case (lang, rate) =>
+      val n = totals(lang).toDouble
+      val k = got.getOrElse(lang, 0L).toDouble
+      // hash-gated Bernoulli: allow 4 sigma around the configured rate
+      val sd = math.sqrt(rate * (1 - rate) * n)
+      assert(math.abs(k - rate * n) <= 4 * sd + 1,
+        s"$lang sampled $k of $n, expected ~${rate * n}")
+    }
+    // determinism: the same rows come back on a second run
+    val a = sampled.select("doc_id").as[Long].collect().toSeq
+    val b = SparkEntry.queries("corpus_mix_sample")(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("decontamination flags exactly the docs sharing an eval 8-gram") {
+    val out = SparkEntry.queries("corpus_decontaminate")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty) // the planted near-dup pairs cross the boundary
+    assert(out.keys.forall(_ >= 20)) // eval docs are never self-flagged
+    assert(out.values.forall(_ >= 1))
+    // independent witness for the top hit: its text shares a literal
+    // 8-word window with some eval doc
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("ws")).as[(Long, Seq[String])]
+      .collect().toMap
+    val flagged = out.maxBy(_._2)._1
+    val evalGrams = docs.filter(_._1 < 20).values
+      .flatMap(ws => ws.sliding(8).filter(_.size == 8).map(_.mkString(" ")))
+      .toSet
+    val hit = docs(flagged).sliding(8).filter(_.size == 8)
+      .map(_.mkString(" ")).exists(evalGrams.contains)
+    assert(hit, s"doc $flagged flagged but shares no eval 8-gram")
+  }
+}

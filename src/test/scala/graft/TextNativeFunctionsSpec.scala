@@ -98,6 +98,36 @@ class TextNativeFunctionsSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("simhash_bits equals the declarative word-vote chain exactly") {
+    graft.functions.SimhashBits.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    for (hexDigits <- Seq(4, 8)) {
+      val native = docs.select($"doc_id",
+        expr(s"simhash_bits(text, $hexDigits)").as("nh"))
+      val ref = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .select($"doc_id", substring(sha2($"w", 256), 1, hexDigits).as("hx"))
+        .select($"doc_id", $"hx",
+          explode(sequence(lit(0), lit(hexDigits * 4 - 1))).as("b"))
+        .withColumn("v",
+          expr("instr('0123456789abcdef', substr(hx, (b DIV 4) + 1, 1)) - 1"))
+        .withColumn("bit", expr("shiftright(v, 3 - (b % 4)) & 1"))
+        .groupBy("doc_id", "b").agg(sum(expr("2 * bit - 1")).as("vote"))
+        .withColumn("bitval", when($"vote" > 0, 1L).otherwise(0L))
+        .groupBy("doc_id").agg(sum(expr("shiftleft(bitval, b)")).as("rh"))
+      val mism = native.join(ref, "doc_id")
+        .filter($"nh" =!= $"rh").count()
+      assert(mism == 0, s"simhash_bits($hexDigits) diverges from declarative")
+      assert(native.count() == ref.count())
+    }
+    // empty / all-space text: no words vote, all bits 0
+    val z = Seq(("", 1L), ("   ", 2L)).toDF("text", "doc_id")
+      .select(expr("simhash_bits(text, 8)").as("h")).as[Long].collect()
+    assert(z.toSeq == Seq(0L, 0L))
+  }
+
   test("winnow_fps agrees with the SQL md5 rendering per gram") {
     WinnowFingerprints.register(spark)
     val one = Seq(("abcdefgh")).toDF("t")
