@@ -93,7 +93,8 @@ object SparkEntry {
     "text_winnow_fingerprint" -> Seq("doc_id", "fp"),
     "multimodal_meta" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),
-    "corpus_decontaminate" -> Seq("doc_id"))
+    "corpus_decontaminate" -> Seq("doc_id"),
+    "text_repetition" -> Seq("doc_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

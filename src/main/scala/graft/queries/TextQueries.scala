@@ -172,6 +172,43 @@ object TextQueries {
         |CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin)),
 
+    // Intra-document repetition — the "repeated phrases" quality rule
+    // (high duplicate-3-gram ratio marks boilerplate/spam): per document,
+    // total vs distinct word-3-grams and their ratio. Computed on ARRAYS
+    // (transform over index sequence + array_distinct), so it is per-row
+    // and shuffle-free — the declarative explode/groupBy equivalent (what
+    // the oracle runs) would shuffle every gram occurrence. Docs under 3
+    // words have no grams and report 0 repetition.
+    QueryDef("text_repetition",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), expr(
+          """transform(
+            |  CASE WHEN size(ws) >= 3 THEN sequence(1, size(ws) - 2)
+            |       ELSE CAST(array() AS array<int>) END,
+            |  i -> element_at(ws, i) || ' ' || element_at(ws, i + 1)
+            |       || ' ' || element_at(ws, i + 2))""".stripMargin)
+          .as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              col("n_distinct").cast("double") / col("n_grams").cast("double"))),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w)),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+        |  FROM g GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(c.n_grams, 0) AS n_grams,
+        |  coalesce(c.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(c.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) - CAST(c.n_distinct AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END AS rep_ratio
+        |FROM w LEFT JOIN c ON w.doc_id = c.doc_id""".stripMargin)),
+
     // Deterministic stratified (mixture) sampling — the training-data
     // MIXING op: each language stratum keeps a configured fraction of its
     // documents, selected by a hash of the stable key (md5(doc_id) prefix

@@ -84,6 +84,28 @@ class PlanQualitySpec extends SparkSpec {
       s"gram df-bound filter missing from plan:\n$p")
   }
 
+  test("corpus ops keep their scale shape: broadcast probe, pruned scan") {
+    // decontamination must stream the corpus through a BROADCAST join
+    // against the (bounded) eval gram set — a shuffled join would move
+    // the whole corpus gram explosion
+    val deco = plan("corpus_decontaminate")
+    assert(deco.contains("BroadcastHashJoin"),
+      "corpus_decontaminate must broadcast the eval gram set")
+    // the mix sample reads doc_id/lang/source only — scanning `text`
+    // for a sampling decision would read the whole corpus body
+    val mix = plan("corpus_mix_sample")
+    assert(!mix.contains("text"),
+      "corpus_mix_sample must not scan the text column")
+    // repetition is per-row array work: no Exchange anywhere before the
+    // contract ORDER BY (one shuffle-free pass over the corpus)
+    // formatted explain mentions each node twice (tree + detail), so one
+    // physical Exchange — the final contract sort — appears twice
+    val rep = plan("text_repetition")
+    val bodyExchanges = rep.split("Exchange").length - 1
+    assert(bodyExchanges <= 2,
+      s"text_repetition should be shuffle-free up to the sort:\n$rep")
+  }
+
   test("aggregates are partial (map-side combine) before the shuffle") {
     val q1 = plan("q1_pricing_summary")
     assert(q1.contains("partial_sum") || q1.contains("Partial"),
