@@ -11,3 +11,17 @@ object GraftInternal {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Bridge into `private[sql]` SparkSessionExtensions builders — used only
+  * by GraftExtensionsSpec to verify the plugin-path wiring without
+  * constructing a whole new session.
+  */
+object GraftExtensionsProbe {
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+  def injectedFunctionNames(ext: SparkSessionExtensions): Seq[String] =
+    ext.registerFunctions(
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+      .listFunction().map(_.funcName)
+}
