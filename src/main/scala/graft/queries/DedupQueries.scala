@@ -24,39 +24,12 @@ object DedupQueries {
 
   private val Hex = "0123456789abcdef"
 
-  /** Shared materializations of the expensive dedup intermediates (MinHash
-    * signatures, band candidates, verified near-dup pairs, the distinct
-    * (doc, gram) set), keyed by (session, data dir).
-    *
-    * Why this exists: the composed queries (`dedup_near_dup_pipeline`,
-    * `corpus_curation`, `text_edit_distance`) all rebuild the same
-    * candidates-then-verify pipeline — within one sweep that triples the
-    * most expensive computation. Persisting the intermediate ONCE and
-    * reusing the materialization (not just the builder code) makes the
-    * composition pay for candidates exactly once.
-    *
-    * Why `persist(MEMORY_AND_DISK)` and not `localCheckpoint`: checkpoint
-    * blocks are executor-local with lineage truncated — at cluster scale
-    * one lost executor fails the whole query instead of recomputing, and
-    * the eager materialization serializes the pipeline at that point.
-    * Persist is lazy and fault-tolerant (lineage retained, spill to disk);
-    * the eager `count()` below only guarantees the blocks exist before a
-    * self-join reads the same plan from both sides.
-    */
-  private val memo =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, String),
-        org.apache.spark.sql.DataFrame]
-
-  private def cached(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String)(build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    memo.getOrElseUpdate((s, d, tag), {
-      val df = build.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // populate blocks once; both sides of self-joins read them
-      df
-    })
+  // Shared materializations via Q.cached: the composed queries
+  // (dedup_near_dup_pipeline, corpus_curation, text_edit_distance,
+  // dedup_winnow_pairs) reuse one persisted computation of the MinHash
+  // signatures/candidates, verified near-dup pairs, distinct (doc, gram)
+  // set and simhash signatures, instead of rebuilding the most expensive
+  // stage once per registered query.
 
   /** Max document frequency a gram may have and still enter the Jaccard
     * self-join (see dedup_ngram_jaccard). 100 bounds any single join key
@@ -402,6 +375,51 @@ object DedupQueries {
         |SELECT doc_a, doc_b,
         |  CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5""".stripMargin))
+        |WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5""".stripMargin)),
+
+    // SUBSTRING-level near-dup via shared winnow fingerprints — the MOSS
+    // overlap detector: word-gram Jaccard misses partial CONTAINMENT (one
+    // document embedding a long passage of another, where overall
+    // similarity stays low). The overlap measure is containment —
+    // shared fingerprints / min(doc fingerprints) — which is ~1 for a
+    // contained passage regardless of the containing document's length;
+    // raw shared-count is meaningless at k=8 chars (common words collide
+    // constantly). Candidate generation is a fingerprint-key equi-join
+    // over the SHARED winnow materialization (never all-pairs),
+    // df-guarded like the gram join so one boilerplate substring cannot
+    // blow up a join key.
+    QueryDef("dedup_winnow_pairs",
+      (s, d) => {
+        val fps = TextQueries.winnowFps(s, d)
+        val rare = fps.groupBy("fp")
+          .agg(count(lit(1)).as("fp_df"))
+          .filter(col("fp_df") <= MaxGramDf)
+          .select("fp")
+        val g = fps.join(rare, "fp")
+        val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = g.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = g.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+        a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+          .withColumn("containment",
+            col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .filter(col("containment") >= 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            col("n_shared").cast("long").as("n_shared"), col("containment"))
+      },
+      Some(s"""${TextQueries.WinnowFpsSql},
+        |rare AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= $MaxGramDf),
+        |gg AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gg GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM gg a JOIN gg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin))
   )
 }

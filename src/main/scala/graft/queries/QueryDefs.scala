@@ -51,4 +51,30 @@ object Q {
     * non-negative values in this data.
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Shared materializations of expensive intermediates, keyed by
+    * (session, data dir, tag): composed queries (near-dup verify, corpus
+    * curation, winnow pairs, ...) reuse ONE persisted computation instead
+    * of rebuilding it per registered query.
+    *
+    * `persist(MEMORY_AND_DISK)` rather than `localCheckpoint`: checkpoint
+    * blocks are executor-local with lineage truncated — at cluster scale
+    * one lost executor fails the whole query instead of recomputing, and
+    * the eager materialization serializes the pipeline at that point.
+    * Persist is lazy and fault-tolerant; the eager `count()` only
+    * guarantees the blocks exist before a self-join reads the same plan
+    * from both sides.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  def cached(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, d, tag), {
+      val df = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // populate blocks once; self-joins then read them
+      df
+    })
 }

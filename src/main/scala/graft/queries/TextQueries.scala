@@ -18,6 +18,49 @@ object TextQueries {
   private def occurrencesSql(hay: String, needle: String): String =
     s"(length($hay) - length(replace($hay, '$needle', ''))) // ${needle.length}"
 
+  /** Distinct per-document winnow fingerprints (MOSS, k=8 w=4), computed
+    * block-locally with the native `winnow_fps` expression and persisted
+    * once per (session, dataset) — shared by the fingerprint query and the
+    * winnow-overlap dedup in [[DedupQueries]].
+    */
+  private[queries] def winnowFps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cached(s, d, "winnow_fps") {
+      graft.functions.WinnowFingerprints.register(s)
+      val k = 8; val w = 4; val b = 4096 // window-starts per block
+      table(s, d, "documents")
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - (k - 1) - (w - 1)).as("n_win"))
+        .select(col("doc_id"), col("text"), col("n_win"),
+          explode(sequence(lit(0),
+            floor((col("n_win") - 1) / b).cast("int"))).as("blk"))
+        .select(col("doc_id"),
+          col("text").substr(col("blk") * b + 1, lit(b + k + w - 2))
+            .as("btext"),
+          least(lit(b), col("n_win") - col("blk") * b).cast("int")
+            .as("loc_win"))
+        .select(col("doc_id"),
+          explode(expr(s"winnow_fps(btext, loc_win, $k, $w)")).as("fp"))
+        .distinct()
+    }
+
+  /** DuckDB rendering of [[winnowFps]]: a CTE prefix ending in
+    * `wfp(doc_id, fp)`. Keep in lockstep with the Spark builder.
+    */
+  private[queries] val WinnowFpsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i, length(text) AS len,
+      |    substr(md5(substr(text, i, 8)), 1, 8) AS gh
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(1, greatest(length(text) - 6, 1))) AS i
+      |    FROM documents WHERE length(text) >= 11)),
+      |w AS (SELECT doc_id, i, len,
+      |  min(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g),
+      |wfp AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= len - 7 - 3)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace split, word regex, BPE-ish segmentation.
@@ -123,36 +166,8 @@ object TextQueries {
     // shuffle is the final cross-block distinct, whose input is already
     // per-block deduped minima (~2/(w+1) of gram count).
     QueryDef("text_winnow_fingerprint",
-      (s, d) => {
-        graft.functions.WinnowFingerprints.register(s)
-        val k = 8; val w = 4; val b = 4096 // window-starts per block
-        table(s, d, "documents")
-          .filter(length(col("text")) >= k + w - 1)
-          .select(col("doc_id"), col("text"),
-            (length(col("text")) - (k - 1) - (w - 1)).as("n_win"))
-          .select(col("doc_id"), col("text"), col("n_win"),
-            explode(sequence(lit(0),
-              floor((col("n_win") - 1) / b).cast("int"))).as("blk"))
-          .select(col("doc_id"),
-            col("text").substr(col("blk") * b + 1, lit(b + k + w - 2))
-              .as("btext"),
-            least(lit(b), col("n_win") - col("blk") * b).cast("int")
-              .as("loc_win"))
-          .select(col("doc_id"),
-            explode(expr(s"winnow_fps(btext, loc_win, $k, $w)")).as("fp"))
-          .distinct()
-      },
-      Some("""WITH g AS (
-        |  SELECT doc_id, i, length(text) AS len,
-        |    substr(md5(substr(text, i, 8)), 1, 8) AS gh
-        |  FROM (SELECT doc_id, text,
-        |    unnest(range(1, greatest(length(text) - 6, 1))) AS i
-        |    FROM documents WHERE length(text) >= 11)),
-        |w AS (SELECT doc_id, i, len,
-        |  min(gh) OVER (PARTITION BY doc_id ORDER BY i
-        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM g)
-        |SELECT DISTINCT doc_id, fp FROM w WHERE i <= len - 7 - 3""".stripMargin)),
+      (s, d) => winnowFps(s, d),
+      Some(s"$WinnowFpsSql SELECT doc_id, fp FROM wfp")),
 
     // Multimodal plumbing: opaque binary content column + typed metadata.
     // (Real decode/feature-extract runs behind MultimodalPipeline's stub;
