@@ -64,6 +64,7 @@ object SparkEntry {
     "q_above_avg_orders" -> Seq("o_orderkey"),
     "q_approx_distinct" -> Seq("event_type"),
     "q_rollup_counts" -> Seq("o_orderstatus", "o_orderpriority"),
+    "q_cube_counts" -> Seq("o_orderstatus", "o_orderpriority"),
     "q_sessionize" -> Seq("event_id"),
     "dedup_exact" -> Seq("content_hash"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),

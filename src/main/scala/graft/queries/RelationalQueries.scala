@@ -422,6 +422,19 @@ object RelationalQueries {
       Some("""SELECT o_orderstatus, o_orderpriority,
         |CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin))
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // CUBE — all grouping-set combinations (the rollup above covers only
+    // the hierarchy prefixes). Spark expands the cube in a single Expand +
+    // one aggregation pass; the measure goes through integer cents like
+    // every aggregate in the contract.
+    QueryDef("q_cube_counts",
+      (s, d) => table(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin))
   )
 }
