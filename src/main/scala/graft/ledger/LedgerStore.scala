@@ -164,8 +164,9 @@ class LedgerStore(spark: SparkSession, dir: String,
     * was created (by a base or a plain-merge delta) at or before that
     * generation. One bounded aggregation keyed on `upload_id`.
     */
-  def read(): DataFrame = {
-    val ch = liveChain()
+  def read(): DataFrame = readChain(liveChain())
+
+  private def readChain(ch: Seq[ChainLink]): DataFrame = {
     if (ch.isEmpty) emptyLedger
     else if (ch.size == 1 && !ch.head.isDelta) snapshotDf(ch.head.dirName)
     else {
@@ -251,13 +252,21 @@ class LedgerStore(spark: SparkSession, dir: String,
         (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
       aligned.coalesce(parts).write.mode("overwrite").parquet(target.toString)
       val content = (if (requireExisting) "deltar:" else "delta:") + deltaName
+      // A delta does not depend on the state it was pinned against, so the
+      // head is read INSIDE the publish lock: same-JVM writers serialize
+      // loss-free (no bounded-retry starvation under contention). The
+      // bounded retry below only absorbs CROSS-process races, where each
+      // loss means another process made progress.
       var attempt = 0
       var published = false
       var lastLoss: ConcurrentLedgerWriteException = null
       while (!published && attempt < maxPublishRetries) {
         attempt += 1
-        try { publishPointer(content, currentPointer()); published = true }
-        catch {
+        try {
+          LedgerStore.publishLock(fs.makeQualified(rootPath).toString)
+            .synchronized { publishPointer(content, currentPointer()) }
+          published = true
+        } catch {
           case e: ConcurrentLedgerWriteException =>
             lastLoss = e // self-contained delta: re-publish at the new head
           case e: java.io.IOException =>
@@ -288,10 +297,16 @@ class LedgerStore(spark: SparkSession, dir: String,
   private def maybeCompact(): Unit = {
     val ch = liveChain()
     if (ch.count(_.isDelta) >= compactEvery) {
-      val merged = read().persist()
+      // The CAS pin MUST be the head of the SAME chain the merged state is
+      // computed from: pinning a fresh head at publish time would let a
+      // delta published in between be silently buried under a base that
+      // does not contain it (a lost update, found by LedgerCasSpec's
+      // merge-storm test).
+      val merged = readChain(ch).persist()
       try {
         val rows = merged.count() // materialize BEFORE touching pointers
-        try commitSnapshot(merged, rows, currentPointer())
+        try commitSnapshot(merged, rows,
+          ch.lastOption.map(l => (l.seq, l.dirName)))
         catch { case _: ConcurrentLedgerWriteException => () }
       } finally merged.unpersist()
     }

@@ -103,6 +103,35 @@ class LedgerCasSpec extends SparkSpec {
     assert(row.getAs[String]("status") == UploadStatus.Pending)
   }
 
+  test("many merges across repeated compactions keep exact per-key state") {
+    val store = new LedgerStore(spark, tmpDir("churn-ledger"), compactEvery = 3)
+    for (i <- 1 to 20)
+      store.merge(Seq((s"u${i % 5}", UploadStatus.Pending, i.toLong))
+        .toDF("upload_id", "status", "lines_processed"))
+    val got = store.read()
+      .select("upload_id", "lines_processed")
+      .as[(String, Long)].collect().toMap
+    // last writer per key wins: key u_k carries the highest i with i%5==k
+    val expect = (1 to 20).groupBy(i => s"u${i % 5}")
+      .view.mapValues(_.max.toLong).toMap
+    assert(got == expect)
+  }
+
+  test("a concurrent merge storm with compaction loses no update") {
+    val store = new LedgerStore(spark, tmpDir("storm-ledger"), compactEvery = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    Await.result(Future.sequence((1 to 6).map { t =>
+      Future {
+        (1 to 3).foreach { i => store.merge(rows(s"t$t-m$i")) }
+      }
+    }), 5.minutes)
+    val ids = store.read().select("upload_id").as[String].collect().toSet
+    val expect = (for (t <- 1 to 6; i <- 1 to 3) yield s"t$t-m$i").toSet
+    assert(ids == expect) // every writer's every merge survived
+  }
+
   test("racing merges: at most one winner per sequence, no lost updates") {
     val store = new LedgerStore(spark, tmpDir("cas-race"))
     store.merge(rows("seed"))
