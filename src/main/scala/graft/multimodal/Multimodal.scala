@@ -28,13 +28,18 @@ case class MediaFeature(
   *
   * Real in this module: the binary-column schema, the partition-parallel
   * batch shape (`mapPartitions` — one decoder init per partition, the same
-  * contract a Pandas-batch UDF gives PySpark), the feature schema, and the
-  * resize/frame-sample dataflow.
+  * contract a Pandas-batch UDF gives PySpark), the feature schema, the
+  * resize/frame-sample dataflow — and REAL decoders for the two container
+  * formats whose parsing is pure byte arithmetic: BMP (DIB header →
+  * width/height) and canonical PCM WAV (RIFF header → sample rate,
+  * channels, sample count). For audio the generic feature triple maps as
+  * width = sample rate, height = channels, n_frames = PCM sample frames.
   *
-  * STUBBED — clearly and deliberately: `decodeStub` stands in for a real
-  * image/audio decoder (no media libraries ship in this environment). It is
-  * a deterministic function of the bytes, so tests are exact; swapping in a
-  * real decoder changes ONE function and nothing about the dataflow.
+  * STUBBED — clearly and deliberately: blobs in formats that need a codec
+  * (JPEG/PNG/MP4 — no media libraries ship in this environment) fall back
+  * to `decodeStub`, a deterministic function of the bytes, so tests stay
+  * exact; swapping in a real codec changes ONE dispatch arm and nothing
+  * about the dataflow.
   *
   * Scale notes: decode is embarrassingly parallel and pipelined per
   * partition (no shuffle); feature output is tiny vs input, so the stage is
@@ -44,9 +49,57 @@ case class MediaFeature(
   */
 object Multimodal {
 
-  /** Deterministic fake decode: header-derived pseudo-dimensions.
-    * REPLACE with a real decoder (e.g. javax.imageio / ffmpeg bindings)
-    * when the runtime has them — keep the signature.
+  @inline private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  @inline private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  @inline private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL BMP decode: 'BM' magic + BITMAPINFOHEADER width/height (height
+    * may be negative = top-down; dimensions sanity-bounded).
+    */
+  private[multimodal] def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      val w = le32(b, 18)
+      val h = math.abs(le32(b, 22))
+      if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20)) Some((w, h, 1))
+      else None
+    } else None
+
+  /** REAL canonical PCM WAV decode: RIFF/WAVE/fmt/data layout → (sample
+    * rate, channels, PCM sample frames). Non-canonical chunk layouts fall
+    * through to the stub.
+    */
+  private[multimodal] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE" &&
+        tag(b, 12) == "fmt " && tag(b, 36) == "data") {
+      val channels = le16(b, 22)
+      val rate = le32(b, 24)
+      val bits = le16(b, 34)
+      val dataLen = math.max(0, math.min(le32(b, 40), b.length - 44))
+      val bytesPerFrame = channels * math.max(bits / 8, 1)
+      if (channels > 0 && channels <= 16 && rate > 0 && bytesPerFrame > 0)
+        Some((rate, channels, dataLen / bytesPerFrame))
+      else None
+    } else None
+
+  /** Decode dispatch: real header parse where the format allows it, the
+    * deterministic stub for codec-requiring formats.
+    */
+  private[multimodal] def decode(mediaType: String,
+      bytes: Array[Byte]): (Int, Int, Int, Boolean) =
+    if (bytes == null || bytes.isEmpty) (0, 0, 0, false)
+    else decodeBmp(bytes).orElse(decodeWav(bytes)) match {
+      case Some((w, h, f)) => (w, h, f, true)
+      case None => decodeStub(mediaType, bytes)
+    }
+
+  /** Deterministic fake decode for formats needing a codec this runtime
+    * does not ship: header-derived pseudo-dimensions. REPLACE with a real
+    * codec (javax.imageio / ffmpeg bindings) when available — keep the
+    * signature.
     */
   private[multimodal] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Boolean) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, false)
@@ -70,7 +123,7 @@ object Multimodal {
       // partition-local init happens HERE (decoder handles, model weights…)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val (w, h, f, ok) = decodeStub(r.media_type, r.content)
+        val (w, h, f, ok) = decode(r.media_type, r.content)
         digest.reset()
         val fp = digest.digest(if (r.content == null) Array.empty else r.content)
           .take(8).map("%02x".format(_)).mkString
@@ -98,19 +151,70 @@ object Multimodal {
         expr(s"substring(content, chunk_idx * $chunkBytes + 1, $chunkBytes)")
           .as("chunk"))
 
+  /** Minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    * `payload` as pixel data (24bpp declared).
+    */
+  private[multimodal] def bmpBytes(width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + payload.length) // file size
+      .putShort(0).putShort(0)
+      .putInt(54)                  // pixel-data offset
+      .putInt(40)                  // BITMAPINFOHEADER size
+      .putInt(width).putInt(height)
+      .putShort(1)                 // planes
+      .putShort(24)                // bpp
+      .putInt(0)                   // BI_RGB
+      .putInt(payload.length)      // image size
+      .putInt(2835).putInt(2835)   // 72 dpi
+      .putInt(0).putInt(0)
+      .put(payload)
+    out.array()
+  }
+
+  /** Canonical 44-byte PCM WAV header + `payload` as sample data. */
+  private[multimodal] def wavBytes(channels: Int, sampleRate: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val bits = 16
+    val out = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + payload.length)
+      .put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1)                      // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes).putInt(payload.length)
+      .put(payload)
+    out.array()
+  }
+
   /** Deterministic synthetic media table derived from `documents` — the
-    * test corpus has no real media; payload bytes are the doc text, typed
-    * round-robin. Lets every multimodal stage run at any scale factor.
+    * test corpus has no real media. Image rows are VALID BMP blobs and
+    * audio rows VALID canonical WAV blobs (dimensions/rates derived from
+    * the doc), so the real header decoders run end-to-end; video rows stay
+    * opaque payloads on the documented stub path. Lets every multimodal
+    * stage run at any scale factor.
     */
   def syntheticFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      col("source"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 => MediaRow(id, "image",
+            bmpBytes(1 + (text.length % 64), 1 + (id % 32).toInt, payload), src)
+          case 1 => MediaRow(id, "audio",
+            wavBytes(1 + (id % 2).toInt,
+              if (id % 4 == 1) 16000 else 8000, payload), src)
+          case _ => MediaRow(id, "video", payload, src)
+        }
+      }
   }
 }

@@ -35,6 +35,31 @@ class MultimodalSpec extends SparkSpec {
     assert(video.forall(f => f.n_frames == 1 + f.n_bytes / 4096))
   }
 
+  test("BMP and WAV headers decode for real; video stays on the stub") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", length($"text").as("len"))
+      .as[(Long, Int)].collect().toMap
+    val f = Multimodal.extractFeatures(corpus()).collect()
+    f.filter(_.media_type == "image").foreach { r =>
+      // dimensions must be exactly what the generator wrote to the header
+      assert(r.width == 1 + (docs(r.media_id) % 64), s"bmp width: $r")
+      assert(r.height == 1 + (r.media_id % 32).toInt, s"bmp height: $r")
+      assert(r.n_frames == 1 && r.ok)
+    }
+    f.filter(_.media_type == "audio").foreach { r =>
+      val channels = 1 + (r.media_id % 2).toInt
+      val rate = if (r.media_id % 4 == 1) 16000 else 8000
+      assert(r.width == rate && r.height == channels, s"wav header: $r")
+      // 16-bit PCM: payload bytes / (channels * 2) sample frames
+      assert(r.n_frames == docs(r.media_id) / (channels * 2), s"wav frames: $r")
+    }
+    // malformed blobs of a decodable type degrade to the stub, not a crash
+    val bad = Seq(MediaRow(99L, "image",
+      "BMnot-actually-a-bitmap".getBytes, "s")).toDS()
+    val br = Multimodal.extractFeatures(bad).collect().head
+    assert(br.ok && br.width > 0 && br.height > 0 && br.n_frames == 1)
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)
