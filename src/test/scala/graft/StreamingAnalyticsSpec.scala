@@ -37,6 +37,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup within watermark drops cross-batch redeliveries") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-events")
+    val cp = tmpDir("dedup-cp")
+    val src = spark.read.schema(StreamingAnalytics.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"event_id" < 200)
+
+    // wave 1: the events; wave 2: the SAME events again (at-least-once
+    // redelivery) plus a fresh tail — the dedup state must survive the
+    // micro-batch boundary and absorb the duplicates
+    src.filter($"event_id" < 100).write.parquet(s"$dir/b1")
+    val deduped = spark.readStream
+      .schema(StreamingAnalytics.eventsSchema).parquet(s"$dir/*")
+      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_ts", "10 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      src.write.parquet(s"$dir/b2") // full redelivery + tail
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sdedup").select("event_id").as[Long].collect()
+    assert(got.length == got.distinct.length) // no duplicate survived
+    assert(got.toSet == src.select("event_id").as[Long].collect().toSet)
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val dir = tmpDir("state-events")
