@@ -129,6 +129,35 @@ class IngestPipelineSpec extends SparkSpec {
     assert(store.read().count() == before) // nothing lost, nothing added
   }
 
+  test("a crash between the pending merge and processing recovers on rerun") {
+    // stage-1-only crash: the detect stage marked uploads `pending` and
+    // died before any processing — the reference's equivalent is a
+    // published Pub/Sub message whose process function never ran. Leftover
+    // pending rows must not block, duplicate, or corrupt the next pass
+    // (only `done` blocks reprocessing — SURVEY §2.7.4).
+    val (inbox, store, _, pipe) = harness()
+    val pending = pipe.discover(inbox)
+      .filter(graft.functions.IngestFunctions.isCsvPath($"file_name"))
+      .select(
+        graft.functions.IngestFunctions.uploadId(
+          $"bucket_name", $"file_name", $"file_size", $"created_iso")
+          .as("upload_id"),
+        $"bucket_name", $"file_name", $"file_size",
+        lit("pending").as("status"), current_timestamp().as("queued_at"))
+    store.merge(pending)
+    assert(store.read().filter($"status" === "pending").count() == 3)
+
+    val r = pipe.runOnce(inbox) // the recovery pass
+    assert(r.done == 2 && r.failed == 1)
+    val ledger = store.read()
+    assert(ledger.count() == 3) // no duplicated rows for the same upload
+    assert(ledger.filter($"status" === "pending").isEmpty)
+    val good = ledger.filter($"file_name" === "good.csv").collect().head
+    assert(good.getAs[String]("status") == "done")
+    assert(good.getAs[Long]("lines_processed") == 7L)
+    assert(good.getAs[java.sql.Timestamp]("queued_at") != null) // preserved
+  }
+
   test("a lazy reader from before a merge survives one generation") {
     val (inbox, store, _, pipe) = harness()
     pipe.runOnce(inbox)
