@@ -103,6 +103,23 @@ class LedgerCasSpec extends SparkSpec {
     assert(row.getAs[String]("status") == UploadStatus.Pending)
   }
 
+  test("point lookups push the key filter through merge-on-read") {
+    val store = new LedgerStore(spark, tmpDir("pushdown-ledger"))
+    store.merge(rows("u1", "u2"))
+    store.merge(Seq(("u1", UploadStatus.Done)).toDF("upload_id", "status"),
+      requireExisting = true)
+    // chain = 2 deltas → read() is the join + aggregate form; the key
+    // equality must still reach the parquet scans as a pushed filter, so
+    // a point lookup stays footer-priced instead of scanning the chain
+    val plan = store.read().filter($"upload_id" === "u1")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "EqualTo\\(upload_id,u1\\)".r.findAllIn(plan).length
+    assert(pushed >= 2, s"key filter must push into every chain scan:\n$plan")
+    val row = store.read().filter($"upload_id" === "u1").collect().head
+    assert(row.getAs[String]("status") == UploadStatus.Done)
+  }
+
   test("many merges across repeated compactions keep exact per-key state") {
     val store = new LedgerStore(spark, tmpDir("churn-ledger"), compactEvery = 3)
     for (i <- 1 to 20)
