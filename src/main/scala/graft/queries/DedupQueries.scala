@@ -391,12 +391,19 @@ object DedupQueries {
     QueryDef("dedup_winnow_pairs",
       (s, d) => {
         val fps = TextQueries.winnowFps(s, d)
-        val rare = fps.groupBy("fp")
-          .agg(count(lit(1)).as("fp_df"))
-          .filter(col("fp_df") <= MaxGramDf)
+        val dfs = fps.groupBy("fp").agg(count(lit(1)).as("fp_df"))
+        // denominator universe: df-guarded fps (hot-substring cap)
+        val kept = dfs.filter(col("fp_df") <= MaxGramDf).select("fp")
+        val sz = fps.join(kept, "fp")
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // join universe: additionally drop SINGLETON fps — a df=1
+        // fingerprint cannot produce a pair, and in random text most fps
+        // are singletons, so this cuts the self-join input by an order of
+        // magnitude without changing a single output row
+        val pairable = dfs
+          .filter(col("fp_df") >= 2 && col("fp_df") <= MaxGramDf)
           .select("fp")
-        val g = fps.join(rare, "fp")
-        val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val g = fps.join(pairable, "fp")
         val a = g.select(col("doc_id").as("doc_a"), col("fp"))
         val b = g.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
         a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
@@ -411,9 +418,12 @@ object DedupQueries {
             col("n_shared").cast("long").as("n_shared"), col("containment"))
       },
       Some(s"""${TextQueries.WinnowFpsSql},
-        |rare AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= $MaxGramDf),
-        |gg AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM gg GROUP BY doc_id),
+        |dfs AS (SELECT fp, count(*) AS fp_df FROM wfp GROUP BY fp),
+        |kept AS (SELECT fp FROM dfs WHERE fp_df <= $MaxGramDf),
+        |sz AS (SELECT doc_id, count(*) AS n
+        |  FROM wfp JOIN kept USING (fp) GROUP BY doc_id),
+        |pairable AS (SELECT fp FROM dfs WHERE fp_df BETWEEN 2 AND $MaxGramDf),
+        |gg AS (SELECT doc_id, fp FROM wfp JOIN pairable USING (fp)),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |  FROM gg a JOIN gg b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
