@@ -96,7 +96,8 @@ object SparkEntry {
     "corpus_mix_sample" -> Seq("doc_id"),
     "corpus_decontaminate" -> Seq("doc_id"),
     "text_repetition" -> Seq("doc_id"),
-    "dedup_winnow_pairs" -> Seq("doc_a", "doc_b"))
+    "dedup_winnow_pairs" -> Seq("doc_a", "doc_b"),
+    "dedup_clusters" -> Seq("doc_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

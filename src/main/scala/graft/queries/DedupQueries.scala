@@ -430,6 +430,42 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
         |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin))
+        |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin)),
+
+    // Duplicate CLUSTERS: the transitive closure of the verified near-dup
+    // pairs. Pairwise removal over-keeps — a~b and b~c make {a,b,c} one
+    // duplicate group even when a~c never surfaced as a pair (MinHash
+    // banding is probabilistic), so real corpus dedup groups pairs into
+    // connected components and keeps ONE representative (min doc_id) per
+    // component. Computed by graft.operators.ConnectedComponents:
+    // label propagation + pointer jumping, O(log diameter) rounds, one
+    // scalar per round on the driver. The DuckDB oracle walks the same
+    // graph with a recursive CTE (min reachable id per vertex) — a
+    // different algorithm arriving at the identical fixpoint, which makes
+    // it a genuine cross-check rather than a re-run.
+    QueryDef("dedup_clusters",
+      (s, d) => cached(s, d, "dedup_clusters") {
+        val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+        val (labels, _) = graft.operators.ConnectedComponents.run(pairs)
+        val rep = labels
+          .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+        // clusters are few and tiny relative to the corpus — broadcast
+        val sizes = rep.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        rep.join(broadcast(sizes), "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      },
+      Some(s"""${NearDupSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT doc_a AS u, doc_b AS w FROM ndup
+        |  UNION SELECT doc_b, doc_a FROM ndup),
+        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT rc.v, e.w FROM reach rc JOIN edges e ON e.u = rc.r),
+        |rep AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM rep""".stripMargin))
   )
 }
