@@ -97,7 +97,9 @@ object SparkEntry {
     "corpus_decontaminate" -> Seq("doc_id"),
     "text_repetition" -> Seq("doc_id"),
     "dedup_winnow_pairs" -> Seq("doc_a", "doc_b"),
-    "dedup_clusters" -> Seq("doc_id"))
+    "dedup_clusters" -> Seq("doc_id"),
+    "dedup_incremental" -> Seq("doc_id"),
+    "st_session_window" -> Seq("user_id", "session_start"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

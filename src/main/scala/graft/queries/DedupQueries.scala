@@ -84,12 +84,16 @@ object DedupQueries {
     * shuffles nothing. Docs shorter than one shingle yield an empty array =
     * no bands, matching the oracle's empty shingle set.
     */
-  private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
+  /** One (doc_id, band, bv) row per document per LSH band, persisted once:
+    * feeds the candidate self-join AND the incremental batch-vs-index
+    * probe.
+    */
+  private def minhashBands(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    cached(s, d, "minhash_cand") {
+    cached(s, d, "minhash_bands") {
       graft.functions.MinhashSigs.register(s)
-      // one row per doc — persisted so the band self-join below does not
-      // re-run the digest loop on both sides
+      // one row per doc — persisted so band derivation does not re-run the
+      // digest loop per consumer
       val mh = cached(s, d, "minhash_sigs") {
         table(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
@@ -99,8 +103,14 @@ object DedupQueries {
       val bandCols = (0 to 3).map(b => concat(
         element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
         element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
-      val bands = mh.select(col("doc_id"),
+      mh.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    }
+
+  private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cached(s, d, "minhash_cand") {
+      val bands = minhashBands(s, d)
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
       val b = bands.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("bv").as("bv_b"))
@@ -109,10 +119,10 @@ object DedupQueries {
         .select("doc_a", "doc_b").distinct()
     }
 
-  /** DuckDB rendering of [[minhashCandidates]]: a CTE prefix ending in
-    * `cand(doc_a, doc_b)`. Keep in lockstep with the Spark builder.
+  /** DuckDB rendering of [[minhashBands]]: a CTE prefix ending in
+    * `bands(doc_id, band, bv)`. Keep in lockstep with the Spark builder.
     */
-  private val MinhashCandSql: String = {
+  private val MinhashBandsSql: String = {
     val mhs = (0 until 16)
       .map(j => s"min(substr(h, ${6 * j + 1}, 6)) AS mh$j")
       .mkString(", ")
@@ -123,11 +133,17 @@ object DedupQueries {
       |sh AS (SELECT doc_id, sha256(substr(t, i, 5)) || md5(substr(t, i, 5)) AS h
       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1), 2)) AS i FROM t)),
       |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
-      |bands AS ($bands),
+      |bands AS ($bands)""".stripMargin
+  }
+
+  /** DuckDB rendering of [[minhashCandidates]]: a CTE prefix ending in
+    * `cand(doc_a, doc_b)`.
+    */
+  private val MinhashCandSql: String =
+    s"""$MinhashBandsSql,
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** The composed near-dup path: MinHash band candidates, then the exact
     * word-3-gram Jaccard verify computed ONLY for candidate pairs — the
@@ -466,6 +482,60 @@ object DedupQueries {
         |rep AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-        |FROM rep""".stripMargin))
+        |FROM rep""".stripMargin)),
+
+    // INCREMENTAL dedup: admit a new batch against an already-indexed
+    // corpus without re-reading corpus text. At 100 TB you never re-dedup
+    // the whole corpus per arriving batch — you keep a signature index
+    // (content digest + MinHash band values, exactly what the shared
+    // materializations above are) and join the batch's signatures against
+    // it: the corpus-sized side is touched once and ONLY through its
+    // index; the batch side is tiny and broadcast. Batch = doc_id % 10 == 9
+    // (a scale-free stand-in for "today's crawl"). Verdicts:
+    // exact_dup (digest collision), near_dup_candidate (band collision —
+    // the S-curve recall stage; a full pipeline would Jaccard-verify these
+    // against the matched docs only), else admit. match_id = the lowest
+    // colliding corpus doc.
+    QueryDef("dedup_incremental",
+      (s, d) => {
+        val isBatch = col("doc_id") % 10 === 9
+        val hashes = table(s, d, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        val bH = hashes.filter(isBatch)
+        val ex = hashes.filter(!isBatch)
+          .select(col("h"), col("doc_id").as("cid"))
+          .join(broadcast(bH), "h")
+          .groupBy("doc_id").agg(min("cid").as("ex_m"))
+        val bands = minhashBands(s, d)
+        val nb = bands.filter(!isBatch)
+          .select(col("band"), col("bv"), col("doc_id").as("cid"))
+          .join(broadcast(bands.filter(isBatch)), Seq("band", "bv"))
+          .groupBy("doc_id").agg(min("cid").as("nb_m"))
+        bH.select("doc_id")
+          .join(ex, Seq("doc_id"), "left")
+          .join(nb, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex_m").isNotNull, lit("exact_dup"))
+              .when(col("nb_m").isNotNull, lit("near_dup_candidate"))
+              .otherwise(lit("admit")).as("verdict"),
+            coalesce(col("ex_m"), col("nb_m")).as("match_id"))
+      },
+      Some(s"""$MinhashBandsSql,
+        |hs AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |ex AS (SELECT b.doc_id, min(c.doc_id) AS ex_m
+        |  FROM hs b JOIN hs c ON b.h = c.h
+        |  WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9 GROUP BY 1),
+        |nb AS (SELECT b.doc_id, min(c.doc_id) AS nb_m
+        |  FROM bands b JOIN bands c ON b.band = c.band AND b.bv = c.bv
+        |  WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9 GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN ex.ex_m IS NOT NULL THEN 'exact_dup'
+        |       WHEN nb.nb_m IS NOT NULL THEN 'near_dup_candidate'
+        |       ELSE 'admit' END AS verdict,
+        |  COALESCE(ex.ex_m, nb.nb_m) AS match_id
+        |FROM hs b
+        |LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN nb ON b.doc_id = nb.doc_id
+        |WHERE b.doc_id % 10 = 9""".stripMargin))
   )
 }

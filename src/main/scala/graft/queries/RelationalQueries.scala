@@ -187,6 +187,38 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM g""".stripMargin)),
 
+    // Native session windows: Spark's session_window() operator — the
+    // STREAMING-capable session primitive (q_sessionize's window-function
+    // form cannot run incrementally; this one drops into readStream +
+    // watermark unchanged). Semantics quirk the oracle must mirror: Spark
+    // merges sessions whose [ts, ts+gap) intervals OVERLAP, so a gap of
+    // exactly 30 min starts a NEW session (>= in the oracle, where
+    // q_sessionize's lag-form uses >). Session end = last event + gap.
+    QueryDef("st_session_window",
+      (s, d) => table(s, d, "events")
+        .select(col("user_id"), tsCol.as("ts"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("session_end"),
+          col("n_events")),
+      Some("""WITH e AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+        |       THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts_us) AS session_start,
+        |  max(ts_us) + 1800000000 AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // TPC-H Q7 shape: bilateral volume between two customer/supplier
     // nations, by year — join-heavy with a symmetric OR-pair predicate.
     QueryDef("q7_nation_volume",
