@@ -106,6 +106,19 @@ class PlanQualitySpec extends SparkSpec {
       s"text_repetition should be shuffle-free up to the sort:\n$rep")
   }
 
+  test("incremental dedup broadcasts the batch side, never the corpus") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch-signature joins must broadcast the small batch side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("session windows prune the events scan to user_id + ts") {
+    val p = plan("st_session_window")
+    assert(!p.contains("event_type") && !p.contains("props"),
+      s"st_session_window must not scan unused event columns:\n$p")
+  }
+
   test("aggregates are partial (map-side combine) before the shuffle") {
     val q1 = plan("q1_pricing_summary")
     assert(q1.contains("partial_sum") || q1.contains("Partial"),

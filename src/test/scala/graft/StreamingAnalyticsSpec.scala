@@ -67,6 +67,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.toSet == src.select("event_id").as[Long].collect().toSet)
   }
 
+  test("session windows run incrementally: streaming result == batch") {
+    // the same session_window() aggregation the st_session_window contract
+    // query registers, run as an actual stream — proves the operator's
+    // streaming capability, not just its batch semantics
+    val dir = tmpDir("session-events")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_ts", "10 days")
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
+    val q = sessions(spark.readStream
+        .schema(StreamingAnalytics.eventsSchema).parquet(dir))
+      .writeStream.format("memory").queryName("ssw")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ssw")
+      .orderBy("user_id", "session_start").collect()
+    val batch = sessions(spark.read
+        .schema(StreamingAnalytics.eventsSchema).parquet(dir))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == batch.length && got.length > 0)
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val dir = tmpDir("state-events")
