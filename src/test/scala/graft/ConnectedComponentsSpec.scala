@@ -39,6 +39,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(df.count() == 0 && rounds == 0)
   }
 
+  test("random graphs match a driver-side union-find (different algorithm)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 30
+      val edges = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x))
+        parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(v =>
+        v -> touched.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val (got, _) = labelsOf(edges)
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("star graph converges in few rounds regardless of fan-out") {
     val star = (1L to 200L).map(i => (0L, i))
     val (lbl, rounds) = labelsOf(star)
