@@ -118,6 +118,50 @@ object PipelineQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_k,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_v
-        |FROM documents WHERE doc_id < 100 AND doc_id % 7 <> 0""".stripMargin))
+        |FROM documents WHERE doc_id < 100 AND doc_id % 7 <> 0""".stripMargin)),
+
+    // Streaming corpus admission (StreamingDedup): replay `documents` as
+    // three deterministic micro-batches (batch = doc_id % 3) against a
+    // fresh signature index, then REDELIVER the middle batch — at-least-
+    // once delivery over the idempotent partition-overwrite admission.
+    // A document is admitted iff it is the min doc_id of its content
+    // within the FIRST batch that carries that content; the redelivery
+    // must not change the set. The oracle replays exactly that rule
+    // declaratively (batch order 0,1,2 — not global min: a content whose
+    // lowest doc_id arrives in a LATER batch is still represented by its
+    // first-batch copy). `documents` carries no exact-duplicate text, so
+    // the corpus is augmented with deterministic copies — +30000 keeps
+    // the batch (within-batch dup: the original wins as min), +10000
+    // shifts batch by one (cross-batch dup; for b=2 originals the COPY
+    // arrives first in batch 0 and wins despite the higher doc_id).
+    QueryDef("st_dedup_admission",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft-sdd-").toString
+        val src = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val docs = src
+          .unionAll(src.filter(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 30000))
+          .unionAll(src.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        val wave = (b: Long) => docs.filter(col("doc_id") % 3 === b)
+        (0L to 2L).foreach(b =>
+          graft.streaming.StreamingDedup.processBatch(
+            s, wave(b), b, s"$tmp/index", s"$tmp/out"))
+        // worst-case redelivery: batch 1 re-presented in full
+        graft.streaming.StreamingDedup.processBatch(
+          s, wave(1L), 1L, s"$tmp/index", s"$tmp/out")
+        cleanupAfter(tmp) {
+          s.read.parquet(s"$tmp/out").select(col("doc_id"),
+            col("ingest_batch").cast("long").as("ingest_batch"))
+        }
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, text, doc_id % 3 AS b FROM aug),
+        |f AS (SELECT text, min(b) AS b FROM t GROUP BY text)
+        |SELECT min(t.doc_id) AS doc_id, CAST(t.b AS BIGINT) AS ingest_batch
+        |FROM t JOIN f USING (text, b) GROUP BY t.text, t.b""".stripMargin))
   )
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous corpus admission: the streaming form of `dedup_incremental`.
+  * Documents arrive in micro-batches; each batch is admitted against a
+  * persistent content-signature index so the corpus never contains two
+  * copies of the same content — across batches, within a batch, and
+  * across micro-batch RETRIES.
+  *
+  * Exactly-once effect without a transactional store (the same discipline
+  * as the ingest ledger, SURVEY.md §2.6): both the admitted-docs output
+  * and the signature index are hive-partitioned by `ingest_batch` and
+  * written with DYNAMIC partition overwrite, so a re-run of batch N
+  * replaces exactly batch N's partitions and touches nothing else; and
+  * the anti-join reads the index EXCLUDING batch N's own partition, so a
+  * half-written previous attempt cannot make the re-run drop its own
+  * documents. Net: retries converge to the same admitted set.
+  *
+  * Scale: the batch side of the anti-join is one micro-batch (small —
+  * Spark builds the hash table on it via the left_anti build-right rule
+  * only if the INDEX is the build side, so at corpus scale register the
+  * index as a table bucketed by content_hash — graft.operators.Bucketing
+  * — and the per-batch anti-join shuffles only the batch). The index
+  * carries (content_hash, doc_id, ingest_batch) — bytes per document,
+  * never text.
+  */
+object StreamingDedup {
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("content_hash", StringType),
+    StructField("doc_id", LongType),
+    StructField("ingest_batch", LongType)))
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    if (fs(spark, indexDir).exists(new org.apache.hadoop.fs.Path(indexDir)))
+      spark.read.schema(indexSchema).parquet(indexDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+
+  /** Admit one micro-batch. Idempotent per (batch contents, batchId):
+    * re-running overwrites batch N's own output/index partitions and
+    * ignores them as dedup evidence while re-deciding.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String): Unit = {
+    val sigs = batch
+      .withColumn("content_hash", sha2(col("text"), 256))
+    // within-batch dedup: deterministic representative = min doc_id
+    val reps = sigs.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    // cross-batch dedup: evidence = every OTHER batch's signatures
+    val evidence = readIndex(spark, indexDir)
+      .filter(col("ingest_batch") =!= batchId)
+      .select("content_hash")
+    val novel = reps.join(evidence, Seq("content_hash"), "left_anti")
+    // materialize the admission decision BEFORE writing: the index write
+    // below overwrites a path this plan reads (Spark rejects that), and a
+    // bounded micro-batch is exactly what localCheckpoint is for
+    val admitted = novel.join(sigs.select("doc_id", "text", "content_hash")
+        .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
+      .withColumn("ingest_batch", lit(batchId))
+      .localCheckpoint(true)
+    admitted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir)
+    admitted.select("content_hash", "doc_id", "ingest_batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(indexDir)
+  }
+
+  /** Wire into a stream of (doc_id, text) rows. */
+  def start(spark: SparkSession, docs: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(spark, batch, id, indexDir, outDir)
+      }
+      .start()
+}
