@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_salted_agg" -> Seq("user_id"),
     "st_user_state" -> Seq("user_id"),
+    "st_stream_join" -> Seq("view_id", "purchase_id"),
     "q_range_join" -> Seq("event_id"),
     "q_percentiles" -> Seq("event_type"),
     "q_heavy_hitters" -> Seq("value"),

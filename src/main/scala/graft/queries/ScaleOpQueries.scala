@@ -46,6 +46,30 @@ object ScaleOpQueries {
         |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Stream-stream interval join (StreamingAnalytics.attributionJoin) in
+    // its batch-planned form: each view joined to the same user's
+    // purchases within the next hour. The STREAMING execution — two file
+    // streams, watermarks on both sides, symmetric hash join with
+    // watermark-driven state eviction — is StreamingAnalyticsSpec's job;
+    // this oracles the join semantics (equi key + time range residual,
+    // lag arithmetic) on the identical plan.
+    QueryDef("st_stream_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        graft.streaming.StreamingAnalytics.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us,
+        |  CAST(round(p.value * 100) AS BIGINT) AS purchase_value_c
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin)),
+
     // Range (interval) join, bucketized: Spark plans a raw
     // `s.ts BETWEEN e.ts AND e.ts + W` join as a nested loop — quadratic
     // at corpus scale. The scale shape: quantize time into buckets of the

@@ -70,6 +70,40 @@ object StreamingAnalytics {
         })
   }
 
+  /** Stream-stream event-time interval join (attribution): each `view`
+    * event joined to the same user's `purchase` events within
+    * [view_time, view_time + horizon]. On streaming inputs both sides
+    * carry watermarks and the range condition bounds the join state:
+    * Spark's streaming symmetric hash join evicts a buffered view once the
+    * purchase watermark passes view_time + horizon (and a purchase once
+    * the view watermark passes its time) — state is O(events per horizon
+    * window), independent of stream length. The equi key (user_id) keeps
+    * it a hash join, never a nested loop; the range is a residual filter.
+    * The identical plan runs on batch inputs (planned as a plain
+    * shuffled equi-join + residual), which is how the DuckDB oracle
+    * replays it (`st_stream_join`).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame = {
+      val t = df.select(
+        col("event_id").as(s"${side}_id"),
+        col("user_id").as(s"${side}_user"),
+        timestamp_micros(expr("ts DIV 1000")).as(s"${side}_time"),
+        round(col("value") * 100).cast("long").as(s"${side}_value_c"))
+      if (t.isStreaming) t.withWatermark(s"${side}_time", watermark) else t
+    }
+    prep(views, "view").join(prep(purchases, "purchase"),
+      expr("view_user = purchase_user AND " +
+        "purchase_time >= view_time AND " +
+        s"purchase_time <= view_time + interval $horizon"))
+      .select(col("view_id"), col("purchase_id"),
+        col("view_user").as("user_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("view_time")))
+          .as("lag_us"),
+        col("purchase_value_c"))
+  }
+
   /** Tumbling event-time windows with a watermark: per (hour, event_type)
     * counts and exact value cents. Works on both streaming and batch
     * DataFrames (same plan, incrementalized by the streaming runner).

@@ -101,6 +101,55 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join: waves == batch, state bounded by watermark") {
+    import spark.implicits._
+    val vDir = tmpDir("ssj-views")
+    val pDir = tmpDir("ssj-purchases")
+    val cp = tmpDir("ssj-cp")
+    val src = spark.read.schema(StreamingAnalytics.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val views = src.filter($"event_type" === "view")
+    val purchases = src.filter($"event_type" === "purchase")
+
+    // waves split by TIME, not id: late-past-watermark input would be
+    // dropped by the streaming join and diverge from the batch plan
+    val Array(lo, hi) = src.agg(min($"ts"), max($"ts")).as[(Long, Long)]
+      .collect().map { case (a, b) => Array(a, b) }.head
+    val mid = lo + (hi - lo) / 2
+    views.filter($"ts" < mid).write.parquet(s"$vDir/w1")
+    purchases.filter($"ts" < mid).write.parquet(s"$pDir/w1")
+
+    val joined = StreamingAnalytics.attributionJoin(
+      spark.readStream.schema(StreamingAnalytics.eventsSchema)
+        .parquet(s"$vDir/*"),
+      spark.readStream.schema(StreamingAnalytics.eventsSchema)
+        .parquet(s"$pDir/*"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      views.filter($"ts" >= mid).write.parquet(s"$vDir/w2")
+      purchases.filter($"ts" >= mid).write.parquet(s"$pDir/w2")
+      q.processAllAvailable()
+
+      // the streaming plan is the symmetric hash join, and its buffered
+      // state holds only rows the watermark still allows to match — far
+      // fewer than the full 30-day corpus of views+purchases
+      val stateOps = q.recentProgress.reverse
+        .flatMap(_.stateOperators).headOption
+      assert(stateOps.exists(_.operatorName == "symmetricHashJoin"))
+      val total = views.count() + purchases.count()
+      assert(stateOps.exists(_.numRowsTotal < total / 2))
+    } finally q.stop()
+
+    val got = spark.table("ssj")
+      .orderBy("view_id", "purchase_id").collect()
+    val batch = StreamingAnalytics.attributionJoin(views, purchases)
+      .orderBy("view_id", "purchase_id").collect()
+    assert(got.length == batch.length && got.length > 0)
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val dir = tmpDir("state-events")
