@@ -65,6 +65,10 @@ object SparkEntry {
     "q_above_avg_orders" -> Seq("o_orderkey"),
     "q_approx_distinct" -> Seq("event_type"),
     "q_rollup_counts" -> Seq("o_orderstatus", "o_orderpriority"),
+    "q6_forecast_revenue" -> Seq("revenue_c"),
+    "q10_returned_revenue" -> Seq("c_custkey"),
+    "q13_order_distribution" -> Seq("c_count"),
+    "q22_idle_customers" -> Seq("c_nationkey"),
     "q_cube_counts" -> Seq("o_orderstatus", "o_orderpriority"),
     "q_sessionize" -> Seq("event_id"),
     "dedup_exact" -> Seq("content_hash"),

@@ -467,6 +467,116 @@ object RelationalQueries {
       Some("""SELECT o_orderstatus, o_orderpriority,
         |CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin))
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // TPC-H Q6 shape: pure scan-filter-aggregate — the query that measures
+    // whether predicate pushdown and whole-stage codegen are working (no
+    // join, no shuffle beyond the final partial-agg merge).
+    QueryDef("q6_forecast_revenue",
+      (s, d) => table(s, d, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer over one
+    // quarter — 3 fact-dimension joins (nation broadcast), aggregate,
+    // deterministic top-20. The shuffle is keyed by the group
+    // (customer), never by the unaggregated join output.
+    QueryDef("q10_returned_revenue",
+      (s, d) => {
+        val o = table(s, d, "orders").filter(
+          expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+        val l = table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+            cents(col("c_acctbal")).as("acctbal_c"))
+          .agg(sum(revCents).as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+        |CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |CAST(sum($RevSql) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q13 shape: order-count distribution — LEFT OUTER join with an
+    // extra join-side predicate (which must stay in the join condition,
+    // not become a WHERE that silently turns the join inner), then a
+    // two-level aggregation (per-customer count → histogram of counts).
+    QueryDef("q13_order_distribution",
+      (s, d) => {
+        val o = table(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+        table(s, d, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join.
+    // High-balance customers (above the positive-balance average) with no
+    // order since 2000, grouped by nation. The threshold is computed over
+    // exact integer cents (a double average of raw doubles would be
+    // accumulation-order-dependent and could never hash-match); the
+    // anti-join side is only the date-filtered orders slice.
+    QueryDef("q22_idle_customers",
+      (s, d) => {
+        val cust = table(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+        val pos = cust.filter(col("bal_c") > 0)
+        val thr = pos.agg((sum(col("bal_c")).cast("double") /
+          count(lit(1))).as("thr"))
+        val recent = table(s, d, "orders")
+          .filter(expr("o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+          .select(col("o_custkey"))
+        pos.join(broadcast(thr)).filter(col("bal_c") > col("thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
+      },
+      Some("""WITH pos AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+        |thr AS (SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS thr FROM pos)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+        |FROM pos, thr
+        |WHERE bal_c > thr AND NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = pos.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin))
   )
 }

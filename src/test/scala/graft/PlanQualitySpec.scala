@@ -130,4 +130,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(q3.contains("TakeOrderedAndProject"),
       "q3's ORDER BY + LIMIT 10 must plan as TakeOrderedAndProject")
   }
+
+  test("q6 is a pure pushed-down scan-aggregate (no join, no wide shuffle)") {
+    val q6 = plan("q6_forecast_revenue")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity"),
+      "q6 range + quantity filters must reach the parquet scan")
+    assert(!q6.contains("Join"), "q6 must not plan any join")
+    assert(!q6.contains("l_orderkey") && !q6.contains("l_tax"),
+      "q6 must prune all but shipdate/discount/quantity/extendedprice")
+  }
+
+  test("q10 broadcasts nation and plans deterministic top-20") {
+    val q10 = plan("q10_returned_revenue")
+    assert(q10.contains("BroadcastHashJoin"), "q10 nation must broadcast")
+    assert(q10.contains("TakeOrderedAndProject"),
+      "q10 top-20 must not be a global sort")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      "q10 returnflag filter must push down")
+  }
+
+  test("q22's scalar threshold broadcasts; idle filter stays anti-join") {
+    val q22 = plan("q22_idle_customers")
+    assert(!q22.contains("CartesianProduct"),
+      "the 1-row threshold join must broadcast, not cartesian")
+    assert(q22.contains("LeftAnti"), "no-recent-orders must be an anti-join")
+    assert(q22.contains("GreaterThanOrEqual(o_orderdate"),
+      "the recent-orders date filter must push down")
+  }
+
+  test("stream-stream join shape: equi key with range residual, not a loop") {
+    val ssj = plan("st_stream_join")
+    assert(ssj.contains("SortMergeJoin") || ssj.contains("ShuffledHashJoin") ||
+      ssj.contains("BroadcastHashJoin"),
+      "attribution join must hash/merge on user_id, never nested-loop")
+    assert(ssj.contains("EqualTo(event_type,view)") ||
+      ssj.contains("EqualTo(event_type,purchase)"),
+      "event_type filters must push to the events scan")
+  }
 }
