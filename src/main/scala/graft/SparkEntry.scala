@@ -79,6 +79,8 @@ object SparkEntry {
     "dedup_simhash" -> Seq("doc_id"),
     "dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_salted_agg" -> Seq("user_id"),
+    "q_salted_join" -> Seq("c_mktsegment"),
+    "q_window_funcs" -> Seq("event_id"),
     "st_user_state" -> Seq("user_id"),
     "st_stream_join" -> Seq("view_id", "purchase_id"),
     "q_range_join" -> Seq("event_id"),

@@ -44,4 +44,34 @@ object SkewTools {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_ps")).as(sumName), sum(col("_pc")).as(countName))
   }
+
+  /** Salted skew JOIN: spread a hot fact key over `salts` reducers by
+    * salting the fact side and replicating the (small) build side once
+    * per salt value, then equi-joining on (key, salt). The result is
+    * row-identical to the plain equi-join — the salt only changes WHERE
+    * each row is joined, never whether it matches — but no single reducer
+    * receives a hot key's full row set.
+    *
+    * This is the explicit form of what AQE's skew-join split does at
+    * runtime; use it when the skew is known ahead of time (so the plan
+    * never materializes the skewed partition at all), when AQE is
+    * unavailable (streaming micro-batches), or when the build side is too
+    * big to broadcast but small enough to replicate `salts`×. The
+    * replication factor is the cost dial: `salts` × |build| extra rows
+    * shuffled, in exchange for a `salts`-way fan-out of the hottest key.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      factKey: String,
+      buildKey: String,
+      salts: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt", salt(salts))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated,
+        salted("_salt") === replicated("_salt") &&
+          salted(factKey) === replicated(buildKey))
+      .drop("_salt")
+  }
 }

@@ -469,6 +469,40 @@ object RelationalQueries {
         |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Window-function breadth: lag/lead (per-user event timeline), ntile
+    // quartiles, percent_rank and cume_dist (value position within the
+    // event type). Every ordering carries event_id as the final key so
+    // ranks are total-ordered and both engines compute identical
+    // rationals. One shuffle per distinct partitioning, nothing else.
+    QueryDef("q_window_funcs",
+      (s, d) => {
+        val ev = table(s, d, "events").select(col("event_id"),
+          col("user_id"), tsMicros.as("ts_us"),
+          cents(col("value")).as("value_c"), col("event_type"))
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val byType = Window.partitionBy("event_type")
+          .orderBy(col("value_c"), col("event_id"))
+        ev.select(col("event_id"),
+          lag("value_c", 1).over(byUser).as("prev_value_c"),
+          lead("value_c", 1).over(byUser).as("next_value_c"),
+          ntile(4).over(byUser).cast("long").as("quartile"),
+          percent_rank().over(byType).as("pct_rank"),
+          cume_dist().over(byType).as("cume"))
+      },
+      Some("""SELECT event_id,
+        |  lag(CAST(round(value * 100) AS BIGINT), 1) OVER u AS prev_value_c,
+        |  lead(CAST(round(value * 100) AS BIGINT), 1) OVER u AS next_value_c,
+        |  CAST(ntile(4) OVER u AS BIGINT) AS quartile,
+        |  percent_rank() OVER t AS pct_rank,
+        |  cume_dist() OVER t AS cume
+        |FROM events
+        |WINDOW
+        |  u AS (PARTITION BY user_id
+        |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id),
+        |  t AS (PARTITION BY event_type
+        |        ORDER BY CAST(round(value * 100) AS BIGINT), event_id)""".stripMargin)),
+
     // TPC-H Q6 shape: pure scan-filter-aggregate — the query that measures
     // whether predicate pushdown and whole-stage codegen are working (no
     // join, no shuffle beyond the final partial-agg merge).

@@ -33,6 +33,28 @@ object ScaleOpQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Skew-safe JOIN: the fact side salted, the build side replicated
+    // once per salt, equi-join on (key, salt) — row-identical to the
+    // plain join but a hot user's rows fan out over `salts` reducers.
+    // The explicit (plan-time) form of AQE's runtime skew split, for when
+    // the skew is known or AQE can't apply. Revenue per market segment:
+    // events are the skewed fact, customer the replicated build side.
+    QueryDef("q_salted_join",
+      (s, d) => SkewTools.saltedJoin(
+          table(s, d, "events")
+            .select(col("user_id"), cents(col("value")).as("v_c")),
+          table(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("v_c")).as("revenue_c"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT c_mktsegment,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)),
+
     // Arbitrary-state streaming surface (flatMapGroupsWithState) in its
     // batch-planned form: per-user running totals. On a bounded input the
     // final state equals a plain GROUP BY — which oracles the operator's

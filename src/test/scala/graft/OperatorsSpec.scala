@@ -50,6 +50,24 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("salted join is row-identical to the plain equi-join under skew") {
+    // fact: user 7 owns 80% of rows; build: one attribute row per user
+    val fact = ((1 to 8000).map(_ => (7L, 1L)) ++
+      (1 to 2000).map(i => (i.toLong % 50, 2L))).toDF("user_id", "v")
+      .repartition(16)
+    val build = (0L to 49L).map(u => (u, s"seg${u % 5}")).toDF("key", "seg")
+    val direct = fact.join(build, $"user_id" === $"key")
+      .groupBy("seg").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("seg").collect()
+    val salted = SkewTools.saltedJoin(fact, build, "user_id", "key", salts = 8)
+      .groupBy("seg").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("seg").collect()
+    assert(salted.toSeq == direct.toSeq)
+    // row identity, not just aggregate identity
+    assert(SkewTools.saltedJoin(fact, build, "user_id", "key", salts = 8)
+      .count() == fact.join(build, $"user_id" === $"key").count())
+  }
+
   test("csv warehouse loads done uploads by header group, idempotently") {
     val inbox = tmpDir("wh-inbox")
     def put(n: String, c: String) = Files.write(Paths.get(inbox, n), c.getBytes("UTF-8"))
