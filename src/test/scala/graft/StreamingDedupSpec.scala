@@ -23,24 +23,28 @@ class StreamingDedupSpec extends SparkSpec {
     val out = tmpDir("sdd-out") + "/out"
     val cp = tmpDir("sdd-cp")
 
-    // wave 1: B duplicated within the batch
+    // one AvailableNow drain per wave, SHARING the checkpoint: batch ids
+    // continue across restarts and the signature index persists, so this
+    // exercises cross-batch dedup through a real stop/start cycle with
+    // fully deterministic batch boundaries (a continuous trigger would
+    // race the assertions against its own spinning micro-batches)
+    def drain(): Unit = {
+      val q = StreamingDedup.start(spark,
+        spark.readStream.schema(docSchema).parquet(s"$src/*"), idx, out, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // wave 1: bravo duplicated within the batch
     Seq((1L, "alpha"), (2L, "bravo"), (3L, "bravo"))
       .toDF("doc_id", "text").write.parquet(s"$src/w1")
-    // continuous trigger: AvailableNow would stop after wave 1
-    val q = StreamingDedup.start(spark,
-      spark.readStream.schema(docSchema).parquet(s"$src/*"),
-      idx, out, cp,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-    try {
-      q.processAllAvailable()
-      assert(admittedIds(out) == Set(1L, 2L))
+    drain()
+    assert(admittedIds(out) == Set(1L, 2L))
 
-      // wave 2: bravo again (cross-batch dup), charlie twice (within-batch)
-      Seq((4L, "bravo"), (5L, "charlie"), (6L, "charlie"))
-        .toDF("doc_id", "text").write.parquet(s"$src/w2")
-      q.processAllAvailable()
-      assert(admittedIds(out) == Set(1L, 2L, 5L))
-    } finally q.stop()
+    // wave 2: bravo again (cross-batch dup), charlie twice (within-batch)
+    Seq((4L, "bravo"), (5L, "charlie"), (6L, "charlie"))
+      .toDF("doc_id", "text").write.parquet(s"$src/w2")
+    drain()
+    assert(admittedIds(out) == Set(1L, 2L, 5L))
 
     // the index never stores text — bytes per doc, not the corpus
     assert(spark.read.parquet(idx).columns.toSet ==
