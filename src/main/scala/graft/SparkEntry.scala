@@ -94,6 +94,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> Seq("vec_id"),
     "ann_ivf_topk" -> Seq("query_id", "rank"),
     "ann_recall_audit" -> Seq("total_true"),
+    "dedup_recall_audit" -> Seq("total_true"),
     "q_percentiles_approx" -> Seq("event_type"),
     "text_token_stats" -> Seq("doc_id"),
     "text_quality" -> Seq("doc_id"),

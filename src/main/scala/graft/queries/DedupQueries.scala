@@ -536,6 +536,79 @@ object DedupQueries {
         |FROM hs b
         |LEFT JOIN ex ON b.doc_id = ex.doc_id
         |LEFT JOIN nb ON b.doc_id = nb.doc_id
-        |WHERE b.doc_id % 10 = 9""".stripMargin))
+        |WHERE b.doc_id % 10 = 9""".stripMargin)),
+
+    // Recall audit for the TEXT LSH path (the twin of ann_recall_audit on
+    // the embedding side): on a bounded 500-doc sample, the exact
+    // character-5-shingle Jaccard (the similarity MinHash approximates —
+    // same substr(1,200), same stride-2 shingling as the signatures) is
+    // the ground truth; how many true (J >= 0.5) pairs do the 4×4 band
+    // candidates surface? Run whenever (bands, rows) change — the S-curve
+    // moving under you becomes a number, not a guess. The sample self-join
+    // is O(500²) worst case — an audit fixture, deliberately bounded, like
+    // the embedding probe.
+    QueryDef("dedup_recall_audit",
+      (s, d) => {
+        val samp = table(s, d, "documents").filter(col("doc_id") < 500)
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+        val sh = samp.select(col("doc_id"),
+          explode(when(length(col("t")) >= 5,
+              expr("transform(sequence(1, length(t) - 4, 2)," +
+                " i -> substring(t, i, 5))"))
+            .otherwise(array().cast("array<string>"))).as("shingle"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"),
+            col("shingle").as("sh_b")),
+            col("shingle") === col("sh_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_n"))
+        val tru = inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+            "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+            "doc_b")
+          .filter(col("i_n").cast("double") /
+            (col("n_a") + col("n_b") - col("i_n")) >= 0.5)
+          .select("doc_a", "doc_b")
+        val cand = minhashCandidates(s, d)
+          .filter(col("doc_a") < 500 && col("doc_b") < 500)
+          .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
+        tru.join(cand,
+            col("doc_a") === col("c_a") && col("doc_b") === col("c_b"),
+            "left")
+          .agg(count(lit(1)).cast("long").as("total_true"),
+            sum(when(col("c_a").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("found"))
+          .select(col("total_true"), col("found"),
+            when(col("total_true") === 0, lit(0.0))
+              .otherwise(col("found").cast("double") /
+                col("total_true").cast("double")).as("recall"))
+      },
+      Some(s"""$MinhashCandSql,
+        |samp AS (SELECT doc_id, substr(text, 1, 200) AS t
+        |  FROM documents WHERE doc_id < 500),
+        |shs AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle
+        |  FROM (SELECT doc_id, t,
+        |        unnest(range(1, greatest(len(t) - 3, 1), 2)) AS i FROM samp)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS i_n
+        |  FROM shs a JOIN shs b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tru AS (SELECT doc_a, doc_b FROM tp
+        |  JOIN sz sa ON sa.doc_id = tp.doc_a
+        |  JOIN sz sb ON sb.doc_id = tp.doc_b
+        |  WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5),
+        |fnd AS (SELECT t.doc_a FROM tru t JOIN cand c
+        |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        |  WHERE c.doc_a < 500 AND c.doc_b < 500)
+        |SELECT CAST((SELECT count(*) FROM tru) AS BIGINT) AS total_true,
+        |  CAST((SELECT count(*) FROM fnd) AS BIGINT) AS found,
+        |  CASE WHEN (SELECT count(*) FROM tru) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST((SELECT count(*) FROM fnd) AS DOUBLE)
+        |      / (SELECT count(*) FROM tru) END AS recall""".stripMargin))
   )
 }
