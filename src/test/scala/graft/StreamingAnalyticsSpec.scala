@@ -101,6 +101,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("stream-static broadcast join enriches events statelessly") {
+    val dir = tmpDir("enrich-events")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    def enriched(ev: org.apache.spark.sql.DataFrame) = ev
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+
+    val q = enriched(StreamingAnalytics.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // the dimension join itself holds NO streaming state — only the
+      // aggregation appears as a state operator
+      assert(q.lastProgress.stateOperators.length == 1)
+    } finally q.stop()
+
+    val got = spark.table("enrich").orderBy("c_mktsegment").collect()
+    val batch = enriched(spark.read
+        .schema(StreamingAnalytics.eventsSchema).parquet(dir))
+      .orderBy("c_mktsegment").collect()
+    assert(got.length == batch.length && got.length > 0)
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("stream-stream interval join: waves == batch, state bounded by watermark") {
     import spark.implicits._
     val vDir = tmpDir("ssj-views")
