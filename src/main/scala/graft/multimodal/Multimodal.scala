@@ -31,12 +31,13 @@ case class MediaFeature(
   * contract a Pandas-batch UDF gives PySpark), the feature schema, the
   * resize/frame-sample dataflow — and REAL decoders for the two container
   * formats whose parsing is pure byte arithmetic: BMP (DIB header →
-  * width/height) and canonical PCM WAV (RIFF header → sample rate,
-  * channels, sample count). For audio the generic feature triple maps as
+  * width/height), PNG (signature + IHDR → width/height; dimensions never
+  * need zlib) and canonical PCM WAV (RIFF header → sample rate, channels,
+  * sample count). For audio the generic feature triple maps as
   * width = sample rate, height = channels, n_frames = PCM sample frames.
   *
   * STUBBED — clearly and deliberately: blobs in formats that need a codec
-  * (JPEG/PNG/MP4 — no media libraries ship in this environment) fall back
+  * (JPEG/MP4 — no media libraries ship in this environment) fall back
   * to `decodeStub`, a deterministic function of the bytes, so tests stay
   * exact; swapping in a real codec changes ONE dispatch arm and nothing
   * about the dataflow.
@@ -56,6 +57,25 @@ object Multimodal {
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
   @inline private def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  @inline private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL PNG header decode: 8-byte signature + IHDR chunk → big-endian
+    * width/height at offsets 16/20. Header-only — pixel data needs zlib,
+    * which dimensions do not.
+    */
+  private[multimodal] def decodePng(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 24 && b.take(8).sameElements(PngSignature) &&
+        tag(b, 12) == "IHDR") {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20)) Some((w, h, 1))
+      else None
+    } else None
 
   /** REAL BMP decode: 'BM' magic + BITMAPINFOHEADER width/height (height
     * may be negative = top-down; dimensions sanity-bounded).
@@ -91,7 +111,8 @@ object Multimodal {
   private[multimodal] def decode(mediaType: String,
       bytes: Array[Byte]): (Int, Int, Int, Boolean) =
     if (bytes == null || bytes.isEmpty) (0, 0, 0, false)
-    else decodeBmp(bytes).orElse(decodeWav(bytes)) match {
+    else decodeBmp(bytes).orElse(decodePng(bytes))
+        .orElse(decodeWav(bytes)) match {
       case Some((w, h, f)) => (w, h, f, true)
       case None => decodeStub(mediaType, bytes)
     }
@@ -174,6 +195,26 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal PNG: signature + IHDR chunk (8-bit truecolor declared, CRC
+    * left zero — header consumers don't checksum) + `payload` appended as
+    * opaque trailing bytes.
+    */
+  private[multimodal] def pngBytes(width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(PngSignature)
+      .putInt(13)                  // IHDR data length
+      .put("IHDR".getBytes)
+      .putInt(width).putInt(height)
+      .put(8.toByte)               // bit depth
+      .put(2.toByte)               // truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .putInt(0)                   // CRC (not validated by header readers)
+      .put(payload)
+    out.array()
+  }
+
   /** Canonical 44-byte PCM WAV header + `payload` as sample data. */
   private[multimodal] def wavBytes(channels: Int, sampleRate: Int,
       payload: Array[Byte]): Array[Byte] = {
@@ -207,12 +248,14 @@ object Multimodal {
       .as[(Long, String, String)]
       .map { case (id, text, src) =>
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (id % 3) match {
+        (id % 4) match {
           case 0 => MediaRow(id, "image",
             bmpBytes(1 + (text.length % 64), 1 + (id % 32).toInt, payload), src)
           case 1 => MediaRow(id, "audio",
             wavBytes(1 + (id % 2).toInt,
-              if (id % 4 == 1) 16000 else 8000, payload), src)
+              if (id % 8 == 1) 16000 else 8000, payload), src)
+          case 2 => MediaRow(id, "image",
+            pngBytes(1 + (text.length % 128), 1 + (id % 64).toInt, payload), src)
           case _ => MediaRow(id, "video", payload, src)
         }
       }

@@ -35,20 +35,25 @@ class MultimodalSpec extends SparkSpec {
     assert(video.forall(f => f.n_frames == 1 + f.n_bytes / 4096))
   }
 
-  test("BMP and WAV headers decode for real; video stays on the stub") {
+  test("BMP, PNG and WAV headers decode for real; video stays on the stub") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", length($"text").as("len"))
       .as[(Long, Int)].collect().toMap
     val f = Multimodal.extractFeatures(corpus()).collect()
     f.filter(_.media_type == "image").foreach { r =>
       // dimensions must be exactly what the generator wrote to the header
-      assert(r.width == 1 + (docs(r.media_id) % 64), s"bmp width: $r")
-      assert(r.height == 1 + (r.media_id % 32).toInt, s"bmp height: $r")
+      if (r.media_id % 4 == 0) {
+        assert(r.width == 1 + (docs(r.media_id) % 64), s"bmp width: $r")
+        assert(r.height == 1 + (r.media_id % 32).toInt, s"bmp height: $r")
+      } else {
+        assert(r.width == 1 + (docs(r.media_id) % 128), s"png width: $r")
+        assert(r.height == 1 + (r.media_id % 64).toInt, s"png height: $r")
+      }
       assert(r.n_frames == 1 && r.ok)
     }
     f.filter(_.media_type == "audio").foreach { r =>
       val channels = 1 + (r.media_id % 2).toInt
-      val rate = if (r.media_id % 4 == 1) 16000 else 8000
+      val rate = if (r.media_id % 8 == 1) 16000 else 8000
       assert(r.width == rate && r.height == channels, s"wav header: $r")
       // 16-bit PCM: payload bytes / (channels * 2) sample frames
       assert(r.n_frames == docs(r.media_id) / (channels * 2), s"wav frames: $r")
