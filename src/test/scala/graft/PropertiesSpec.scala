@@ -87,4 +87,47 @@ class PropertiesSpec extends SparkSpec {
         s"approx $approx too far from exact $exact")
     }
   }
+
+  test("property: salted join equals the plain join for any salt count") {
+    val keyGen = Gen.frequency(5 -> Gen.const(3L), 1 -> Gen.chooseNum(0L, 19L))
+    val facts = samples(Gen.zip(keyGen, Gen.chooseNum(1L, 100L)), 400)
+      .toDF("k", "v")
+    val dims = (0L to 19L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val expected = facts.join(dims, $"k" === $"dk")
+      .groupBy("attr").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("attr").collect().toSeq
+    for (salts <- Seq(1, 2, 7, 16)) {
+      val got = graft.operators.SkewTools.saltedJoin(facts, dims, "k", "dk", salts)
+        .groupBy("attr").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .orderBy("attr").collect().toSeq
+      assert(got == expected, s"salts=$salts diverged from the plain join")
+    }
+  }
+
+  test("property: streaming admission matches the first-batch-wins model") {
+    import graft.streaming.StreamingDedup
+    // random docs over a SMALL text alphabet (forces within- and
+    // cross-batch duplicates), random batch assignment, random redelivery
+    val docGen = Gen.zip(Gen.chooseNum(0L, 299L),
+      Gen.oneOf("wa", "wb", "wc", "wd", "we", "wf"), Gen.chooseNum(0, 2))
+    val docs = samples(docGen, 80).distinctBy(_._1)
+    val idx = tmpDir("prop-sdd") + "/index"
+    val out = tmpDir("prop-sdd") + "/out"
+    for (b <- 0 to 2)
+      StreamingDedup.processBatch(spark,
+        docs.filter(_._3 == b).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+        b.toLong, idx, out)
+    // redeliver a random batch (retry), must not change the outcome
+    StreamingDedup.processBatch(spark,
+      docs.filter(_._3 == 1).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      1L, idx, out)
+    // model: per text, the min doc_id within the first batch carrying it
+    val model = docs.groupBy(_._2).values.map { ds =>
+      val firstBatch = ds.map(_._3).min
+      ds.filter(_._3 == firstBatch).map(_._1).min
+    }.toSet
+    val got = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(got == model)
+  }
 }
