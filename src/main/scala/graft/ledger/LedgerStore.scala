@@ -97,7 +97,17 @@ class LedgerStore(spark: SparkSession, dir: String,
     * retention sweep (which only ever deletes BELOW the live base), so a
     * vanished file retries the listing.
     */
-  private[ledger] def liveChain(): Seq[ChainLink] = {
+  private[ledger] def liveChain(): Seq[ChainLink] = chainAt(Long.MaxValue)
+
+  /** The chain as of sequence `asOf` (inclusive): the newest base at or
+    * below `asOf`, then every delta between it and `asOf`. `Long.MaxValue`
+    * gives the live chain. An all-delta chain is accepted only when it
+    * provably starts at the beginning of history (first publish = seq 1,
+    * or a legacy seq-0 base below it); otherwise the generations needed
+    * were compacted away and the read throws instead of silently
+    * resolving a truncated state.
+    */
+  private[ledger] def chainAt(asOf: Long): Seq[ChainLink] = {
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
@@ -106,8 +116,17 @@ class LedgerStore(spark: SparkSession, dir: String,
         .map(_.getPath)
         .filter(_.getName.startsWith("_ptr-"))
         .flatMap(p => p.getName.stripPrefix("_ptr-").toLongOption.map(_ -> p))
+        .filter(_._1 <= asOf)
         .sortBy(-_._1)
       if (ptrs.isEmpty) {
+        // every pointer at or below asOf is gone. If pointers exist ABOVE
+        // asOf the history existed and was retained away (first publish is
+        // always seq 1) — refuse rather than resolve to a false "empty".
+        if (asOf >= 1L && fs.listStatus(rootPath)
+            .exists(_.getPath.getName.startsWith("_ptr-")))
+          throw new IllegalStateException(
+            s"ledger generations at or below $asOf were compacted/" +
+              s"retained away under $rootPath")
         // migration: a pre-CAS ledger has a single `_current` pointer —
         // read it as sequence 0 rather than silently starting empty
         return legacyLink(0L).toSeq
@@ -129,8 +148,17 @@ class LedgerStore(spark: SparkSession, dir: String,
         }
         // all-delta chain (first merges on an empty ledger) — unless a
         // legacy `_current` base from the pre-delta layout sits below it
-        if (!foundBase)
-          legacyLink(links.last.seq - 1).foreach(links += _)
+        if (!foundBase) {
+          legacyLink(links.last.seq - 1) match {
+            case Some(l) => links += l
+            case None if links.last.seq > 1 =>
+              throw new IllegalStateException(
+                s"ledger generations below ${links.last.seq} were " +
+                  s"compacted/retained away; oldest readable generation " +
+                  s"under $rootPath is ${links.last.seq}")
+            case None => ()
+          }
+        }
         return links.reverse.toSeq
       } catch { case _: java.io.FileNotFoundException => () /* retry */ }
     }
@@ -165,6 +193,16 @@ class LedgerStore(spark: SparkSession, dir: String,
     * generation. One bounded aggregation keyed on `upload_id`.
     */
   def read(): DataFrame = readChain(liveChain())
+
+  /** Time travel: the ledger state a reader observed when generation
+    * `asOf` was the head — the same merge-on-read resolution, just pinned
+    * to the chain as of that sequence. Readable as far back as retention
+    * keeps the chain (the sweep preserves a bounded window of pointers
+    * and generation dirs below the live base); beyond that the read
+    * throws rather than resolving a truncated state. Generation numbers
+    * come from [[currentPointer]] after a merge.
+    */
+  def readAt(asOf: Long): DataFrame = readChain(chainAt(asOf))
 
   private def readChain(ch: Seq[ChainLink]): DataFrame = {
     if (ch.isEmpty) emptyLedger
