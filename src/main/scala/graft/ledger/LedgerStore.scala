@@ -204,6 +204,32 @@ class LedgerStore(spark: SparkSession, dir: String,
     */
   def readAt(asOf: Long): DataFrame = readChain(chainAt(asOf))
 
+  /** The retained generation log, ascending: (seq, kind, dir_name) — kind
+    * is `base`, `delta` or `delta-must-exist`. The [[readAt]] argument
+    * space: any listed seq with an unbroken chain below it resolves.
+    * Driver-side listing of pointer files — O(retained generations).
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    if (!fs.exists(rootPath)) return Seq.empty[(Long, String, String)]
+      .toDF("seq", "kind", "dir_name")
+    fs.listStatus(rootPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_ptr-"))
+      .flatMap(p => p.getName.stripPrefix("_ptr-").toLongOption.map(_ -> p))
+      .sortBy(_._1)
+      .flatMap { case (seq, p) =>
+        readPtrFile(p).map(parsePtr(seq, _)).map { l =>
+          val kind =
+            if (!l.isDelta) "base"
+            else if (l.requireExisting) "delta-must-exist"
+            else "delta"
+          (l.seq, kind, l.dirName)
+        }
+      }
+      .toDF("seq", "kind", "dir_name")
+  }
+
   private def readChain(ch: Seq[ChainLink]): DataFrame = {
     if (ch.isEmpty) emptyLedger
     else if (ch.size == 1 && !ch.head.isDelta) snapshotDf(ch.head.dirName)

@@ -43,6 +43,15 @@ class LedgerTimeTravelSpec extends SparkSpec {
     assert(store.readAt(Long.MaxValue).count() == store.read().count())
     // a sequence before the first commit is the empty ledger
     assert(store.readAt(0L).count() == 0L)
+
+    // the generation log lists every retained commit in order, and every
+    // listed sequence resolves through readAt
+    val hist = store.history().collect()
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted)
+    assert(hist.map(_.getString(1)).toSet.subsetOf(
+      Set("base", "delta", "delta-must-exist")))
+    assert(states.map(_._1).toSet.subsetOf(hist.map(_.getLong(0)).toSet))
+    hist.foreach(r => store.readAt(r.getLong(0)).collect())
   }
 
   test("readAt throws once retention discarded the needed generations") {
