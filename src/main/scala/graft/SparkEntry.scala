@@ -49,6 +49,7 @@ object SparkEntry {
     "st5_first_per_key" -> Seq("user_id"),
     "st4_replay_ledger" -> Seq("file_name"),
     "st_dedup_admission" -> Seq("doc_id"),
+    "st_dedup_admission_near" -> Seq("doc_id"),
     "q1_pricing_summary" -> Seq("l_returnflag", "l_linestatus"),
     "q3_top_orders" -> Seq("l_orderkey"),
     "q5_region_revenue" -> Seq("n_name"),

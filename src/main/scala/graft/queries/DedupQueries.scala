@@ -122,7 +122,7 @@ object DedupQueries {
   /** DuckDB rendering of [[minhashBands]]: a CTE prefix ending in
     * `bands(doc_id, band, bv)`. Keep in lockstep with the Spark builder.
     */
-  private val MinhashBandsSql: String = {
+  private[queries] val MinhashBandsSql: String = {
     val mhs = (0 until 16)
       .map(j => s"min(substr(h, ${6 * j + 1}, 6)) AS mh$j")
       .mkString(", ")

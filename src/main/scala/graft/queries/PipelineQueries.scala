@@ -162,6 +162,58 @@ object PipelineQueries {
         |t AS (SELECT doc_id, text, doc_id % 3 AS b FROM aug),
         |f AS (SELECT text, min(b) AS b FROM t GROUP BY text)
         |SELECT min(t.doc_id) AS doc_id, CAST(t.b AS BIGINT) AS ingest_batch
-        |FROM t JOIN f USING (text, b) GROUP BY t.text, t.b""".stripMargin))
+        |FROM t JOIN f USING (text, b) GROUP BY t.text, t.b""".stripMargin)),
+
+    // NEAR-dup streaming admission (StreamingDedup.processBatchNearDup):
+    // the same 3-batch replay + middle-batch redelivery, with a MinHash
+    // band index as additional rejection evidence — a document is
+    // rejected if its content digest OR any LSH band collides with an
+    // ALREADY-ADMITTED document of an earlier batch. The fixed point is
+    // stable under redelivery because rejected documents leave no
+    // evidence (their hashes/bands never enter the index), which is
+    // exactly why the oracle can unroll the three batches sequentially
+    // with admitted-only evidence sets and still match the engine's
+    // redelivered run bit-for-bit.
+    QueryDef("st_dedup_admission_near",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft-sddn-").toString
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val wave = (b: Long) => docs.filter(col("doc_id") % 3 === b)
+        (0L to 2L).foreach(b =>
+          graft.streaming.StreamingDedup.processBatchNearDup(
+            s, wave(b), b, s"$tmp/index", s"$tmp/bands", s"$tmp/out"))
+        graft.streaming.StreamingDedup.processBatchNearDup(
+          s, wave(1L), 1L, s"$tmp/index", s"$tmp/bands", s"$tmp/out")
+        cleanupAfter(tmp) {
+          s.read.parquet(s"$tmp/out").select(col("doc_id"),
+            col("ingest_batch").cast("long").as("ingest_batch"))
+        }
+      },
+      Some(s"""${DedupQueries.MinhashBandsSql},
+        |tt AS (SELECT doc_id, doc_id % 3 AS b, sha256(text) AS h
+        |  FROM documents),
+        |r0 AS (SELECT h, min(doc_id) AS doc_id FROM tt WHERE b = 0 GROUP BY h),
+        |a0 AS (SELECT doc_id FROM r0),
+        |e0h AS (SELECT tt.h FROM tt JOIN a0 USING (doc_id)),
+        |e0b AS (SELECT band, bv FROM bands JOIN a0 USING (doc_id)),
+        |r1 AS (SELECT h, min(doc_id) AS doc_id FROM tt WHERE b = 1 GROUP BY h),
+        |a1 AS (SELECT r1.doc_id FROM r1
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0h WHERE e0h.h = r1.h)
+        |    AND NOT EXISTS (SELECT 1 FROM bands bb JOIN e0b
+        |      ON bb.band = e0b.band AND bb.bv = e0b.bv
+        |      WHERE bb.doc_id = r1.doc_id)),
+        |e1h AS (SELECT h FROM e0h
+        |  UNION ALL SELECT tt.h FROM tt JOIN a1 USING (doc_id)),
+        |e1b AS (SELECT band, bv FROM e0b
+        |  UNION ALL SELECT band, bv FROM bands JOIN a1 USING (doc_id)),
+        |r2 AS (SELECT h, min(doc_id) AS doc_id FROM tt WHERE b = 2 GROUP BY h),
+        |a2 AS (SELECT r2.doc_id FROM r2
+        |  WHERE NOT EXISTS (SELECT 1 FROM e1h WHERE e1h.h = r2.h)
+        |    AND NOT EXISTS (SELECT 1 FROM bands bb JOIN e1b
+        |      ON bb.band = e1b.band AND bb.bv = e1b.bv
+        |      WHERE bb.doc_id = r2.doc_id))
+        |SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM a0
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM a1
+        |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin))
   )
 }

@@ -88,4 +88,100 @@ object StreamingDedup {
         processBatch(spark, batch, id, indexDir, outDir)
       }
       .start()
+
+  val bandIndexSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType),
+    StructField("bv", StringType),
+    StructField("doc_id", LongType),
+    StructField("ingest_batch", LongType)))
+
+  private def readBandIndex(spark: SparkSession, dir: String): DataFrame =
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+      spark.read.schema(bandIndexSchema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandIndexSchema)
+
+  /** MinHash LSH bands of a (doc_id, text) frame — same signature
+    * definition as the batch dedup family (native `minhash_sigs` over the
+    * 200-char prefix, 4 bands × 4 rows). Docs shorter than one shingle
+    * yield no bands (they can only be exact-matched).
+    */
+  private def docBands(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.MinhashSigs.register(spark)
+    val mh = docs
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+      .select(col("doc_id"), expr("minhash_sigs(t)").as("mhs"))
+      .filter(size(col("mhs")) > 0)
+    val bandCols = (0 to 3).map(b => concat(
+      element_at(col("mhs"), 4 * b + 1), element_at(col("mhs"), 4 * b + 2),
+      element_at(col("mhs"), 4 * b + 3), element_at(col("mhs"), 4 * b + 4)))
+    mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+  }
+
+  /** NEAR-dup streaming admission: [[processBatch]]'s discipline plus a
+    * MinHash band index — a batch document is rejected if its content
+    * digest OR any LSH band collides with an already-admitted document of
+    * another batch. The band index is the streaming form of
+    * `dedup_incremental`'s signature probe: the corpus is only ever
+    * touched through its (band, bv) index, bytes per admitted doc, and
+    * the batch side of both anti-joins is one micro-batch.
+    *
+    * Scope, deliberately: near-dups WITHIN one micro-batch are admitted
+    * together (banding a batch against itself needs the clustering pass —
+    * `dedup_clusters` — to pick representatives; a periodic batch sweep
+    * owns that). Exact within-batch duplicates are still collapsed to the
+    * min doc_id. Retries converge exactly as in [[processBatch]]: all
+    * three outputs are partitioned by `ingest_batch`, dynamically
+    * overwritten, and the batch's own partitions are excluded as
+    * evidence.
+    */
+  def processBatchNearDup(spark: SparkSession, batch: DataFrame,
+      batchId: Long, indexDir: String, bandIndexDir: String,
+      outDir: String): Unit = {
+    val sigs = batch.withColumn("content_hash", sha2(col("text"), 256))
+    val reps = sigs.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(sigs.select("doc_id", "text", "content_hash")
+        .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
+    val exactEvidence = readIndex(spark, indexDir)
+      .filter(col("ingest_batch") =!= batchId)
+      .select("content_hash")
+    val bandEvidence = readBandIndex(spark, bandIndexDir)
+      .filter(col("ingest_batch") =!= batchId)
+      .select("band", "bv")
+    val repBands = docBands(spark, reps.select("doc_id", "text"))
+    val nearHit = repBands
+      .join(bandEvidence, Seq("band", "bv"), "left_semi")
+      .select("doc_id").distinct()
+    val admitted = reps
+      .join(exactEvidence, Seq("content_hash"), "left_anti")
+      .join(nearHit, Seq("doc_id"), "left_anti")
+      .withColumn("ingest_batch", lit(batchId))
+      .localCheckpoint(true)
+    admitted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir)
+    admitted.select("content_hash", "doc_id", "ingest_batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(indexDir)
+    docBands(spark, admitted.select("doc_id", "text"))
+      .join(admitted.select("doc_id", "ingest_batch"), "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(bandIndexDir)
+  }
+
+  /** Wire the near-dup admission into a stream of (doc_id, text) rows. */
+  def startNearDup(spark: SparkSession, docs: DataFrame, indexDir: String,
+      bandIndexDir: String, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatchNearDup(spark, batch, id, indexDir, bandIndexDir, outDir)
+      }
+      .start()
 }

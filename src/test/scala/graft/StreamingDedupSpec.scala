@@ -51,6 +51,53 @@ class StreamingDedupSpec extends SparkSpec {
       Set("content_hash", "doc_id", "ingest_batch"))
   }
 
+  test("near-dup admission rejects banded neighbors across batches") {
+    val root = tmpDir("sndd")
+    val idx = s"$root/idx"; val bidx = s"$root/bidx"; val out = s"$root/out"
+    // identical 200-char prefixes → identical MinHash signatures → every
+    // band collides; `fresh` shares no shingles with `base`
+    val base = ("lorem ipsum dolor sit amet consectetur " * 8).take(240)
+    val variant = base.take(220) + " but a completely different tail"
+    val fresh = ("zebra quokka wombat numbat dingo " * 10).take(240)
+
+    // batch 0: exact within-batch duplicate collapses to min doc_id
+    StreamingDedup.processBatchNearDup(spark,
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), 0L, idx, bidx, out)
+    assert(admittedIds(out) == Set(1L))
+
+    // batch 1: near-dup (band hit) + exact dup rejected, fresh admitted
+    val b1 = Seq((3L, variant), (4L, fresh), (5L, base)).toDF("doc_id", "text")
+    StreamingDedup.processBatchNearDup(spark, b1, 1L, idx, bidx, out)
+    assert(admittedIds(out) == Set(1L, 4L))
+
+    // full redelivery of batch 1 converges
+    StreamingDedup.processBatchNearDup(spark, b1, 1L, idx, bidx, out)
+    assert(admittedIds(out) == Set(1L, 4L))
+
+    // the band index carries bands for admitted docs only — bytes per
+    // doc, never text
+    val bandDocs = spark.read.parquet(bidx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandDocs == Set(1L, 4L))
+    assert(spark.read.parquet(bidx).columns.toSet ==
+      Set("band", "bv", "doc_id", "ingest_batch"))
+  }
+
+  test("near-dup admission wires into a checkpointed stream") {
+    val root = tmpDir("sndd-stream")
+    val src = s"$root/src"
+    val base = ("alpha bravo charlie delta echo foxtrot " * 8).take(240)
+    Seq((1L, base), (2L, base.take(220) + " drifted tail"))
+      .toDF("doc_id", "text").write.parquet(s"$src/w1")
+    val q = StreamingDedup.startNearDup(spark,
+      spark.readStream.schema(docSchema).parquet(s"$src/*"),
+      s"$root/idx", s"$root/bidx", s"$root/out", s"$root/cp")
+    try q.processAllAvailable() finally q.stop()
+    // near-dups arriving in ONE batch are admitted together (documented
+    // scope: intra-batch near-dup needs the clustering sweep)
+    assert(admittedIds(s"$root/out") == Set(1L, 2L))
+  }
+
   test("re-running a micro-batch converges (retry idempotence)") {
     val idx = tmpDir("sdd-idx2") + "/index"
     val out = tmpDir("sdd-out2") + "/out"
