@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
     "dedup_near_dup_pipeline" -> Seq("doc_a", "doc_b"),
     "corpus_curation" -> Seq("doc_id"),
+    "corpus_curation_clustered" -> Seq("doc_id"),
     "text_edit_distance" -> Seq("doc_a", "doc_b"),
     "dedup_simhash" -> Seq("doc_id"),
     "dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),

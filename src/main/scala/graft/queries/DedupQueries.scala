@@ -107,6 +107,25 @@ object DedupQueries {
         posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
     }
 
+  /** (doc_id, cluster_id, cluster_size) for every doc in a near-dup
+    * cluster, persisted once: cluster_id is the min doc_id of the
+    * component (so `doc_id == cluster_id` identifies the representative).
+    * Feeds the clusters query AND cluster-based curation.
+    */
+  private def clusterAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cached(s, d, "dedup_clusters") {
+      val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs)
+      val rep = labels
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+      // clusters are few and tiny relative to the corpus — broadcast
+      val sizes = rep.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      rep.join(broadcast(sizes), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }
+
   private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     cached(s, d, "minhash_cand") {
@@ -460,17 +479,7 @@ object DedupQueries {
     // different algorithm arriving at the identical fixpoint, which makes
     // it a genuine cross-check rather than a re-run.
     QueryDef("dedup_clusters",
-      (s, d) => cached(s, d, "dedup_clusters") {
-        val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
-        val (labels, _) = graft.operators.ConnectedComponents.run(pairs)
-        val rep = labels
-          .select(col("v").as("doc_id"), col("component").as("cluster_id"))
-        // clusters are few and tiny relative to the corpus — broadcast
-        val sizes = rep.groupBy("cluster_id")
-          .agg(count(lit(1)).as("cluster_size"))
-        rep.join(broadcast(sizes), "cluster_id")
-          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      },
+      (s, d) => clusterAssignments(s, d),
       Some(s"""${NearDupSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |edges AS (SELECT doc_a AS u, doc_b AS w FROM ndup
         |  UNION SELECT doc_b, doc_a FROM ndup),
@@ -609,6 +618,41 @@ object DedupQueries {
         |  CAST((SELECT count(*) FROM fnd) AS BIGINT) AS found,
         |  CASE WHEN (SELECT count(*) FROM tru) = 0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE CAST((SELECT count(*) FROM fnd) AS DOUBLE)
-        |      / (SELECT count(*) FROM tru) END AS recall""".stripMargin))
+        |      / (SELECT count(*) FROM tru) END AS recall""".stripMargin)),
+
+    // Cluster-based curation: quality gate → exact dedup → keep ONE
+    // representative (the min doc_id) per near-dup CLUSTER. Strictly
+    // stronger than the pairwise form (corpus_curation): when a~c and b~c
+    // surfaced but a~b never did, pairwise removal keeps both a and b —
+    // the transitive closure keeps only a. Reuses the persisted cluster
+    // assignment (cluster_id IS the component min, so non-representatives
+    // are exactly the rows with doc_id != cluster_id, a map-side filter).
+    QueryDef("corpus_curation_clustered",
+      (s, d) => {
+        val nonRep = clusterAssignments(s, d)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        table(s, d, "documents")
+          .filter(size(split(col("text"), " ")) >= 10)
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .join(nonRep, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+      },
+      Some(s"""${NearDupSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT doc_a AS u, doc_b AS w FROM ndup
+        |  UNION SELECT doc_b, doc_a FROM ndup),
+        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT rc.v, e.w FROM reach rc JOIN edges e ON e.u = rc.r),
+        |rep AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        |nonrep AS (SELECT doc_id FROM rep WHERE doc_id <> cluster_id),
+        |q AS (SELECT doc_id, sha256(text) AS h FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY h)
+        |SELECT doc_id FROM k
+        |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin))
   )
 }
