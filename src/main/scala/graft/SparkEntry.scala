@@ -69,6 +69,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> Seq("revenue_c"),
     "q10_returned_revenue" -> Seq("c_custkey"),
     "q13_order_distribution" -> Seq("c_count"),
+    "q16_supplier_diversity" -> Seq("p_brand", "p_type"),
     "q22_idle_customers" -> Seq("c_nationkey"),
     "q_cube_counts" -> Seq("o_orderstatus", "o_orderpriority"),
     "q_sessionize" -> Seq("event_id"),

@@ -578,6 +578,36 @@ object RelationalQueries {
         |  GROUP BY 1)
         |GROUP BY c_count""".stripMargin)),
 
+    // TPC-H Q16 shape: supplier-diversity count — join facts to two
+    // dimensions, EXCLUDE a supplier subset via anti-join (Q16's
+    // complaint filter, here negative-balance suppliers), then
+    // count(DISTINCT supplier) per (brand, type). Distinct-agg after a
+    // join: Spark expands to a two-phase aggregate (distinct keys
+    // shuffle once, then per-group counts), never a row-level distinct
+    // over the join output.
+    QueryDef("q16_supplier_diversity",
+      (s, d) => {
+        val excluded = table(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        table(s, d, "lineitem")
+          .join(broadcast(table(s, d, "part")
+              .filter(col("p_size") >= 20)
+              .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 20
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin)),
+
     // TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join.
     // High-balance customers (above the positive-balance average) with no
     // order since 2000, grouped by nation. The threshold is computed over
