@@ -72,6 +72,7 @@ object SparkEntry {
     "q16_supplier_diversity" -> Seq("p_brand", "p_type"),
     "q22_idle_customers" -> Seq("c_nationkey"),
     "q_cube_counts" -> Seq("o_orderstatus", "o_orderpriority"),
+    "q_grouping_sets" -> Seq("gid", "o_orderstatus", "o_orderpriority"),
     "q_sessionize" -> Seq("event_id"),
     "dedup_exact" -> Seq("content_hash"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),

@@ -503,6 +503,32 @@ object RelationalQueries {
         |  t AS (PARTITION BY event_type
         |        ORDER BY CAST(round(value * 100) AS BIGINT), event_id)""".stripMargin)),
 
+    // Explicit GROUPING SETS (beyond the rollup/cube shorthands): an
+    // arbitrary list of grouping combinations in ONE pass over the data —
+    // Spark plans a single Expand + aggregate, not one scan per set.
+    // grouping_id disambiguates "NULL because aggregated away" from
+    // "NULL in the data" (both engines number bits identically for the
+    // same column order).
+    QueryDef("q_grouping_sets",
+      (s, d) => {
+        val t = table(s, d, "orders")
+        t.createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority))""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))""".stripMargin)),
+
     // TPC-H Q6 shape: pure scan-filter-aggregate — the query that measures
     // whether predicate pushdown and whole-stage codegen are working (no
     // join, no shuffle beyond the final partial-agg merge).

@@ -159,6 +159,19 @@ class PlanQualitySpec extends SparkSpec {
       "the recent-orders date filter must push down")
   }
 
+  test("q16 distinct-agg is two-phase; exclusion stays a broadcast anti-join") {
+    val q16 = plan("q16_supplier_diversity")
+    assert(q16.contains("BroadcastHashJoin") &&
+      q16.contains("LeftAnti"),
+      "supplier exclusion must broadcast as an anti-join")
+    assert(q16.contains("GreaterThanOrEqual(p_size,20)"),
+      "part size filter must push to the part scan")
+    // count(DISTINCT) after a join: partial aggregation must appear below
+    // the final aggregate (two-phase distinct, not row-level distinct)
+    assert(q16.contains("partial_count") || q16.contains("Partial"),
+      "distinct count must partial-aggregate")
+  }
+
   test("stream-stream join shape: equi key with range residual, not a loop") {
     val ssj = plan("st_stream_join")
     assert(ssj.contains("SortMergeJoin") || ssj.contains("ShuffledHashJoin") ||
