@@ -16,8 +16,8 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     IngestOpQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      ScaleOpQueries.defs
+      TpchShapeQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      TextQueries.defs ++ ScaleOpQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -73,6 +73,14 @@ object SparkEntry {
     "q22_idle_customers" -> Seq("c_nationkey"),
     "q_cube_counts" -> Seq("o_orderstatus", "o_orderpriority"),
     "q_grouping_sets" -> Seq("gid", "o_orderstatus", "o_orderpriority"),
+    "q2_min_supplier" -> Seq("p_partkey", "s_suppkey"),
+    "q8_market_share" -> Seq("o_year"),
+    "q9_profit" -> Seq("n_name", "l_year"),
+    "q11_nation_share" -> Seq("n_name"),
+    "q12_late_priority" -> Seq("lateness"),
+    "q15_top_supplier" -> Seq("s_suppkey"),
+    "q20_promo_shippers" -> Seq("s_suppkey"),
+    "q21_waiting_supplier" -> Seq("s_name"),
     "q_sessionize" -> Seq("event_id"),
     "dedup_exact" -> Seq("content_hash"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),

@@ -172,6 +172,38 @@ class PlanQualitySpec extends SparkSpec {
       "distinct count must partial-aggregate")
   }
 
+  test("q19 OR-of-ANDs: CNF extraction pushes both per-side disjunctions") {
+    val q19 = plan("q19_or_brands")
+    // the part-only disjunction (brand/size) must reach the part scan and
+    // the lineitem-only disjunction (quantity bands) the lineitem scan —
+    // without CNF conversion every part row survives to the join
+    assert(q19.contains("EqualTo(p_brand,Brand#12)"),
+      "part-side OR branches must push to the part scan")
+    assert(q19.contains("LessThanOrEqual(l_quantity,11.0)"),
+      "lineitem-side quantity bands must push to the lineitem scan")
+    assert(q19.contains("BroadcastHashJoin"),
+      "the pre-filtered part side must broadcast")
+  }
+
+  test("q21 EXISTS/NOT-EXISTS pair plans as semi + anti joins") {
+    val q21 = plan("q21_waiting_supplier")
+    assert(q21.contains("LeftSemi"), "EXISTS must become a left-semi join")
+    assert(q21.contains("LeftAnti"), "NOT EXISTS must become a left-anti join")
+    assert(q21.contains("EqualTo(o_orderstatus,F)"),
+      "order status filter must push to the orders scan")
+  }
+
+  test("q2 window-min computes the candidate set once") {
+    val q2 = plan("q2_min_supplier")
+    // the correlated-subquery form would inline the candidate CTE twice
+    // (two part⋈lineitem⋈supplier subtrees); the window form must keep a
+    // single part scan with the size filter pushed
+    assert(q2.contains("GreaterThanOrEqual(p_size,45)"),
+      "part size filter must push down")
+    assert("GreaterThanOrEqual\\(p_size,45\\)".r.findAllIn(q2).size == 1,
+      "candidate set must be computed once, not per subquery branch")
+  }
+
   test("stream-stream join shape: equi key with range residual, not a loop") {
     val ssj = plan("st_stream_join")
     assert(ssj.contains("SortMergeJoin") || ssj.contains("ShuffledHashJoin") ||
