@@ -120,7 +120,8 @@ object SparkEntry {
     "dedup_winnow_pairs" -> Seq("doc_a", "doc_b"),
     "dedup_clusters" -> Seq("doc_id"),
     "dedup_incremental" -> Seq("doc_id"),
-    "st_session_window" -> Seq("user_id", "session_start"))
+    "st_session_window" -> Seq("user_id", "session_start"),
+    "pipeline_observe" -> Seq("metric"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

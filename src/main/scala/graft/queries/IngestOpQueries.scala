@@ -283,6 +283,37 @@ object IngestOpQueries {
       (s, d) => table(s, d, "events")
         .groupBy("user_id").agg(min(col("event_id")).as("first_event")),
       Some("""SELECT user_id, min(event_id) AS first_event
-        |FROM events GROUP BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Pipeline observability: the reference logs its funnel per invocation
+    // (main.py:31-53); at scale the funnel must ride the job that does the
+    // real work. The metrics below are collected by ONE observed pass over
+    // the file-event source (Observation API — accumulator-backed, no
+    // second scan; ObservabilitySpec asserts the single-job property).
+    // The oracle recomputes each metric declaratively.
+    QueryDef("pipeline_observe",
+      (s, d) => {
+        import graft.operators.Observability
+        val fe = fileEvents(s, d)
+        Observability.funnel(fe,
+          "files_total" -> count(lit(1)),
+          "files_csv" -> count(when(col("file_name").endsWith(".csv"), 1)),
+          "files_dropped" -> count(when(!col("file_name").endsWith(".csv"), 1)),
+          "files_empty" -> count(when(col("file_name").endsWith(".csv") &&
+            col("file_size") === 0L, 1)),
+          "bytes_csv" -> sum(when(col("file_name").endsWith(".csv"),
+            col("file_size")).otherwise(0L)))
+      },
+      Some(s"""$FE
+        |SELECT metric, value FROM (
+        |  SELECT 'files_total' AS metric, CAST(count(*) AS BIGINT) AS value FROM fe
+        |  UNION ALL SELECT 'files_csv', CAST(count(*) AS BIGINT) FROM fe
+        |    WHERE file_name LIKE '%.csv'
+        |  UNION ALL SELECT 'files_dropped', CAST(count(*) AS BIGINT) FROM fe
+        |    WHERE file_name NOT LIKE '%.csv'
+        |  UNION ALL SELECT 'files_empty', CAST(count(*) AS BIGINT) FROM fe
+        |    WHERE file_name LIKE '%.csv' AND file_size = 0
+        |  UNION ALL SELECT 'bytes_csv', CAST(sum(CASE WHEN file_name LIKE '%.csv'
+        |    THEN file_size ELSE 0 END) AS BIGINT) FROM fe)""".stripMargin))
   )
 }
