@@ -121,7 +121,9 @@ object SparkEntry {
     "dedup_clusters" -> Seq("doc_id"),
     "dedup_incremental" -> Seq("doc_id"),
     "st_session_window" -> Seq("user_id", "session_start"),
-    "pipeline_observe" -> Seq("metric"))
+    "pipeline_observe" -> Seq("metric"),
+    "text_pii_redact" -> Seq("doc_id"),
+    "corpus_train_split" -> Seq("split"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -287,6 +287,74 @@ object TextQueries {
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contam
         |FROM g JOIN eg USING (gram)
         |WHERE g.doc_id >= 20
+        |GROUP BY 1""".stripMargin)),
+
+    // PII detection + redaction — scalar regex over each document, the
+    // standard pre-training scrub. The synthetic corpus carries no PII, so
+    // the fixture projection INJECTS a deterministic email + phone per
+    // document (derived from doc_id, identically in both engines); the
+    // operator under test is the regex detect/redact pass. Patterns stay
+    // in the Java∩RE2 common subset so Spark and DuckDB match identically.
+    // Scalar and shuffle-free: at 100 TB this is a pure map stage.
+    QueryDef("text_pii_redact",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+1-555-[0-9]{4}"
+        val pii = concat(col("text"), lit(" Contact user_"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit("."))
+        table(s, d, "documents")
+          .select(col("doc_id"), pii.as("pii_text"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            length(regexp_replace(regexp_replace(col("pii_text"),
+              email, "<EMAIL>"), phone, "<PHONE>"))
+              .cast("long").as("redacted_len"))
+      },
+      Some("""WITH pii AS (
+        |  SELECT doc_id, text || ' Contact user_' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+        |FROM pii""".stripMargin)),
+
+    // Deterministic train/valid/test split — assignment must be a pure
+    // function of the document key (reproducible across runs, machines,
+    // and engine versions), never a random() draw. Same md5-prefix
+    // device as corpus_mix_sample: hex prefix < 'cccc' ≈ 80% train,
+    // < 'e666' ≈ 10% valid, rest test. Shuffle-free scalar projection;
+    // the per-split counts are the one aggregation.
+    QueryDef("corpus_train_split",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            when(h < "cccc", "train").when(h < "e666", "valid")
+              .otherwise("test").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      },
+      Some("""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents
         |GROUP BY 1""".stripMargin))
   )
 }
