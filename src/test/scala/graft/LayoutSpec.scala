@@ -58,4 +58,36 @@ class LayoutSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted
     assert(day0.toSeq == (0L until 100L by 2).toSeq)
   }
+
+  test("compaction collapses small files, preserves rows, and swaps atomically") {
+    val out = tmpDir("compact") + "/events"
+    // simulate a micro-batch sink: 32 tiny files
+    spark.range(0, 2000).selectExpr("id AS event_id", "id * 3 AS v")
+      .repartition(32).write.parquet(out)
+    val beforeSum = spark.read.parquet(out)
+      .agg(sum(col("v"))).head().getLong(0)
+
+    val (before, after) = Layout.compact(spark, out, targetBytes = 1L << 20)
+    assert(before == 32, s"fixture should start at 32 files, saw $before")
+    assert(after < before && after >= 1,
+      s"compaction must reduce the file count, got $before -> $after")
+
+    val compacted = spark.read.parquet(out)
+    assert(compacted.count() == 2000)
+    assert(compacted.agg(sum(col("v"))).head().getLong(0) == beforeSum)
+    // no leftover working directories
+    assert(!new java.io.File(out + ".compact-tmp").exists())
+    assert(!new java.io.File(out + ".compact-old").exists())
+  }
+
+  test("compaction plans no shuffle — coalesce only") {
+    val out = tmpDir("compact2") + "/t"
+    spark.range(0, 100).repartition(8).write.parquet(out)
+    val plan = spark.read.parquet(out).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "file-count narrowing must not pay a shuffle")
+    val (b, a) = Layout.compact(spark, out, targetBytes = 1L << 20)
+    assert(b == 8 && a == 1)
+  }
 }
