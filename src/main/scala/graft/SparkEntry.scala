@@ -123,7 +123,8 @@ object SparkEntry {
     "st_session_window" -> Seq("user_id", "session_start"),
     "pipeline_observe" -> Seq("metric"),
     "text_pii_redact" -> Seq("doc_id"),
-    "corpus_train_split" -> Seq("split"))
+    "corpus_train_split" -> Seq("split"),
+    "q_global_rank" -> Seq("rnk"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

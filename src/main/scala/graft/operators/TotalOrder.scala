@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed total-order ranking.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY is the classic
+  * scale cliff: Spark plans it as a SinglePartition exchange — every row
+  * of a 100 TB table funnels through ONE task. The scalable form is the
+  * three-step dance Spark's own `RDD.zipWithIndex` uses:
+  *
+  *   1. range-repartition on the sort key (sampled boundaries, so each
+  *      partition holds a contiguous key range) and sort within partitions
+  *      — a single parallel shuffle;
+  *   2. one cheap job counting rows per partition (counts only — bytes
+  *      per partition, never data);
+  *   3. emit `global rank = partition offset + local index` in parallel.
+  *
+  * The rank is deterministic whenever the sort key is a total order (pass
+  * a tiebreaker column); boundary placement from sampling never affects
+  * it, only which task computes which range. The shuffle from step 1 is
+  * reused by steps 2–3 (same lineage), so the table is read once.
+  */
+object TotalOrder {
+
+  /** Append a 1-based dense global rank column ordered by `sortCols`.
+    *
+    * `sortCols` must be a total order (include a unique tiebreaker) for a
+    * deterministic result; null sort keys order first, as in SQL
+    * NULLS FIRST semantics.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankName: String, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ranged.schema.add(rankName, LongType, nullable = false)
+    // zipWithIndex runs the per-partition count job and the emit pass
+    // itself, reusing the range shuffle between them
+    val rows = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -204,6 +204,25 @@ object ScaleOpQueries {
       Some("""SELECT event_type AS value,
         |  CAST(count(*) AS BIGINT) AS est_count,
         |  CAST(0 AS BIGINT) AS max_err
-        |FROM events GROUP BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Distributed total-order rank — the scalable form of
+    // row_number() OVER (ORDER BY …), which Spark otherwise plans as a
+    // SinglePartition exchange (every row through one task). Range
+    // repartition + per-partition offsets; deterministic because
+    // (value_c, event_id) is a total order. The oracle runs the
+    // single-node window form DuckDB can afford.
+    QueryDef("q_global_rank",
+      (s, d) => graft.operators.TotalOrder.globalRank(
+          table(s, d, "events")
+            .select(col("event_id"), cents(col("value")).as("value_c")),
+          Seq(col("value_c"), col("event_id")), "rnk", numPartitions = 8)
+        .select(col("event_id"), col("value_c"), col("rnk")),
+      Some("""SELECT event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS value_c,
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+        |    AS BIGINT) AS rnk
+        |FROM events""".stripMargin))
   )
 }

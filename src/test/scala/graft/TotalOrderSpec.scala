@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TotalOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global rank: equal to the single-partition window form,
+  * deterministic across runs, and never planned through one task.
+  */
+class TotalOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRank equals the window row_number over a total order") {
+    val df = (0 until 1000).map(i => ((i * 7919) % 997, i.toLong))
+      .toDF("k", "id")
+    val ranked = TotalOrder.globalRank(df,
+        Seq(col("k"), col("id")), "rnk", numPartitions = 7)
+      .select("k", "id", "rnk")
+    val expected = df.withColumn("rnk",
+      row_number().over(Window.orderBy("k", "id")).cast("long"))
+    assert(ranked.except(expected).isEmpty && expected.except(ranked).isEmpty)
+  }
+
+  test("globalRank is deterministic across partition counts") {
+    val df = (0 until 500).map(i => ((i * 31) % 101, i.toLong)).toDF("k", "id")
+    val a = TotalOrder.globalRank(df, Seq(col("k"), col("id")), "rnk", 3)
+      .select("id", "rnk").as[(Long, Long)].collect().sortBy(_._1)
+    val b = TotalOrder.globalRank(df, Seq(col("k"), col("id")), "rnk", 11)
+      .select("id", "rnk").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq,
+      "rank must not depend on range boundary sampling")
+  }
+
+  test("the range shuffle is parallel, not a single partition") {
+    val df = spark.range(0, 10000).selectExpr("id", "id % 13 AS k")
+    val ranged = df.repartitionByRange(8, col("k"), col("id"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected a range exchange, got:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      "global ordering must never funnel through one partition")
+  }
+}
