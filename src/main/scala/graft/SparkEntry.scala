@@ -124,7 +124,8 @@ object SparkEntry {
     "pipeline_observe" -> Seq("metric"),
     "text_pii_redact" -> Seq("doc_id"),
     "corpus_train_split" -> Seq("split"),
-    "q_global_rank" -> Seq("rnk"))
+    "q_global_rank" -> Seq("rnk"),
+    "dq_audit" -> Seq("rule"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

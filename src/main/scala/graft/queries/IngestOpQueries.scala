@@ -314,6 +314,47 @@ object IngestOpQueries {
         |  UNION ALL SELECT 'files_empty', CAST(count(*) AS BIGINT) FROM fe
         |    WHERE file_name LIKE '%.csv' AND file_size = 0
         |  UNION ALL SELECT 'bytes_csv', CAST(sum(CASE WHEN file_name LIKE '%.csv'
-        |    THEN file_size ELSE 0 END) AS BIGINT) FROM fe)""".stripMargin))
+        |    THEN file_size ELSE 0 END) AS BIGINT) FROM fe)""".stripMargin)),
+
+    // Declarative data-quality audit — the table-level expectations pass
+    // (null / range / allowed-set / custom predicate) fused into ONE
+    // aggregate scan, plus a referential orphan check as a single
+    // anti-join. Exact violation counts, not booleans: admission
+    // thresholds stay a consumer decision. The range and set rules are
+    // violated by construction (values above 100, the 'error' type), so
+    // the audit demonstrably counts, not just passes.
+    QueryDef("dq_audit",
+      (s, d) => {
+        import graft.operators.DataQuality
+        import graft.operators.DataQuality._
+        val ev = table(s, d, "events")
+        DataQuality.audit(ev, Seq(
+            notNull("props"),
+            inRange("value", 0.0, 100.0),
+            inSet("event_type", Seq("click", "view", "purchase", "signup")),
+            expect("positive_value", col("value") > 0)))
+          .unionByName(DataQuality.orphans("orphan_lineitem",
+            table(s, d, "lineitem"), "l_orderkey",
+            table(s, d, "orders"), "o_orderkey"))
+      },
+      Some("""SELECT 'not_null_props' AS rule,
+        |  CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS violations,
+        |  CAST(count(*) AS BIGINT) AS checked FROM events
+        |UNION ALL SELECT 'range_value',
+        |  CAST(count(*) FILTER (WHERE value IS NOT NULL
+        |    AND (value < 0 OR value > 100)) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL SELECT 'set_event_type',
+        |  CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+        |    NOT IN ('click', 'view', 'purchase', 'signup')) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL SELECT 'positive_value',
+        |  CAST(count(*) FILTER (WHERE NOT (value > 0)) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL SELECT 'orphan_lineitem',
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)""".stripMargin))
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+import org.apache.spark.sql.functions._
+
+/** The audit contract: exact violation counts, all single-table rules
+  * fused into one aggregate pass.
+  */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(5.0), "click"),
+    (2L, None, "view"),
+    (3L, Some(-1.0), "bogus"),
+    (4L, Some(250.0), "click")).toDF("id", "v", "t")
+
+  test("rules count violations exactly") {
+    val report = DataQuality.audit(df, Seq(
+        notNull("v"),
+        inRange("v", 0.0, 100.0),
+        inSet("t", Seq("click", "view")),
+        expect("even_id", col("id") % 2 === 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report("not_null_v") == (1L, 4L))
+    assert(report("range_v") == (2L, 4L), "null must not count as range violation")
+    assert(report("set_t") == (1L, 4L))
+    assert(report("even_id") == (2L, 4L))
+  }
+
+  test("all single-table rules fuse into one scan") {
+    val agg = DataQuality.auditAggregate(df,
+      Seq(notNull("v"), inRange("v", 0.0, 100.0),
+        inSet("t", Seq("click")), expect("even_id", col("id") % 2 === 0)))
+    val leaves = agg.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.length === 1,
+      s"4 rules must evaluate over ONE scan of the input, planned ${leaves.length}")
+  }
+
+  test("orphan check counts missing referents") {
+    val dim = Seq(1L, 2L).toDF("k")
+    val fact = Seq(1L, 1L, 2L, 3L, 4L).toDF("fk")
+    val r = DataQuality.orphans("orphan_fk", fact, "fk", dim, "k").head()
+    assert(r.getString(0) == "orphan_fk")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 5L)
+  }
+}
