@@ -17,7 +17,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     IngestOpQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs ++
       TpchShapeQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ ScaleOpQueries.defs
+      TextQueries.defs ++ ScaleOpQueries.defs ++ IrQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -125,7 +125,11 @@ object SparkEntry {
     "text_pii_redact" -> Seq("doc_id"),
     "corpus_train_split" -> Seq("split"),
     "q_global_rank" -> Seq("rnk"),
-    "dq_audit" -> Seq("rule"))
+    "dq_audit" -> Seq("rule"),
+    "text_tfidf_topk" -> Seq("doc_id", "rnk"),
+    "text_bm25_search" -> Seq("rnk"),
+    "text_inverted_index" -> Seq("term"),
+    "q_stratified_sample" -> Seq("event_type", "rnk"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -105,6 +105,64 @@ object Multimodal {
       else None
     } else None
 
+  /** REAL JPEG header decode: walk the marker stream from SOI to the
+    * first SOFn frame header (C0-CF except the C4/C8/CC non-frame
+    * markers) and read the big-endian height/width it carries. Segment
+    * lengths self-describe, so the scan skips APPn/COM/DQT/DHT without
+    * understanding them; entropy-coded pixel data (which needs a real
+    * codec) starts only at SOS, after the frame header — dimensions never
+    * require it. Any desync (non-FF where a marker must be, truncated
+    * segment, SOS/EOI before a SOF) falls through to the stub.
+    */
+  private[multimodal] def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
+    else {
+      var i = 2
+      var res: Option[(Int, Int, Int)] = None
+      while (res.isEmpty && i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) i = b.length // marker desync: bail
+        else (b(i + 1) & 0xff) match {
+          case 0xff => i += 1 // fill byte before a marker
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd8) =>
+            i += 2 // standalone markers carry no length
+          case m if m == 0xd9 || m == 0xda =>
+            i = b.length // EOI/SOS: the frame header must have come first
+          case m =>
+            if (i + 3 >= b.length) i = b.length
+            else {
+              val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+              val isSof = m >= 0xc0 && m <= 0xcf &&
+                m != 0xc4 && m != 0xc8 && m != 0xcc
+              if (len < 2 || i + 2 + len > b.length) i = b.length
+              else if (isSof && len >= 9) {
+                val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+                val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+                if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20))
+                  res = Some((w, h, 1))
+                else i = b.length
+              } else i += 2 + len
+            }
+        }
+      }
+      res
+    }
+  }
+
+  /** REAL GIF header decode: 'GIF87a'/'GIF89a' signature + the logical
+    * screen descriptor's little-endian width/height at offsets 6/8.
+    * Frame count would need walking LZW-sized image blocks — header-only
+    * stays at 1.
+    */
+  private[multimodal] def decodeGif(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+        (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte) {
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20)) Some((w, h, 1))
+      else None
+    } else None
+
   /** Decode dispatch: real header parse where the format allows it, the
     * deterministic stub for codec-requiring formats.
     */
@@ -112,6 +170,7 @@ object Multimodal {
       bytes: Array[Byte]): (Int, Int, Int, Boolean) =
     if (bytes == null || bytes.isEmpty) (0, 0, 0, false)
     else decodeBmp(bytes).orElse(decodePng(bytes))
+        .orElse(decodeJpeg(bytes)).orElse(decodeGif(bytes))
         .orElse(decodeWav(bytes)) match {
       case Some((w, h, f)) => (w, h, f, true)
       case None => decodeStub(mediaType, bytes)
@@ -215,6 +274,49 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal baseline JPEG: SOI + JFIF APP0 + a 1-component SOF0 frame
+    * header carrying the dimensions + EOI, with `payload` as opaque
+    * trailing bytes. The APP0 before the SOF makes the decoder actually
+    * walk a non-frame segment.
+    */
+  private[multimodal] def jpegBytes(width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(0xff.toByte).put(0xd8.toByte)          // SOI
+      .put(0xff.toByte).put(0xe0.toByte)           // APP0
+      .putShort(16.toShort)
+      .put("JFIF".getBytes).put(0.toByte)
+      .put(1.toByte).put(1.toByte)                 // version 1.1
+      .put(0.toByte)                               // density units
+      .putShort(1.toShort).putShort(1.toShort)     // densities
+      .put(0.toByte).put(0.toByte)                 // no thumbnail
+      .put(0xff.toByte).put(0xc0.toByte)           // SOF0 (baseline)
+      .putShort(11.toShort)                        // 8 + 3 * 1 component
+      .put(8.toByte)                               // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte)                               // 1 component
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+      .put(0xff.toByte).put(0xd9.toByte)           // EOI
+      .put(payload)
+    out.array()
+  }
+
+  /** Minimal GIF89a: signature + logical screen descriptor (no global
+    * color table) + trailer, with `payload` as opaque trailing bytes.
+    */
+  private[multimodal] def gifBytes(width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13 + 1 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes)
+      .putShort(width.toShort).putShort(height.toShort)
+      .put(0.toByte).put(0.toByte).put(0.toByte)   // flags, bg, aspect
+      .put(0x3b.toByte)                            // trailer
+      .put(payload)
+    out.array()
+  }
+
   /** Canonical 44-byte PCM WAV header + `payload` as sample data. */
   private[multimodal] def wavBytes(channels: Int, sampleRate: Int,
       payload: Array[Byte]): Array[Byte] = {
@@ -248,7 +350,7 @@ object Multimodal {
       .as[(Long, String, String)]
       .map { case (id, text, src) =>
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (id % 4) match {
+        (id % 6) match {
           case 0 => MediaRow(id, "image",
             bmpBytes(1 + (text.length % 64), 1 + (id % 32).toInt, payload), src)
           case 1 => MediaRow(id, "audio",
@@ -256,6 +358,10 @@ object Multimodal {
               if (id % 8 == 1) 16000 else 8000, payload), src)
           case 2 => MediaRow(id, "image",
             pngBytes(1 + (text.length % 128), 1 + (id % 64).toInt, payload), src)
+          case 4 => MediaRow(id, "image",
+            jpegBytes(1 + (text.length % 256), 1 + (id % 48).toInt, payload), src)
+          case 5 => MediaRow(id, "image",
+            gifBytes(1 + (text.length % 200), 1 + (id % 40).toInt, payload), src)
           case _ => MediaRow(id, "video", payload, src)
         }
       }

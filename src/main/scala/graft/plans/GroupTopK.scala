@@ -55,6 +55,15 @@ case class GroupTopKExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
 
+  // Rows are filtered, never re-keyed: the child's hash partitioning on
+  // the group columns survives. Without this override a downstream
+  // operator clustered on the same keys (a window rank over the k
+  // survivors, a group-key join) would re-Exchange the already-clustered
+  // output.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val desc = descending

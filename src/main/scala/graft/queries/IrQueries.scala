@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Information-retrieval operators over `documents` — the search side of a
+  * training-data pipeline (reference scope: the docs call out "transform
+  * data / connect to a warehouse" as the intended extension point,
+  * `/root/reference/README.md:159-163`): TF-IDF keyword extraction, BM25
+  * ranked retrieval, and an inverted index with a document-frequency guard,
+  * plus a deterministic stratified sampler over `events`.
+  *
+  * Scale shape shared by all four:
+  *  - tokenization is a per-row lambda over the codegen'd `split` — no UDF,
+  *    no shuffle until the first groupBy;
+  *  - every per-term statistics table (df, idf) is vocabulary-sized, so it
+  *    is always the BROADCAST side of its join — the corpus-sized token
+  *    stream is never shuffled twice;
+  *  - posting-list materialization is bounded BEFORE collect_list by the
+  *    df-guard (the stop-list discipline: a term appearing in half the
+  *    corpus has a useless, unboundedly large posting list — record its df,
+  *    never its postings);
+  *  - the sampler uses the native [[graft.plans.GroupTopK]] bounded-heap
+  *    operator: O(n log k) per partition with partial top-k before the
+  *    shuffle never materializes a per-stratum sort of the full corpus.
+  *
+  * Determinism (oracle hash-matches): `ln` is transcendental and Java
+  * `Math.log` vs DuckDB `ln` differ in the last ulp on ~0.06% of inputs
+  * (measured), so every score that crosses the oracle boundary is
+  * quantized to integer milli-units — `CAST(round(score * 1000) AS
+  * BIGINT)` — where a 1-ulp input wobble (~1e-13 relative) cannot flip the
+  * rounded value. Rankings order by the quantized score with a term/doc_id
+  * tiebreak, never by the raw double.
+  */
+object IrQueries {
+  import Q._
+
+  /** Non-empty whitespace tokens: (doc_id, term). */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+
+  private val TokSql =
+    """tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS term
+      |  FROM documents)""".stripMargin
+
+  /** Adjacent-token bigrams: (doc_id, term). */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("term"))
+
+  private val BigramSql =
+    """raw AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+      |  FROM raw WHERE len(t) >= 2)""".stripMargin
+
+  /** BM25 query terms (fixed, present in the corpus vocabulary) and
+    * standard parameters k1=1.2, b=0.75 — folded into the expression as
+    * literals so both dialects parse identical doubles.
+    */
+  private val BmTerms = Seq("merge", "scan", "filter")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Top-3 TF-IDF keywords per document. tf is one hash-shuffle of the
+    // token stream on (doc_id, term); df is vocabulary-sized and
+    // broadcast; the per-doc ranking runs over <= |vocab| rows per doc.
+    // idf = ln((N+1)/(df+1)) quantized to milli-units (see object doc).
+    QueryDef("text_tfidf_topk",
+      (s, d) => {
+        val tok = tokens(s, d)
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tok.select("term", "doc_id").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_milli").desc, col("term"))
+        tf.join(broadcast(dfT), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score_milli",
+            expr("CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000) AS BIGINT)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "term", "tf", "score_milli", "rnk")
+      },
+      Some(s"""WITH $TokSql,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |    CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000) AS BIGINT) AS score_milli
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, tf, score_milli,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_milli DESC, term) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, tf, score_milli, rnk FROM rk WHERE rnk <= 3""".stripMargin)),
+
+    // BM25 ranked retrieval for a fixed 3-term query: score each document
+    // holding at least one query term, return the top 20. The per-term
+    // partial scores are pivoted into columns and added in FIXED operand
+    // order (s1 + s2 + s3) — never summed as an aggregate over doubles,
+    // which would be partition-order-dependent. dl/avgdl come from exact
+    // integer token counts; the only transcendental is the idf ln,
+    // quantized after the fixed-order sum.
+    QueryDef("text_bm25_search",
+      (s, d) => {
+        val tok = tokens(s, d)
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+        val qtok = tok.filter(col("term").isin(BmTerms: _*))
+        val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = qtok.select("term", "doc_id").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfT), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("score", expr(
+            """ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+              |((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+              |  (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
+              .stripMargin))
+        val parts = BmTerms.zipWithIndex.map { case (t, i) =>
+          coalesce(max(when(col("term") === t, col("score"))), lit(0.0))
+            .as(s"s$i")
+        }
+        val pivoted = scored.groupBy("doc_id").agg(parts.head, parts.tail: _*)
+        val w = Window.orderBy(col("score_milli").desc, col("doc_id"))
+        pivoted
+          .withColumn("score_milli",
+            expr("CAST(round((s0 + s1 + s2) * 1000) AS BIGINT)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select("doc_id", "score_milli", "rnk")
+      },
+      Some(s"""WITH $TokSql,
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+        |qt AS (SELECT * FROM tok WHERE term IN ('merge', 'scan', 'filter')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        |sc AS (SELECT doc_id, term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+        |      (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'merge' THEN score END), 0.0) AS s0,
+        |    coalesce(max(CASE WHEN term = 'scan' THEN score END), 0.0) AS s1,
+        |    coalesce(max(CASE WHEN term = 'filter' THEN score END), 0.0) AS s2
+        |  FROM sc GROUP BY 1),
+        |rk AS (SELECT doc_id,
+        |    CAST(round((s0 + s1 + s2) * 1000) AS BIGINT) AS score_milli,
+        |    CAST(row_number() OVER (ORDER BY
+        |      CAST(round((s0 + s1 + s2) * 1000) AS BIGINT) DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM pv)
+        |SELECT doc_id, score_milli, rnk FROM rk WHERE rnk <= 20""".stripMargin)),
+
+    // Inverted index over word BIGRAMS with a df-guard: every term records
+    // its document frequency and total occurrences; only terms with
+    // df <= 40 materialize a posting list (sorted doc_ids, comma-joined).
+    // The guard runs BEFORE collect_list — the unbounded-group skew risk
+    // (a stopword-grade term's postings) is filtered out by a broadcast
+    // semi-join on the vocabulary-sized df table, so no aggregation buffer
+    // ever exceeds 40 entries per key.
+    QueryDef("text_inverted_index",
+      (s, d) => {
+        val bg = bigrams(s, d)
+        val stats = bg.groupBy("term").agg(
+          count(lit(1)).as("n_total"),
+          countDistinct(col("doc_id")).as("df"))
+        val perDoc = bg.select("term", "doc_id").distinct()
+        val small = perDoc
+          .join(broadcast(stats.filter(col("df") <= 40).select("term")), "term")
+          .groupBy("term")
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .select(col("term"),
+            expr("array_join(transform(docs, x -> CAST(x AS STRING)), ',')")
+              .as("postings"))
+        stats.join(small, Seq("term"), "left")
+          .select("term", "df", "n_total", "postings")
+      },
+      Some(s"""WITH $BigramSql,
+        |st AS (SELECT term, count(*) AS n_total,
+        |    count(DISTINCT doc_id) AS df FROM bg GROUP BY 1),
+        |pd AS (SELECT DISTINCT term, doc_id FROM bg),
+        |sm AS (SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM pd JOIN st USING (term) WHERE df <= 40 GROUP BY term)
+        |SELECT term, df, n_total, postings
+        |FROM st LEFT JOIN sm USING (term)""".stripMargin)),
+
+    // Deterministic stratified sample: 5 events per event_type, selected
+    // by md5 of the key (a uniform, reproducible pseudo-order — no RNG
+    // state, identical on re-run and in the oracle). Runs through the
+    // native GroupTopK bounded-heap operator: each input partition keeps
+    // only its 5 best rows per stratum before any shuffle, so the
+    // full-corpus per-stratum sort a window row_number would plan never
+    // happens. The tiny survivor set (strata x 5) then gets its rank from
+    // an ordinary window.
+    QueryDef("q_stratified_sample",
+      (s, d) => {
+        val base = table(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            concat(md5(col("event_id").cast("string")),
+              lpad(col("event_id").cast("string"), 10, "0")).as("skey"))
+        val top = graft.plans.GroupTopK(
+          base, Seq("event_type"), "skey", k = 5, descending = false)
+        val w = Window.partitionBy("event_type").orderBy("skey")
+        top.withColumn("rnk", row_number().over(w).cast("long"))
+          .select("event_id", "event_type", "rnk")
+      },
+      Some("""SELECT event_id, event_type, rnk FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)) ||
+        |        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT) AS rnk
+        |  FROM events) z
+        |WHERE rnk <= 5""".stripMargin)))
+}

@@ -35,19 +35,27 @@ class MultimodalSpec extends SparkSpec {
     assert(video.forall(f => f.n_frames == 1 + f.n_bytes / 4096))
   }
 
-  test("BMP, PNG and WAV headers decode for real; video stays on the stub") {
+  test("BMP, PNG, JPEG, GIF and WAV headers decode for real; video stubs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", length($"text").as("len"))
       .as[(Long, Int)].collect().toMap
     val f = Multimodal.extractFeatures(corpus()).collect()
     f.filter(_.media_type == "image").foreach { r =>
       // dimensions must be exactly what the generator wrote to the header
-      if (r.media_id % 4 == 0) {
-        assert(r.width == 1 + (docs(r.media_id) % 64), s"bmp width: $r")
-        assert(r.height == 1 + (r.media_id % 32).toInt, s"bmp height: $r")
-      } else {
-        assert(r.width == 1 + (docs(r.media_id) % 128), s"png width: $r")
-        assert(r.height == 1 + (r.media_id % 64).toInt, s"png height: $r")
+      (r.media_id % 6) match {
+        case 0 =>
+          assert(r.width == 1 + (docs(r.media_id) % 64), s"bmp width: $r")
+          assert(r.height == 1 + (r.media_id % 32).toInt, s"bmp height: $r")
+        case 2 =>
+          assert(r.width == 1 + (docs(r.media_id) % 128), s"png width: $r")
+          assert(r.height == 1 + (r.media_id % 64).toInt, s"png height: $r")
+        case 4 =>
+          assert(r.width == 1 + (docs(r.media_id) % 256), s"jpeg width: $r")
+          assert(r.height == 1 + (r.media_id % 48).toInt, s"jpeg height: $r")
+        case _ =>
+          assert(r.media_id % 6 == 5, s"unexpected image stratum: $r")
+          assert(r.width == 1 + (docs(r.media_id) % 200), s"gif width: $r")
+          assert(r.height == 1 + (r.media_id % 40).toInt, s"gif height: $r")
       }
       assert(r.n_frames == 1 && r.ok)
     }
