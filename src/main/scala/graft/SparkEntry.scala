@@ -129,7 +129,9 @@ object SparkEntry {
     "text_tfidf_topk" -> Seq("doc_id", "rnk"),
     "text_bm25_search" -> Seq("rnk"),
     "text_inverted_index" -> Seq("term"),
-    "q_stratified_sample" -> Seq("event_type", "rnk"))
+    "q_stratified_sample" -> Seq("event_type", "rnk"),
+    "corpus_embedding_clusters" -> Seq("list_id"),
+    "st_heavy_hitters" -> Seq("event_type", "rnk"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

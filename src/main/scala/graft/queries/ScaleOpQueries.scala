@@ -68,6 +68,28 @@ object ScaleOpQueries {
         |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Streaming heavy hitters (StreamingAnalytics.streamingTopUsers) in
+    // its batch-planned form: per event_type, the top-10 users by event
+    // count from Space-Saving state hard-bounded at 4096 counters per
+    // group. At both test scales 4096 exceeds the user universe, so the
+    // sketch runs in its exact regime (err = 0) and the oracle is a plain
+    // GROUP BY + rank — which pins the state-update logic; the
+    // approx-regime bounds and multi-batch increments are
+    // StreamingAnalyticsSpec property tests.
+    QueryDef("st_heavy_hitters",
+      (s, d) => graft.streaming.StreamingAnalytics
+        .streamingTopUsers(table(s, d, "events"), capacity = 4096, k = 10)
+        .toDF(),
+      Some("""SELECT event_type, user_id, cnt, CAST(0 AS BIGINT) AS err,
+        |  rnk, n_seen
+        |FROM (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id) AS BIGINT) AS rnk,
+        |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen
+        |  FROM events GROUP BY 1, 2) z
+        |WHERE rnk <= 10""".stripMargin)),
+
     // Stream-stream interval join (StreamingAnalytics.attributionJoin) in
     // its batch-planned form: each view joined to the same user's
     // purchases within the next hour. The STREAMING execution — two file

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Q._
 
+  /** Trained IVF codebook (16 lists, 2 Lloyd iterations on a 1-in-4
+    * sample), persisted once per (session, dataset) and SHARED by
+    * `ann_ivf_topk` and `corpus_embedding_clusters` — training is the
+    * expensive iterative part, and both consumers broadcast the same
+    * k·dims-row result.
+    */
+  private def trainedCodebook(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ivf_codebook") {
+      graft.operators.IvfCodebook.train(s,
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 16, iters = 2, sampleEvery = 4)
+    }
+
   /** DuckDB rendering of the deterministic random-hyperplane bucketing
     * (±1 weights from sha256(plane-dim) hex parity, exact integer
     * projections, bucket = sign-bit signature) as a `buckets` CTE. The
@@ -276,8 +289,7 @@ object SimilarityQueries {
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cm = IvfCodebook.comps(v)
         val nm = IvfCodebook.norms(cm)
-        val trained = broadcast(
-          IvfCodebook.train(s, v, k = 16, iters = 2, sampleEvery = 4))
+        val trained = broadcast(trainedCodebook(s, d))
         val sims = IvfCodebook.similarities(cm, nm, trained)
         val wNearest = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cent_id"))
@@ -390,6 +402,37 @@ object SimilarityQueries {
         |      / CAST(count(*) AS DOUBLE) END AS recall
         |FROM truep t LEFT JOIN lshp l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b""".stripMargin)),
 
+
+    // Corpus clustering profile over the TRAINED codebook: every vector
+    // assigned to its nearest list, then per-list sizes and per-mille
+    // share. This is (a) the list-balance diagnostic that tells you
+    // whether nprobe/lists is a usable cost dial (a degenerate codebook
+    // shows up as one list holding most of the corpus), and (b) the
+    // k-means corpus-clustering operator of a curation pipeline (cluster
+    // sizes drive mixing/pruning decisions). Shares the persisted trained
+    // codebook with ann_ivf_topk — training runs once per session; the
+    // profile itself is one broadcast-join pass over the corpus plus a
+    // 16-group aggregate.
+    QueryDef("corpus_embedding_clusters",
+      (s, d) => {
+        import graft.operators.IvfCodebook
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cm = IvfCodebook.comps(v)
+        val nm = IvfCodebook.norms(cm)
+        val assign = IvfCodebook.assign(cm, nm, broadcast(trainedCodebook(s, d)))
+        val total = v.agg(count(lit(1)).as("n_total"))
+        assign.groupBy("list_id")
+          .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+          .crossJoin(broadcast(total))
+          .select(col("list_id"), col("n_vectors"), col("min_vec"),
+            expr("CAST((n_vectors * 1000) DIV n_total AS BIGINT)").as("share_pm"))
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |tot AS (SELECT count(*) AS n_total FROM embeddings)
+        |SELECT list_id, count(*) AS n_vectors, min(vec_id) AS min_vec,
+        |  CAST((count(*) * 1000) // n_total AS BIGINT) AS share_pm
+        |FROM assign CROSS JOIN tot GROUP BY list_id, n_total""".stripMargin)),
 
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a

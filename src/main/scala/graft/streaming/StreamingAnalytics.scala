@@ -70,6 +70,70 @@ object StreamingAnalytics {
         })
   }
 
+  /** One Space-Saving counter: tracked key, count, and the count's
+    * overestimation bound (the evicted predecessor's count).
+    */
+  case class HHEntry(user_id: Long, cnt: Long, err: Long)
+  case class HHState(entries: Seq[HHEntry], n_seen: Long)
+  case class HHTop(event_type: String, user_id: Long, cnt: Long, err: Long,
+      rnk: Long, n_seen: Long)
+
+  /** Streaming heavy hitters: per event_type, the approximate top-k users
+    * by event count via Space-Saving state in `flatMapGroupsWithState`.
+    *
+    * State per group is HARD-BOUNDED at `capacity` counters regardless of
+    * stream length or key cardinality — the whole point at 100 TB, where
+    * exact per-user counts would grow state with the user universe. The
+    * classic guarantees hold under any arrival order: a key's true count
+    * is within [cnt - err, cnt], and any key with true count >
+    * n_seen/capacity is in the table. With capacity >= distinct users the
+    * operator degrades to exact counting (err = 0), which is the regime
+    * the DuckDB oracle replays; approx-regime invariants are
+    * property-tested in StreamingAnalyticsSpec.
+    *
+    * Each micro-batch emits that batch's cumulative top-k per type plus
+    * `n_seen` (rows absorbed so far), so a consumer — and the tests — can
+    * select the final emission per group without comparing across ranks.
+    */
+  def streamingTopUsers(events: DataFrame, capacity: Int,
+      k: Int): Dataset[HHTop] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (et: String, rows: Iterator[(String, Long)],
+         state: GroupState[HHState]) => {
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          var seen = 0L
+          state.getOption.foreach { st =>
+            seen = st.n_seen
+            st.entries.foreach(e => m(e.user_id) = (e.cnt, e.err))
+          }
+          rows.foreach { case (_, u) =>
+            seen += 1
+            m.get(u) match {
+              case Some((c, e)) => m(u) = (c + 1, e)
+              case None if m.size < capacity => m(u) = (1L, 0L)
+              case None =>
+                // evict the min-count entry (deterministic user_id
+                // tiebreak); the newcomer inherits its count as error
+                val (vu, (vc, _)) =
+                  m.minBy { case (uu, (cc, _)) => (cc, uu) }
+                m.remove(vu)
+                m(u) = (vc + 1, vc)
+            }
+          }
+          state.update(HHState(
+            m.iterator.map { case (u, (c, e)) => HHEntry(u, c, e) }.toSeq,
+            seen))
+          m.toSeq.sortBy { case (u, (c, _)) => (-c, u) }.take(k)
+            .iterator.zipWithIndex.map { case ((u, (c, e)), i) =>
+              HHTop(et, u, c, e, i + 1L, seen)
+            }
+        })
+  }
+
   /** Stream-stream event-time interval join (attribution): each `view`
     * event joined to the same user's `purchase` events within
     * [view_time, view_time + horizon]. On streaming inputs both sides

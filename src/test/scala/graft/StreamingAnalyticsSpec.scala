@@ -218,4 +218,64 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(latest.length == truth.length)
     assert(latest.toSeq == truth.toSeq)
   }
+
+  test("streaming heavy hitters: exact regime across micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("hh-events")
+    val cp = tmpDir("hh-cp")
+    val src = spark.read.schema(StreamingAnalytics.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    src.filter($"event_id" < 500).write.parquet(s"$dir/b1")
+    val stream = StreamingAnalytics.streamingTopUsers(
+      spark.readStream.schema(StreamingAnalytics.eventsSchema)
+        .parquet(s"$dir/*"), capacity = 4096, k = 10)
+    val q = stream.writeStream.format("memory").queryName("hh")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      src.filter($"event_id" >= 500).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // final emission per type = the one whose n_seen covers the full type
+    val totals = src.groupBy("event_type").agg(count(lit(1)).as("tot"))
+    val finalTop = spark.table("hh")
+      .join(totals, "event_type")
+      .filter($"n_seen" === $"tot")
+      .select("event_type", "user_id", "cnt", "err", "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy($"cnt".desc, $"user_id")
+    val truth = src.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 10)
+      .select($"event_type", $"user_id", $"cnt", lit(0L).as("err"), $"rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(finalTop == truth)
+  }
+
+  test("streaming heavy hitters: approx regime keeps Space-Saving bounds") {
+    import spark.implicits._
+    // 60 events over 12 users, skewed; capacity 4 forces evictions
+    val rows = (1 to 30).map(i => (i.toLong, 0L, 1L, "click", 0.0, "")) ++
+      (1 to 15).map(i => (30L + i, 0L, 2L, "click", 0.0, "")) ++
+      (1 to 15).map(i => (45L + i, 0L, (2 + i).toLong, "click", 0.0, ""))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamingAnalytics.streamingTopUsers(ev, capacity = 4, k = 4)
+      .collect()
+    assert(out.length <= 4, "emission bounded by k <= capacity")
+    val truth = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    out.foreach { t =>
+      assert(t.n_seen == 60L)
+      val real = truth.getOrElse(t.user_id, 0L)
+      assert(t.cnt >= real, s"Space-Saving must overestimate: $t vs $real")
+      assert(t.cnt - t.err <= real, s"err bound violated: $t vs $real")
+    }
+    // any key with true count > n/capacity = 15 must be present
+    val present = out.map(_.user_id).toSet
+    assert(present.contains(1L), "guaranteed heavy key (30 > 60/4) missing")
+  }
 }
