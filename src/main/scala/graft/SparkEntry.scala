@@ -131,7 +131,8 @@ object SparkEntry {
     "text_inverted_index" -> Seq("term"),
     "q_stratified_sample" -> Seq("event_type", "rnk"),
     "corpus_embedding_clusters" -> Seq("list_id"),
-    "st_heavy_hitters" -> Seq("event_type", "rnk"))
+    "st_heavy_hitters" -> Seq("event_type", "rnk"),
+    "q_zorder_buckets" -> Seq("bucket"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

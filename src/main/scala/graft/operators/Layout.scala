@@ -43,6 +43,60 @@ object Layout {
       days: Seq[String]): DataFrame =
     spark.read.parquet(path).filter(col("day").isin(days: _*))
 
+  /** Morton (Z-order) value: bit-interleave the low `bits` bits of two
+    * non-negative integer dimensions (x in even positions, y in odd).
+    * Rows close in z-value are close in BOTH dimensions, which is the
+    * whole trick: a file holding a contiguous z-range covers a bounded
+    * box in (x, y), so parquet min/max stats prune multi-dimension
+    * predicates — a single-column sort only ever prunes its own column.
+    * Pure integer arithmetic (mask, shift, add of disjoint bits), exact
+    * and portable to any engine.
+    */
+  def zval(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).map { i =>
+      shiftrightunsigned(xm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftrightunsigned(ym, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the z-order of two columns: normalize each
+    * dimension to the full `bits` range, interleave, range-repartition on
+    * the z-value into `partitions` output files, sort within each, write.
+    * One extra shuffle at write time buys every future two-dimensional
+    * scan its file- and row-group-level pruning — the standard lakehouse
+    * OPTIMIZE ZORDER BY trade.
+    *
+    * Normalization is NOT optional: dimensions of different magnitudes
+    * (a 0-150 user id against a 0-50000 cents value) otherwise leave the
+    * narrow dimension in the interleave's low bits only, and the "z"
+    * order degenerates to a plain sort of the wide dimension. Min/max
+    * linear scaling (one cheap agg pass) fixes magnitude mismatch;
+    * heavily SKEWED dimensions would want quantile bucketing instead
+    * (rank-based ids per column) — same interleave, different scaler.
+    */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String, partitions: Int): Unit = {
+    val r = df.agg(min(x).cast("double").as("x0"),
+      max(x).cast("double").as("x1"),
+      min(y).cast("double").as("y0"),
+      max(y).cast("double").as("y1")).collect()(0)
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))
+        .cast("long")
+    df.withColumn("_zv", zval(
+        scaled(x, r.getDouble(0), r.getDouble(1)),
+        scaled(y, r.getDouble(2), r.getDouble(3)), bits))
+      .repartitionByRange(partitions, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_zv")
+      .write.mode("overwrite").parquet(out)
+  }
+
   /** Compact a parquet directory's small files into ~`targetBytes` files.
     *
     * Streaming ingest and delta-style sinks (the ledger's base+delta

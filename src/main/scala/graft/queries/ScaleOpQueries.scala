@@ -245,6 +245,44 @@ object ScaleOpQueries {
         |  CAST(row_number() OVER (
         |    ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
         |    AS BIGINT) AS rnk
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // Z-order locality profile: the Morton interleave of
+    // (user_id, value-cents) bucketed by its top 6 bits (64 cells), with
+    // each cell's row count and (x, y) bounding box. This oracles the
+    // exact bit-interleave arithmetic Layout.writeZOrdered clusters files
+    // by, and the bounded boxes ARE the pruning story: a file holding one
+    // z-range covers one such box, so predicates on EITHER dimension skip
+    // most cells — LayoutSpec measures the file-level effect against a
+    // single-column sort. Pure per-row integer arithmetic + one 64-group
+    // aggregate: shuffle-free until the final tiny agg.
+    QueryDef("q_zorder_buckets",
+      (s, d) => {
+        import graft.operators.Layout
+        val ev = table(s, d, "events")
+          .select(col("user_id").as("x"), cents(col("value")).as("y"))
+        val mx = ev.agg(max("x").as("xmx"), max("y").as("ymx"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("zv", Layout.zval(
+            expr("(x * 65535) DIV xmx"), expr("(y * 65535) DIV ymx"), 16))
+          .groupBy(expr(s"zv DIV ${1L << 26}").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+      },
+      Some("""WITH b AS (SELECT user_id AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |m AS (SELECT max(x) AS xmx, max(y) AS ymx FROM b),
+        |sc AS (SELECT x, y, (x * 65535) // xmx AS xs, (y * 65535) // ymx AS ys
+        |  FROM b CROSS JOIN m),
+        |z AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((xs & 65535) >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
+        |    + (((ys & 65535) >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))))
+        |    AS BIGINT) AS zv
+        |  FROM sc)
+        |SELECT zv // 67108864 AS bucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1""".stripMargin))
   )
 }

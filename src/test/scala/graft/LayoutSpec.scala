@@ -90,4 +90,54 @@ class LayoutSpec extends SparkSpec {
     val (b, a) = Layout.compact(spark, out, targetBytes = 1L << 20)
     assert(b == 8 && a == 1)
   }
+
+  test("zval interleaves bits exactly") {
+    val row = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zval(col("x"), col("y"), 16).as("z"))
+      .collect().head.getLong(0)
+    // x=101b -> even positions 0,2,4 = 1+0+16; y=011b -> odd 1,3 = 2+8
+    assert(row == 27L)
+    val top = Seq(((1L << 16) - 1, (1L << 16) - 1)).toDF("x", "y")
+      .select(Layout.zval(col("x"), col("y"), 16).as("z"))
+      .collect().head.getLong(0)
+    assert(top == (1L << 32) - 1)
+  }
+
+  test("z-order layout bounds both dimensions; single-column sort only one") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"event_id", $"user_id".as("x"),
+        round($"value" * 100).cast("long").as("y"))
+    val zdir = tmpDir("zorder")
+    val ldir = tmpDir("linear")
+    Layout.writeZOrdered(ev, col("x"), col("y"), 16, zdir, 16)
+    ev.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(ldir)
+
+    // per-file (x, y) bounding boxes — what parquet min/max stats expose
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect().map(r => (r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+        r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+    val zb = boxes(zdir)
+    val lb = boxes(ldir)
+    assert(zb.length >= 8 && lb.length >= 8)
+
+    // a y-only slice (~4% of the y range): the x-sorted layout cannot
+    // prune it (every file spans all y); z-order skips most files
+    def touchedY(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, y0, y1) => y0 <= 12000L && y1 >= 10000L }
+    assert(touchedY(lb) == lb.length,
+      "x-sorted layout should be unable to prune a y predicate")
+    assert(touchedY(zb) * 2 <= zb.length,
+      s"z-order should skip at least half the files: " +
+        s"${touchedY(zb)}/${zb.length}")
+
+    // and an x slice still prunes under z-order (bounded boxes, both dims)
+    def touchedX(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (x0, x1, _, _) => x0 <= 40L && x1 >= 30L }
+    assert(touchedX(zb) < zb.length,
+      "z-order boxes must also bound the x dimension")
+  }
 }
