@@ -132,7 +132,9 @@ object SparkEntry {
     "q_stratified_sample" -> Seq("event_type", "rnk"),
     "corpus_embedding_clusters" -> Seq("list_id"),
     "st_heavy_hitters" -> Seq("event_type", "rnk"),
-    "q_zorder_buckets" -> Seq("bucket"))
+    "q_zorder_buckets" -> Seq("bucket"),
+    "dq_skew_profile" -> Seq("n_keys"),
+    "st_stream_join_outer" -> Seq("view_id", "purchase_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

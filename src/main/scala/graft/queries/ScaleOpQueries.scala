@@ -283,6 +283,76 @@ object ScaleOpQueries {
         |SELECT zv // 67108864 AS bucket, count(*) AS n,
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
-        |FROM z GROUP BY 1""".stripMargin))
+        |FROM z GROUP BY 1""".stripMargin)),
+
+    // Key-skew profile — what you run BEFORE choosing salting / AQE skew
+    // hints: the distribution of group sizes for a join/agg key (here
+    // events.user_id), as one row of discrete percentiles (p50/p90/p99),
+    // max, and the heaviest key's per-mille share. Everything is exact
+    // integer arithmetic: the percentile positions are ceil(k*p/100) via
+    // integer DIV, and the ranked group sizes come from the DISTRIBUTED
+    // total-order rank (range repartition + partition offsets,
+    // graft.operators.TotalOrder) — at a billion distinct keys the naive
+    // row_number() OVER (ORDER BY n) would funnel every key through one
+    // partition, exactly the skew this query is meant to diagnose. The
+    // oracle affords the single-node window form.
+    QueryDef("dq_skew_profile",
+      (s, d) => {
+        val counts = table(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val ranked = graft.operators.TotalOrder.globalRank(
+          counts, Seq(col("n"), col("user_id")), "rn", numPartitions = 8)
+        val k = counts.agg(count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"), max("n").as("max_n"))
+        ranked.crossJoin(broadcast(k))
+          .groupBy("n_keys", "n_rows", "max_n")
+          .agg(
+            max(when(col("rn") === expr("(n_keys * 50 + 99) DIV 100"),
+              col("n"))).as("p50_n"),
+            max(when(col("rn") === expr("(n_keys * 90 + 99) DIV 100"),
+              col("n"))).as("p90_n"),
+            max(when(col("rn") === expr("(n_keys * 99 + 99) DIV 100"),
+              col("n"))).as("p99_n"))
+          .select(col("n_keys"), col("n_rows"), col("max_n"),
+            col("p50_n"), col("p90_n"), col("p99_n"),
+            expr("(max_n * 1000) DIV n_rows").as("top1_share_pm"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS rn FROM c),
+        |k AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    max(n) AS max_n FROM c)
+        |SELECT n_keys, n_rows, max_n,
+        |  max(CASE WHEN rn = (n_keys * 50 + 99) // 100 THEN n END) AS p50_n,
+        |  max(CASE WHEN rn = (n_keys * 90 + 99) // 100 THEN n END) AS p90_n,
+        |  max(CASE WHEN rn = (n_keys * 99 + 99) // 100 THEN n END) AS p99_n,
+        |  (max_n * 1000) // n_rows AS top1_share_pm
+        |FROM r CROSS JOIN k
+        |GROUP BY n_keys, n_rows, max_n""".stripMargin)),
+
+    // The LEFT OUTER form of the stream-stream interval join: every view
+    // emits, purchase columns null when no purchase landed in the
+    // horizon. On streaming inputs this is the shape whose unmatched rows
+    // can only emit once the purchase-side WATERMARK passes the view's
+    // horizon end (the null verdict needs the window provably closed) —
+    // state and emission timing are StreamingAnalyticsSpec's job; the
+    // oracle replays the batch plan.
+    QueryDef("st_stream_join_outer",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        graft.streaming.StreamingAnalytics.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          joinType = "left_outer")
+      },
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us,
+        |  CAST(round(p.value * 100) AS BIGINT) AS purchase_value_c
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin))
   )
 }

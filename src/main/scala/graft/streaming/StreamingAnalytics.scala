@@ -148,7 +148,8 @@ object StreamingAnalytics {
     * replays it (`st_stream_join`).
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     def prep(df: DataFrame, side: String): DataFrame = {
       val t = df.select(
         col("event_id").as(s"${side}_id"),
@@ -157,10 +158,15 @@ object StreamingAnalytics {
         round(col("value") * 100).cast("long").as(s"${side}_value_c"))
       if (t.isStreaming) t.withWatermark(s"${side}_time", watermark) else t
     }
+    // left_outer: a view's null verdict emits only once the purchase
+    // watermark provably closes its horizon window — until then the row
+    // sits in state as a potential match (Spark's streaming outer-join
+    // contract); batch inputs plan the ordinary outer equi-join.
     prep(views, "view").join(prep(purchases, "purchase"),
       expr("view_user = purchase_user AND " +
         "purchase_time >= view_time AND " +
-        s"purchase_time <= view_time + interval $horizon"))
+        s"purchase_time <= view_time + interval $horizon"),
+      joinType)
       .select(col("view_id"), col("purchase_id"),
         col("view_user").as("user_id"),
         (unix_micros(col("purchase_time")) - unix_micros(col("view_time")))

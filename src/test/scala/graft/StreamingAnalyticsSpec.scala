@@ -219,6 +219,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(latest.toSeq == truth.toSeq)
   }
 
+  test("left-outer interval join: nulls emit only after the window closes") {
+    import spark.implicits._
+    val dir = tmpDir("soj-events")
+    val cp = tmpDir("soj-cp")
+    def ev(id: Long, min: Long, user: Long, typ: String) =
+      (id, min * 60L * 1000000000L, user, typ, 1.0, "")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // wave 1: two views; user 1's purchase lands inside the 1h horizon,
+    // user 2 never purchases
+    Seq(ev(1, 1, 1L, "view"), ev(2, 2, 2L, "view"),
+      ev(3, 30, 1L, "purchase")).toDF(cols: _*).write.parquet(s"$dir/b1")
+    val views = spark.readStream.schema(StreamingAnalytics.eventsSchema)
+      .parquet(s"$dir/*").filter($"event_type" === "view")
+    val purchases = spark.readStream.schema(StreamingAnalytics.eventsSchema)
+      .parquet(s"$dir/*").filter($"event_type" === "purchase")
+    val joined = StreamingAnalytics.attributionJoin(
+      views, purchases, joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("soj")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // user 2's null verdict must NOT have emitted yet: the purchase
+      // watermark (30min - 2h delay) has not closed view 2's horizon
+      val early = spark.table("soj").collect()
+      assert(early.forall(r => !r.isNullAt(r.fieldIndex("purchase_id"))),
+        s"null row emitted before the window provably closed: ${early.toSeq}")
+      // wave 2: far-future events on BOTH sides — the operator's
+      // watermark is the MIN over all inputs, so advancing only the
+      // purchase side would leave the view-side watermark at 2min and
+      // nothing would ever close. The far-future view itself stays open
+      // (its own horizon is beyond the new watermark) and must NOT emit.
+      Seq(ev(4, 600, 98L, "view"), ev(5, 601, 99L, "purchase"))
+        .toDF(cols: _*).write.mode("append").parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("soj")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(out == Set((1L, 3L), (2L, -1L)),
+      s"expected one inner match and one closed-window null, got $out")
+  }
+
   test("streaming heavy hitters: exact regime across micro-batches") {
     import spark.implicits._
     val dir = tmpDir("hh-events")
