@@ -57,6 +57,12 @@ object IrQueries {
         explode(expr(
           "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
           .as("term"))
+      // no bigram is ever null (indices stay in bounds), but Catalyst
+      // can't prove it: the downstream equi-join would push its own
+      // isnotnull(term) into ONE branch, de-identifying the aggregate
+      // subtrees and blocking exchange reuse — filter here so every
+      // branch shares the same subtree
+      .filter(col("term").isNotNull)
 
   private val BigramSql =
     """raw AS (SELECT doc_id,
@@ -82,7 +88,13 @@ object IrQueries {
       (s, d) => {
         val tok = tokens(s, d)
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tok.select("term", "doc_id").distinct()
+        // df derives FROM tf (one row per (doc, term) already), so the
+        // token stream is tokenized and shuffled exactly once. The
+        // always-true filter is load-bearing: it forces the rollup branch
+        // to consume tf's count column, keeping both branches' aggregate
+        // subtrees IDENTICAL — otherwise column pruning specializes them
+        // and exchange reuse can't kick in (two full corpus scans).
+        val dfT = tf.filter(col("tf") >= 1)
           .groupBy("term").agg(count(lit(1)).as("df"))
         val n = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
@@ -122,7 +134,8 @@ object IrQueries {
         val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
         val qtok = tok.filter(col("term").isin(BmTerms: _*))
         val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = qtok.select("term", "doc_id").distinct()
+        // tf-consuming no-op filter: same exchange-reuse trick as tfidf
+        val dfT = tf.filter(col("tf") >= 1)
           .groupBy("term").agg(count(lit(1)).as("df"))
         val scored = tf.join(broadcast(dfT), "term")
           .join(dl, "doc_id")
@@ -179,11 +192,17 @@ object IrQueries {
     QueryDef("text_inverted_index",
       (s, d) => {
         val bg = bigrams(s, d)
-        val stats = bg.groupBy("term").agg(
-          count(lit(1)).as("n_total"),
-          countDistinct(col("doc_id")).as("df"))
-        val perDoc = bg.select("term", "doc_id").distinct()
-        val small = perDoc
+        // one shuffle of the bigram stream on (term, doc); df and
+        // n_total are term-level rollups of that aggregate (reused
+        // exchange), never a second pass over the corpus
+        val perDoc = bg.groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("occ"))
+        val stats = perDoc.groupBy("term").agg(
+          count(lit(1)).as("df"), sum(col("occ")).as("n_total"))
+        // occ-consuming no-op filter keeps this branch's aggregate
+        // subtree identical to stats' input, so the (term, doc) exchange
+        // is computed once and reused
+        val small = perDoc.filter(col("occ") >= 1)
           .join(broadcast(stats.filter(col("df") <= 40).select("term")), "term")
           .groupBy("term")
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"))

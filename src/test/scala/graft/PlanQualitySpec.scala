@@ -213,4 +213,44 @@ class PlanQualitySpec extends SparkSpec {
       ssj.contains("EqualTo(event_type,purchase)"),
       "event_type filters must push to the events scan")
   }
+
+  test("IR queries tokenize and shuffle the corpus once (reused exchange)") {
+    // df/n_total statistics roll up FROM the (doc, term) aggregate; a
+    // second tokenize+shuffle of the corpus would show as a second full
+    // Exchange subtree instead of a ReusedExchange. AQE performs the
+    // reuse at stage materialization, so execute first and read the
+    // final adaptive plan.
+    Seq("text_tfidf_topk", "text_inverted_index").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("ReusedExchange"),
+        s"$q must reuse the token-stream exchange for its term rollup")
+    }
+  }
+
+  test("skew profile ranks group sizes without a global window") {
+    val p = plan("dq_skew_profile")
+    assert(!p.contains("Window"),
+      "the group-size ranking must use the distributed total-order rank, " +
+        "never a row_number window over all keys")
+  }
+
+  test("streaming state operators plan their state shape") {
+    // batch-planned flatMapGroupsWithState lowers to MapGroups; the
+    // streaming form is StreamingAnalyticsSpec's job
+    assert(plan("st_heavy_hitters").contains("MapGroups"),
+      "streaming heavy hitters must plan through the grouped-state path")
+    val soj = plan("st_stream_join_outer")
+    assert(soj.contains("LeftOuter"),
+      "outer attribution join must keep its left-outer type")
+  }
+
+  test("zorder profile: one corpus pass, broadcast scalar sides") {
+    val p = plan("q_zorder_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row max side must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "scalar cross join must not plan a shuffled cartesian")
+  }
 }
