@@ -134,7 +134,8 @@ object SparkEntry {
     "st_heavy_hitters" -> Seq("event_type", "rnk"),
     "q_zorder_buckets" -> Seq("bucket"),
     "dq_skew_profile" -> Seq("n_keys"),
-    "st_stream_join_outer" -> Seq("view_id", "purchase_id"))
+    "st_stream_join_outer" -> Seq("view_id", "purchase_id"),
+    "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,6 +97,39 @@ object Layout {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** Z-order write for SKEWED dimensions: each dimension is coded by its
+    * approximate quantile rank (2^bits buckets of ~equal row count)
+    * before interleaving, instead of min/max position. Min/max scaling
+    * collapses under skew — one far outlier crushes the dense 99% of a
+    * dimension into a single code, and the layout loses all resolution
+    * exactly where the rows are. Rank coding spends the code space where
+    * the data is.
+    *
+    * Cost shape: one approxQuantile pass per dimension (Greenwald-Khanna,
+    * driver gets 2^bits-1 boundaries), then a per-row scan of the
+    * broadcast boundary array (2^bits comparisons — keep bits <= 12).
+    * The boundaries are the per-column "range ids" a lakehouse OPTIMIZE
+    * ZORDER computes; same interleave as [[writeZOrdered]].
+    */
+  def writeZOrderedByRank(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, out: String, partitions: Int): Unit = {
+    require(bits >= 1 && bits <= 12, s"bits must be in [1,12], got $bits")
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val err = 1.0 / (4 * nb)
+    def codeOf(c: String): Column = {
+      val bounds = df.stat.approxQuantile(c, probs, err)
+      aggregate(
+        array(bounds.map(b => lit(b)): _*), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
+    }
+    df.withColumn("_zv", zval(codeOf(xCol), codeOf(yCol), bits))
+      .repartitionByRange(partitions, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_zv")
+      .write.mode("overwrite").parquet(out)
+  }
+
   /** Compact a parquet directory's small files into ~`targetBytes` files.
     *
     * Streaming ingest and delta-style sinks (the ledger's base+delta

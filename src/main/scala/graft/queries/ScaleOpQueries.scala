@@ -329,6 +329,42 @@ object ScaleOpQueries {
         |FROM r CROSS JOIN k
         |GROUP BY n_keys, n_rows, max_n""".stripMargin)),
 
+    // Windowed trending: top-3 users per (hour, event_type) by event
+    // count — the hourly-leaderboard composition of an event-time window
+    // aggregate with the native GroupTopK operator. Exercises GroupTopK
+    // on a COMPOSITE group key with a STRUCT score (count desc, user
+    // asc via negation — the operator's non-primitive ordering path), so
+    // no per-group sort of the full window ever runs; the tiny survivor
+    // set (groups x 3) takes its rank from an ordinary window.
+    QueryDef("q_trending_topk",
+      (s, d) => {
+        val hourly = table(s, d, "events")
+          .groupBy(date_trunc("hour", tsCol).as("hour"),
+            col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("hour")).as("hour_us"),
+            col("event_type"), col("user_id"), col("n"))
+        val base = hourly.withColumn("sc",
+          struct(col("n"), (-col("user_id")).as("nu")))
+        val top = graft.plans.GroupTopK(
+          base, Seq("hour_us", "event_type"), "sc", k = 3, descending = true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour_us", "event_type")
+          .orderBy(col("n").desc, col("user_id"))
+        top.withColumn("rnk", row_number().over(w).cast("long"))
+          .select("hour_us", "event_type", "user_id", "n", "rnk")
+      },
+      Some("""WITH h AS (
+        |  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+        |    event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT hour_us, event_type, user_id, n, rnk FROM (
+        |  SELECT hour_us, event_type, user_id, n,
+        |    CAST(row_number() OVER (PARTITION BY hour_us, event_type
+        |      ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+        |  FROM h) z
+        |WHERE rnk <= 3""".stripMargin)),
+
     // The LEFT OUTER form of the stream-stream interval join: every view
     // emits, purchase columns null when no purchase landed in the
     // horizon. On streaming inputs this is the shape whose unmatched rows

@@ -140,4 +140,28 @@ class LayoutSpec extends SparkSpec {
     assert(touchedX(zb) < zb.length,
       "z-order boxes must also bound the x dimension")
   }
+
+  test("rank-coded z-order keeps resolution under skew; min/max does not") {
+    // y is heavily skewed: 99% of rows in [0, 1000], outliers to 1e9 —
+    // min/max scaling crushes the dense region into one code
+    val rows = (0 until 10000).map { i =>
+      val y = if (i % 100 == 99) 1000000000L + i else (i % 1000).toLong
+      (i.toLong, (i % 500).toLong, y)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "x", "y").repartition(8)
+    val mdir = tmpDir("z-minmax")
+    val rdir = tmpDir("z-rank")
+    Layout.writeZOrdered(df, col("x"), col("y"), 10, mdir, 16)
+    Layout.writeZOrderedByRank(df, "x", "y", 8, rdir, 16)
+    def touched(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+      .count { case (y0, y1) => y0 <= 400L && y1 >= 200L }
+    // a dense-region y slice: rank coding must prune where min/max can't
+    val (m, r) = (touched(mdir), touched(rdir))
+    assert(r < m, s"rank z-order should touch fewer files in the dense " +
+      s"region: rank=$r minmax=$m")
+  }
 }
