@@ -135,7 +135,9 @@ object SparkEntry {
     "q_zorder_buckets" -> Seq("bucket"),
     "dq_skew_profile" -> Seq("n_keys"),
     "st_stream_join_outer" -> Seq("view_id", "purchase_id"),
-    "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"))
+    "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"),
+    "q_funnel" -> Seq("n_view"),
+    "q_cohort_retention" -> Seq("cohort_day", "offset_days"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

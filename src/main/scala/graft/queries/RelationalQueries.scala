@@ -667,6 +667,68 @@ object RelationalQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = pos.c_custkey
         |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey""".stripMargin))
+        |GROUP BY c_nationkey""".stripMargin)),
+
+    // Ordered-sequence funnel: users reaching view -> click -> purchase
+    // IN ORDER (each stage's first event at or after the previous
+    // stage's). Every stage is a per-user min aggregate followed by a
+    // user-keyed equi-join — the same hash shuffle reused three times,
+    // never a window over a user's whole history; the three stage counts
+    // meet in a broadcast of three 1-row aggregates.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("user_id"), col("event_type"), tsMicros.as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") >= col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") >= col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin)),
+
+    // Cohort retention: users grouped by first-seen day, counted per
+    // day-offset of later activity — the (cohort x offset) retention
+    // matrix. Day indices are pure integer epoch-day arithmetic
+    // (us DIV 86400e6), so no date-function semantics cross the oracle
+    // boundary. Two shuffles total: per-user min, then the
+    // (cohort, offset, user) distinct rollup.
+    QueryDef("q_cohort_retention",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000")
+            .as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(first, "user_id")
+          .select(col("cohort_day"), (col("day") - col("cohort_day"))
+            .as("offset_days"), col("user_id"))
+          .distinct()
+          .groupBy("cohort_day", "offset_days")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS offset_days,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin))
   )
 }
