@@ -137,7 +137,8 @@ object SparkEntry {
     "st_stream_join_outer" -> Seq("view_id", "purchase_id"),
     "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"),
     "q_funnel" -> Seq("n_view"),
-    "q_cohort_retention" -> Seq("cohort_day", "offset_days"))
+    "q_cohort_retention" -> Seq("cohort_day", "offset_days"),
+    "q_asof_dim" -> Seq("event_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -729,6 +729,37 @@ object RelationalQueries {
         |SELECT cohort_day, day - cohort_day AS offset_days,
         |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
         |FROM ev JOIN f USING (user_id)
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // Point-in-time dimension join (graft.operators.AsOfJoin): every
+    // purchase picks up the user's profile value from their LATEST signup
+    // at or before the purchase — the feature-store / SCD primitive where
+    // reading a version from the future is silent training leakage. The
+    // union-tag implementation shuffles ONCE on user_id and carries the
+    // attribute forward with a window last(ignoreNulls); the oracle is
+    // the declarative correlated-subquery form DuckDB can afford.
+    QueryDef("q_asof_dim",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        graft.operators.AsOfJoin.pointInTime(
+          facts = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), tsMicros.as("us")),
+          dims = ev.filter(col("event_type") === "signup")
+            .select(col("user_id"), tsMicros.as("us"),
+              cents(col("value")).as("profile_c")),
+          key = "user_id", factId = "event_id", factTime = "us",
+          dimTime = "us", attr = "profile_c", outName = "profile_asof_c")
+      },
+      Some("""WITH f AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS profile_c
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT f.event_id, f.user_id, f.us,
+        |  (SELECT profile_c FROM d
+        |   WHERE d.user_id = f.user_id AND d.us <= f.us
+        |   ORDER BY d.us DESC, profile_c DESC LIMIT 1) AS profile_asof_c
+        |FROM f""".stripMargin))
   )
 }

@@ -37,6 +37,29 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.table("bus_drain").count() == 3)
   }
 
+  test("as-of join: latest version at-or-before, never the future") {
+    import graft.operators.AsOfJoin
+    val dims = Seq(
+      (1L, 100L, 10L), (1L, 200L, 20L), // user 1: versions at t=100, 200
+      (2L, 500L, 50L),                  // user 2: version after their fact
+      (3L, 300L, 31L), (3L, 300L, 30L)) // user 3: equal-time tie -> max
+      .toDF("user_id", "us", "profile_c")
+    val facts = Seq(
+      (11L, 1L, 150L), // between versions -> 10
+      (12L, 1L, 200L), // exactly at version time -> 20 (at-or-before)
+      (13L, 2L, 400L), // only future version -> null
+      (14L, 3L, 301L), // tie at t=300 -> deterministic max = 31
+      (15L, 4L, 100L)) // no versions at all -> null
+      .toDF("event_id", "user_id", "us")
+    val got = AsOfJoin.pointInTime(facts, dims, "user_id", "event_id",
+        "us", "us", "profile_c", "p")
+      .select("event_id", "p").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(11L -> 10L, 12L -> 20L, 13L -> -1L,
+      14L -> 31L, 15L -> -1L))
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     // skewed input: user 7 owns 80% of rows
     val rows = (1 to 8000).map(i => (7L, 3L)) ++
