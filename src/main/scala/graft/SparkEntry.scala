@@ -138,7 +138,8 @@ object SparkEntry {
     "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"),
     "q_funnel" -> Seq("n_view"),
     "q_cohort_retention" -> Seq("cohort_day", "offset_days"),
-    "q_asof_dim" -> Seq("event_id"))
+    "q_asof_dim" -> Seq("event_id"),
+    "dq_column_profile" -> Seq("column_name"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -355,6 +355,66 @@ object IngestOpQueries {
         |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         |    AS BIGINT),
-        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)""".stripMargin))
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)""".stripMargin)),
+
+    // Column profiling — the ANALYZE-style pass you run before processing
+    // an unknown table: per column, row/null/exact-distinct counts and
+    // typed min/max (surfaced as strings so one schema fits every
+    // column). ONE aggregate over the table computes every column's
+    // statistics (Spark plans the multi-countDistinct as a single expand
+    // + aggregate — one pass, one shuffle), then a stack() unpivots the
+    // 1-row result into a row per column. The doubles profile through
+    // integer cents (repo-wide discipline), timestamps through epoch
+    // micros.
+    QueryDef("dq_column_profile",
+      (s, d) => {
+        val ev = table(s, d, "events").select(
+          col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
+          col("event_type"), cents(col("value")).as("value_c"), col("props"))
+        val cols = Seq("event_id", "ts_us", "user_id", "event_type",
+          "value_c", "props")
+        val exprs = cols.flatMap { c =>
+          Seq(count(lit(1)).as(s"n_$c"),
+            count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+        }
+        val one = ev.agg(exprs.head, exprs.tail: _*)
+        one.select(expr(
+          s"stack(${cols.length}, ${cols.map(c =>
+            s"'$c', n_$c, nulls_$c, dist_$c, min_$c, max_$c").mkString(", ")})"
+            + " AS (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+      },
+      Some("""WITH ev AS (SELECT event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c, props
+        |  FROM events)
+        |SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_s,
+        |  CAST(max(event_id) AS VARCHAR) AS max_s FROM ev
+        |UNION ALL SELECT 'ts_us', count(*),
+        |  CAST(count(*) FILTER (WHERE ts_us IS NULL) AS BIGINT),
+        |  count(DISTINCT ts_us),
+        |  CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR) FROM ev
+        |UNION ALL SELECT 'user_id', count(*),
+        |  CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+        |  count(DISTINCT user_id),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM ev
+        |UNION ALL SELECT 'event_type', count(*),
+        |  CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT),
+        |  count(DISTINCT event_type),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM ev
+        |UNION ALL SELECT 'value_c', count(*),
+        |  CAST(count(*) FILTER (WHERE value_c IS NULL) AS BIGINT),
+        |  count(DISTINCT value_c),
+        |  CAST(min(value_c) AS VARCHAR), CAST(max(value_c) AS VARCHAR) FROM ev
+        |UNION ALL SELECT 'props', count(*),
+        |  CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT),
+        |  count(DISTINCT props),
+        |  CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR) FROM ev"""
+        .stripMargin))
   )
 }
