@@ -139,7 +139,9 @@ object SparkEntry {
     "q_funnel" -> Seq("n_view"),
     "q_cohort_retention" -> Seq("cohort_day", "offset_days"),
     "q_asof_dim" -> Seq("event_id"),
-    "dq_column_profile" -> Seq("column_name"))
+    "dq_column_profile" -> Seq("column_name"),
+    "text_chunk" -> Seq("doc_id", "chunk_idx"),
+    "corpus_pack_bins" -> Seq("bin"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

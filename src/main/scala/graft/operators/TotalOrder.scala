@@ -30,6 +30,36 @@ object TotalOrder {
     * deterministic result; null sort keys order first, as in SQL
     * NULLS FIRST semantics.
     */
+  /** Append an INCLUSIVE running sum of `valueCol` (a LONG column) in
+    * `sortCols` order — the distributed prefix-sum (scan) primitive.
+    * Same scale story as [[globalRank]]: the naive
+    * `sum() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` funnels the
+    * table through one partition; this form pays one range shuffle, a
+    * counts-only pass collecting per-partition TOTALS (numPartitions
+    * longs, never data), and a parallel emit of offset + local running
+    * sum.
+    */
+  def prefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      sumName: String, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val totals = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val schema = ranged.schema.add(sumName, LongType, nullable = false)
+    val rows = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   def globalRank(df: DataFrame, sortCols: Seq[Column],
       rankName: String, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession

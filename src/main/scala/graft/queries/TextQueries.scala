@@ -355,6 +355,75 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM documents
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // Fixed-size overlapping chunks — the context-window preprocessing
+    // step of a training pipeline: each document split into 64-token
+    // windows advancing by 56 (8-token overlap so no boundary context is
+    // lost). Pure per-row array arithmetic (slice over a start sequence,
+    // then explode) — shuffle-free, scales linearly, and the chunk count
+    // is exact: 1 + ceil(max(n - 64, 0) / 56). Chunks surface as md5
+    // digests + token counts (stable, compact oracle columns).
+    QueryDef("text_chunk",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"), col("t"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, (greatest(n - 64, 0) + 55) DIV 56), " +
+              "i -> named_struct('idx', CAST(i AS BIGINT), " +
+              "'chunk', slice(t, i * 56 + 1, 64)))")).as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          size(col("c.chunk")).cast("long").as("n_tokens"),
+          md5(expr("array_join(c.chunk, ' ')")).as("chunk_md5")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, (greatest(n - 64, 0) + 55) // 56 + 1),
+        |      i -> struct_pack(idx := i,
+        |             chunk := list_slice(t, i * 56 + 1, i * 56 + 64)))) AS c
+        |  FROM t)
+        |SELECT doc_id, CAST(c.idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(c.chunk, ' ')) AS chunk_md5
+        |FROM c""".stripMargin)),
+
+    // Deterministic context-window packing: documents laid into
+    // fixed-budget (4096-token) bins by their token count's running
+    // total in doc_id order — a doc's bin is where its first token
+    // lands. The running total is the DISTRIBUTED prefix sum
+    // (graft.operators.TotalOrder.prefixSum: range shuffle + totals-only
+    // pass + parallel emit), because the window form
+    // `sum() OVER (ORDER BY doc_id)` funnels the corpus through one
+    // partition — the oracle affords exactly that single-node form.
+    QueryDef("corpus_pack_bins",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+              .as("n_tokens"))
+        graft.operators.TotalOrder
+          .prefixSum(docs, Seq(col("doc_id")), "n_tokens", "cum", 8)
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(cum - n_tokens) DIV 4096").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n_tokens) // 4096 AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin))
   )
 }

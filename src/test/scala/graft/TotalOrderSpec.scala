@@ -40,4 +40,22 @@ class TotalOrderSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "global ordering must never funnel through one partition")
   }
+
+  test("prefixSum equals the window running sum over a total order") {
+    val df = (0 until 800).map(i => (((i * 7919) % 499).toLong, i.toLong,
+      (i % 97).toLong)).toDF("k", "id", "v")
+    val got = TotalOrder.prefixSum(df,
+        Seq(col("k"), col("id")), "v", "cum", numPartitions = 7)
+      .select("id", "cum")
+    val want = df.withColumn("cum",
+        sum("v").over(Window.orderBy("k", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // invariant to partition count
+    val again = TotalOrder.prefixSum(df,
+        Seq(col("k"), col("id")), "v", "cum", numPartitions = 13)
+      .select("id", "cum")
+    assert(again.except(want).isEmpty && want.except(again).isEmpty)
+  }
 }
