@@ -36,19 +36,26 @@ object AsOfJoin {
       factId: String, factTime: String, dimTime: String, attr: String,
       outName: String): DataFrame = {
     val attrType = dims.schema(attr).dataType
+    // The carried value is a STRUCT wrapping the attribute, not the
+    // attribute itself: last(ignoreNulls) must distinguish "this row is
+    // a fact" (null struct, skipped) from "the latest version's
+    // attribute happens to be NULL" (non-null struct, carried) — carrying
+    // the raw attribute would silently resurrect an OLDER version's
+    // value over a newer null.
     val d = dims.select(col(key), col(dimTime).as("_t"),
-      lit(null).cast("long").as("_fid"), col(attr).as("_attr"))
+      lit(false).as("_isf"), lit(null).cast("long").as("_fid"),
+      struct(col(attr).as("v")).as("_ver"))
     val f = facts.select(col(key), col(factTime).as("_t"),
-      col(factId).cast("long").as("_fid"),
-      lit(null).cast(attrType).as("_attr"))
+      lit(true).as("_isf"), col(factId).cast("long").as("_fid"),
+      lit(null).cast(s"struct<v:${attrType.sql}>").as("_ver"))
     val w = Window.partitionBy(key)
-      .orderBy(col("_t"), col("_fid").isNotNull.cast("int"),
-        col("_attr").asc_nulls_first)
+      .orderBy(col("_t"), col("_isf").cast("int"),
+        col("_ver.v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.unionByName(f)
-      .withColumn(outName, last(col("_attr"), ignoreNulls = true).over(w))
-      .filter(col("_fid").isNotNull)
+      .withColumn("_asof", last(col("_ver"), ignoreNulls = true).over(w))
+      .filter(col("_isf"))
       .select(col("_fid").as(factId), col(key), col("_t").as(factTime),
-        col(outName))
+        col("_asof.v").as(outName))
   }
 }

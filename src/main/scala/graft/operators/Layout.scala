@@ -83,6 +83,12 @@ object Layout {
       max(x).cast("double").as("x1"),
       min(y).cast("double").as("y0"),
       max(y).cast("double").as("y1")).collect()(0)
+    if (r.isNullAt(0)) {
+      // empty input: min/max are null — write the empty (but valid)
+      // parquet directory instead of NPEing on the unbox
+      df.write.mode("overwrite").parquet(out)
+      return
+    }
     val top = (1L << bits) - 1
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
@@ -117,13 +123,15 @@ object Layout {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val err = 1.0 / (4 * nb)
-    def codeOf(c: String): Column = {
-      val bounds = df.stat.approxQuantile(c, probs, err)
+    // one pass computes BOTH dimensions' boundary sets
+    val Array(bx, by) =
+      df.stat.approxQuantile(Array(xCol, yCol), probs, err)
+    def codeOf(c: String, bounds: Array[Double]): Column =
       aggregate(
         array(bounds.map(b => lit(b)): _*), lit(0L),
         (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
-    }
-    df.withColumn("_zv", zval(codeOf(xCol), codeOf(yCol), bits))
+    df.withColumn("_zv",
+        zval(codeOf(xCol, bx), codeOf(yCol, by), bits))
       .repartitionByRange(partitions, col("_zv"))
       .sortWithinPartitions("_zv")
       .drop("_zv")

@@ -369,7 +369,7 @@ object IngestOpQueries {
     QueryDef("dq_column_profile",
       (s, d) => {
         val ev = table(s, d, "events").select(
-          col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
+          col("event_id"), tsMicros.as("ts_us"), col("user_id"),
           col("event_type"), cents(col("value")).as("value_c"), col("props"))
         val cols = Seq("event_id", "ts_us", "user_id", "event_type",
           "value_c", "props")

@@ -150,12 +150,18 @@ object IrQueries {
             .as(s"s$i")
         }
         val pivoted = scored.groupBy("doc_id").agg(parts.head, parts.tail: _*)
+        // top-20 via orderBy+limit, which plans as TakeOrdered (each
+        // partition keeps 20, one bounded merge) — a global row_number
+        // window here would funnel every matched doc through a single
+        // partition, the exact cliff TotalOrder/GroupTopK exist to avoid.
+        // The rank window then runs over the 20 survivors only.
         val w = Window.orderBy(col("score_milli").desc, col("doc_id"))
         pivoted
           .withColumn("score_milli",
             expr("CAST(round((s0 + s1 + s2) * 1000) AS BIGINT)"))
+          .orderBy(col("score_milli").desc, col("doc_id"))
+          .limit(20)
           .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 20)
           .select("doc_id", "score_milli", "rnk")
       },
       Some(s"""WITH $TokSql,

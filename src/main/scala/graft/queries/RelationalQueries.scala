@@ -712,8 +712,8 @@ object RelationalQueries {
     QueryDef("q_cohort_retention",
       (s, d) => {
         val ev = table(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000")
-            .as("day"))
+          .select(col("user_id"), tsMicros.as("us"))
+          .select(col("user_id"), expr("us DIV 86400000000").as("day"))
         val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
         ev.join(first, "user_id")
           .select(col("cohort_day"), (col("day") - col("cohort_day"))

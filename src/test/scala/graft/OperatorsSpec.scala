@@ -40,16 +40,18 @@ class OperatorsSpec extends SparkSpec {
   test("as-of join: latest version at-or-before, never the future") {
     import graft.operators.AsOfJoin
     val dims = Seq(
-      (1L, 100L, 10L), (1L, 200L, 20L), // user 1: versions at t=100, 200
-      (2L, 500L, 50L),                  // user 2: version after their fact
-      (3L, 300L, 31L), (3L, 300L, 30L)) // user 3: equal-time tie -> max
+      (1L, 100L, Some(10L)), (1L, 200L, Some(20L)), // user 1: t=100, 200
+      (2L, 500L, Some(50L)),            // user 2: version after their fact
+      (3L, 300L, Some(31L)), (3L, 300L, Some(30L)), // equal-time tie -> max
+      (5L, 100L, Some(7L)), (5L, 200L, None)) // user 5: LATEST attr is null
       .toDF("user_id", "us", "profile_c")
     val facts = Seq(
       (11L, 1L, 150L), // between versions -> 10
       (12L, 1L, 200L), // exactly at version time -> 20 (at-or-before)
       (13L, 2L, 400L), // only future version -> null
       (14L, 3L, 301L), // tie at t=300 -> deterministic max = 31
-      (15L, 4L, 100L)) // no versions at all -> null
+      (15L, 4L, 100L), // no versions at all -> null
+      (16L, 5L, 300L)) // latest version's attr IS null -> null, not 7
       .toDF("event_id", "user_id", "us")
     val got = AsOfJoin.pointInTime(facts, dims, "user_id", "event_id",
         "us", "us", "profile_c", "p")
@@ -57,7 +59,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
     assert(got == Map(11L -> 10L, 12L -> 20L, 13L -> -1L,
-      14L -> 31L, 15L -> -1L))
+      14L -> 31L, 15L -> -1L, 16L -> -1L))
   }
 
   test("salted aggregation equals direct aggregation exactly") {

@@ -227,6 +227,10 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("ReusedExchange"),
         s"$q must reuse the token-stream exchange for its term rollup")
     }
+    // bm25's corpus-sized top-20 must plan as TakeOrdered (per-partition
+    // top-k + bounded merge), never a global row_number window
+    assert(plan("text_bm25_search").contains("TakeOrdered"),
+      "bm25 must select its top-20 via TakeOrdered, not a global window")
   }
 
   test("skew profile ranks group sizes without a global window") {
