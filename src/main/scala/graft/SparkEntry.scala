@@ -141,7 +141,10 @@ object SparkEntry {
     "q_asof_dim" -> Seq("event_id"),
     "dq_column_profile" -> Seq("column_name"),
     "text_chunk" -> Seq("doc_id", "chunk_idx"),
-    "corpus_pack_bins" -> Seq("bin"))
+    "corpus_pack_bins" -> Seq("bin"),
+    "q_scd2_dim" -> Seq("user_id", "version"),
+    "q_anomaly_hours" -> Seq("event_type", "hour_us"),
+    "dedup_semantic" -> Seq("vec_id"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

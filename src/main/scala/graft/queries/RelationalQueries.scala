@@ -760,6 +760,44 @@ object RelationalQueries {
         |  (SELECT profile_c FROM d
         |   WHERE d.user_id = f.user_id AND d.us <= f.us
         |   ORDER BY d.us DESC, profile_c DESC LIMIT 1) AS profile_asof_c
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // SCD Type-2 dimension build — the WRITE side of the point-in-time
+    // story above (q_asof_dim is the read side): collapse each user's
+    // event stream into [valid_from, valid_to) validity intervals, one
+    // row per attribute CHANGE (gaps-and-islands via lag), open interval
+    // (null valid_to_us) for the current version. One hash shuffle on
+    // user_id serves both windows — same partitioning, same (us,
+    // event_id) sort order, so Catalyst plans a single Sort+Exchange and
+    // the change-filter and interval/version windows pipeline over it. At
+    // 100 TB a user's history is bounded (thousands of events), so
+    // per-user windows never straddle memory.
+    QueryDef("q_scd2_dim",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        table(s, d, "events")
+          .select(col("user_id"), tsMicros.as("us"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .select(col("user_id"), col("event_type"),
+            col("us").as("valid_from_us"),
+            lead("us", 1).over(w).as("valid_to_us"),
+            row_number().over(w).cast("long").as("version"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type
+        |  FROM events),
+        |ch AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS BIGINT) AS version
+        |FROM ch WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin))
   )
 }

@@ -389,6 +389,45 @@ object ScaleOpQueries {
         |  ON v.user_id = p.user_id
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
-        |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin))
+        |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin)),
+
+    // Volume-anomaly detection over hourly event counts: flag hours whose
+    // count sits more than 3 population-σ from the per-type mean —
+    // entirely in EXACT integer algebra, so the verdict is bit-identical
+    // in any engine. (c − μ)² > 9σ² with μ = S/n, σ² = (nQ − S²)/n²
+    // rearranges to (n·c − S)² > 9·(nQ − S²): counts, sums and sums of
+    // squares are all BIGINT-exact, no floating-point mean/stddev ever
+    // materializes. Plan shape at scale: the hourly rollup is one map-side
+    // combinable shuffle, the per-type stats are a 5-row aggregate joined
+    // back by BROADCAST — the hourly stream is never re-shuffled or
+    // windowed for the z-test.
+    QueryDef("q_anomaly_hours",
+      (s, d) => {
+        val hourly = table(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", tsCol)).as("hour_us"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum("cnt").as("s"),
+            sum(col("cnt") * col("cnt")).as("q"))
+        val dev = col("n_hours") * col("cnt") - col("s")
+        hourly.join(broadcast(stats), "event_type")
+          .select(col("event_type"), col("hour_us"), col("cnt"),
+            when(dev * dev > lit(9L) * (col("n_hours") * col("q") -
+              col("s") * col("s")), 1L).otherwise(0L)
+              .cast("long").as("is_anomaly"))
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, hour_us, cnt,
+        |  CAST(CASE WHEN (n_hours * cnt - s) * (n_hours * cnt - s)
+        |    > 9 * (n_hours * q - s * s) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM h JOIN st ON h.event_type = st.event_type""".stripMargin))
   )
 }

@@ -36,6 +36,21 @@ object SimilarityQueries {
         k = 16, iters = 2, sampleEvery = 4)
     }
 
+  /** Full-corpus nearest-centroid assignment over the shared trained
+    * codebook, persisted once per (session, dataset): `ann_ivf_topk`'s
+    * list structure, `corpus_embedding_clusters`' profile input, and
+    * `dedup_semantic`'s cluster partition all read the SAME materialized
+    * (vec_id, list_id) table instead of re-running the assignment scan.
+    */
+  private def corpusAssignment(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ivf_assign") {
+      import graft.operators.IvfCodebook
+      val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cm = IvfCodebook.comps(v)
+      IvfCodebook.assign(cm, IvfCodebook.norms(cm),
+        broadcast(trainedCodebook(s, d)))
+    }
+
   /** DuckDB rendering of the deterministic random-hyperplane bucketing
     * (±1 weights from sha256(plane-dim) hex parity, exact integer
     * projections, bucket = sign-bit signature) as a `buckets` CTE. The
@@ -415,11 +430,8 @@ object SimilarityQueries {
     // 16-group aggregate.
     QueryDef("corpus_embedding_clusters",
       (s, d) => {
-        import graft.operators.IvfCodebook
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val cm = IvfCodebook.comps(v)
-        val nm = IvfCodebook.norms(cm)
-        val assign = IvfCodebook.assign(cm, nm, broadcast(trainedCodebook(s, d)))
+        val assign = corpusAssignment(s, d)
         val total = v.agg(count(lit(1)).as("n_total"))
         assign.groupBy("list_id")
           .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
@@ -433,6 +445,56 @@ object SimilarityQueries {
         |SELECT list_id, count(*) AS n_vectors, min(vec_id) AS min_vec,
         |  CAST((count(*) * 1000) // n_total AS BIGINT) AS share_pm
         |FROM assign CROSS JOIN tot GROUP BY list_id, n_total""".stripMargin)),
+
+    // Semantic deduplication (SemDeDup-style): partition the corpus by the
+    // trained k-means codebook, then WITHIN each cluster drop every vector
+    // that has a lower-id neighbor at quantized cosine >= 0.4 — keeping
+    // the deterministic minimal representatives. The cluster partition is
+    // what makes this a scale path: the quadratic pair search runs only
+    // inside a list (bounded by list size, the codebook's k dial), never
+    // across the corpus; cross-list near-dups are the documented recall
+    // tradeoff, audited by ann_recall_audit's exact fixture. Survivor
+    // property (CorpusOpsSpec): no two kept vectors in the same list are
+    // similar — any such pair would have dropped its larger id.
+    QueryDef("dedup_semantic",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val asg = corpusAssignment(s, d)
+        val a = asg.join(v, "vec_id")
+          .select(col("list_id"), col("vec_id").as("vec_a"),
+            col("embedding").as("ea"))
+        val b = asg.join(v, "vec_id")
+          .select(col("list_id").as("list_b"), col("vec_id").as("vec_b"),
+            col("embedding").as("eb"))
+        val dropped = a.join(b,
+            col("list_id") === col("list_b") && col("vec_a") < col("vec_b"))
+          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_b").as("vec_id")).distinct()
+        asg.join(dropped.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("list_id"),
+            when(col("hit").isNull, 1L).otherwise(0L)
+              .cast("long").as("kept"))
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |pr AS (SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM assign sa JOIN assign sb
+        |    ON sa.list_id = sb.list_id AND sa.vec_id < sb.vec_id
+        |  JOIN n a ON sa.vec_id = a.vec_id JOIN n b ON sb.vec_id = b.vec_id),
+        |dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pr
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.4)
+        |SELECT a.vec_id, a.list_id,
+        |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM assign a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id""".stripMargin)),
 
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a

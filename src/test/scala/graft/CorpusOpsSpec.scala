@@ -53,4 +53,32 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.mkString(" ")).exists(evalGrams.contains)
     assert(hit, s"doc $flagged flagged but shares no eval 8-gram")
   }
+
+  test("semantic dedup keeps a maximal dissimilar prefix per cluster") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .select($"vec_id", $"list_id", $"kept")
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == n) // every vector gets a verdict
+    // the smallest id of every cluster has no smaller neighbor: always kept
+    out.groupBy(_._2).foreach { case (list, vs) =>
+      val minVec = vs.minBy(_._1)
+      assert(minVec._3 == 1L, s"list $list min vec ${minVec._1} not kept")
+    }
+    // survivor property: no two KEPT vectors in one list are similar —
+    // the larger of such a pair would have been dropped
+    graft.functions.VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val keptDf = out.filter(_._3 == 1L).map(v => (v._1, v._2)).toSeq
+      .toDF("vec_id", "list_id").join(emb, "vec_id")
+    val a = keptDf.select($"list_id", $"vec_id".as("va"), $"embedding".as("ea"))
+    val b = keptDf.select($"list_id".as("lb"), $"vec_id".as("vb"),
+      $"embedding".as("eb"))
+    val similarKept = a.join(b, $"list_id" === $"lb" && $"va" < $"vb")
+      .filter(expr("quant_cosine_sim(ea, eb)") >= 0.4)
+    assert(similarKept.count() == 0,
+      "two kept vectors in the same list are near-duplicates")
+    // and at least one vector was actually dropped (fixture has near-dups)
+    assert(out.exists(_._3 == 0L), "no duplicates dropped — dead fixture?")
+  }
 }

@@ -218,4 +218,58 @@ class OperatorsSpec extends SparkSpec {
     assert(warmC >= 2000 && warmC - warmE <= 2000)
     assert(out.length <= 8)
   }
+
+  test("scd2 intervals tile each user's history with no gaps or overlaps") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_scd2_dim")(spark, dir)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"version")
+      .as[(Long, String, Long, Option[Long], Long)].collect()
+      .groupBy(_._1)
+    out.foreach { case (user, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_._5)
+      // versions are 1..n dense
+      assert(rows.map(_._5).toSeq == (1L to rows.length).toSeq)
+      // exactly one open (current) interval, and it is the last version
+      assert(rows.count(_._4.isEmpty) == 1 && rows.last._4.isEmpty)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguous: this interval closes exactly where the next opens
+          assert(a._4.contains(b._3), s"user $user gap at v${a._5}")
+          // a new version exists only because the attribute CHANGED
+          assert(a._2 != b._2, s"user $user v${a._5} did not change type")
+        case _ => ()
+      }
+    }
+    // the intervals cover every event: each event's type matches its
+    // enclosing version's type (spot-check via as-of semantics)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type").as[(Long, Long, Long, String)].collect()
+    val byUser = out.map { case (u, rs) => u -> rs.sortBy(_._3) }
+    ev.groupBy(_._1).foreach { case (user, events) =>
+      val ivs = byUser(user)
+      // first event of each user starts version 1
+      val first = events.minBy(e => (e._2, e._3))
+      assert(ivs.head._3 == first._2 && ivs.head._2 == first._4)
+    }
+  }
+
+  test("anomaly flag equals the exact 3-sigma rule recomputed locally") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_anomaly_hours")(spark, dir)
+      .select($"event_type", $"hour_us", $"cnt", $"is_anomaly")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (tpe, hours) =>
+      val n = hours.length.toLong
+      val s = hours.map(_._3).sum
+      val q = hours.map(h => h._3 * h._3).sum
+      hours.foreach { case (_, hUs, c, flag) =>
+        val dev = n * c - s
+        val expected = if (dev * dev > 9 * (n * q - s * s)) 1L else 0L
+        assert(flag == expected, s"$tpe @$hUs: flag $flag != $expected")
+      }
+    }
+  }
 }
