@@ -144,7 +144,9 @@ object SparkEntry {
     "corpus_pack_bins" -> Seq("bin"),
     "q_scd2_dim" -> Seq("user_id", "version"),
     "q_anomaly_hours" -> Seq("event_type", "hour_us"),
-    "dedup_semantic" -> Seq("vec_id"))
+    "dedup_semantic" -> Seq("vec_id"),
+    "q_rolling_window" -> Seq("user_id", "day"),
+    "q_gap_fill" -> Seq("event_type", "hour_us"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -798,6 +798,36 @@ object RelationalQueries {
         |    AS valid_to_us,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
         |    AS BIGINT) AS version
-        |FROM ch WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin))
+        |FROM ch WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin)),
+
+    // Rolling 7-day spend per user via a RANGE window frame — the
+    // value-based frame (`RANGE 6 PRECEDING` over epoch-day) that rows
+    // frames get wrong whenever days are missing: a user with purchases
+    // on days 1 and 9 must NOT see day 1 in day 9's trailing week. The
+    // daily pre-aggregate keeps the window input to one row per
+    // (user, day) — the frame scan is bounded by 7 regardless of how
+    // many raw events land in a day, and the whole plan is one user_id
+    // shuffle (daily rollup and window share the partitioning).
+    QueryDef("q_rolling_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).as("day_spend_c"))
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("user_id"), col("day"), col("day_spend_c"),
+          sum("day_spend_c").over(w).as("spend_7d_c"))
+      },
+      Some("""WITH daily AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_spend_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, day, day_spend_c,
+        |  CAST(sum(day_spend_c) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS spend_7d_c
+        |FROM daily""".stripMargin))
   )
 }

@@ -428,6 +428,48 @@ object ScaleOpQueries {
         |SELECT h.event_type, hour_us, cnt,
         |  CAST(CASE WHEN (n_hours * cnt - s) * (n_hours * cnt - s)
         |    > 9 * (n_hours * q - s * s) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-        |FROM h JOIN st ON h.event_type = st.event_type""".stripMargin))
+        |FROM h JOIN st ON h.event_type = st.event_type""".stripMargin)),
+
+    // Time-series densification (gap fill): every hour between each
+    // type's first and last event exists in the output, zero-filled where
+    // no events landed — the step that makes window/rolling math honest
+    // over sparse streams (a trailing average over only-observed hours
+    // silently shrinks its denominator). The dense hour spine is
+    // GENERATED DISTRIBUTED — sequence() + explode from each type's
+    // 1-row bounds, never a driver-side loop or a collected calendar —
+    // and the observed counts join back by (type, hour). At 100 TB the
+    // spine is |types| x |hours| rows built from a broadcast-size bounds
+    // table; the hourly rollup stays the only corpus-sized pass.
+    QueryDef("q_gap_fill",
+      (s, d) => {
+        val hourly = table(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", tsCol)).as("hour_us"))
+          .agg(count(lit(1)).as("cnt"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), lit(3600000000L)))
+              .as("hour_us"))
+        spine.join(hourly, Seq("event_type", "hour_us"), "left")
+          .select(col("event_type"), col("hour_us"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            when(col("cnt").isNull, 1L).otherwise(0L).cast("long")
+              .as("was_gap"))
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM h GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(range(h0, h1 + 1, 3600000000)) AS hour_us FROM b)
+        |SELECT spine.event_type, spine.hour_us,
+        |  CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN h.cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM spine LEFT JOIN h ON spine.event_type = h.event_type
+        |  AND spine.hour_us = h.hour_us""".stripMargin))
   )
 }
