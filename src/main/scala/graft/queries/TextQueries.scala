@@ -424,6 +424,53 @@ object TextQueries {
         |SELECT (cum - n_tokens) // 4096 AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1""".stripMargin))
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    // Statistical-LM fluency scoring — the KenLM-style quality gate of a
+    // curation pipeline, in EXACT integer arithmetic: a corpus bigram
+    // model P(w2|w1) = c(w1,w2)/c(w1,·), and each document scores the
+    // average per-mille conditional probability of its word bigrams
+    // ((c2·1000) DIV c1, integer-summed, integer-averaged). Gibberish and
+    // boilerplate separate cleanly on this axis without any ln/float
+    // crossing the oracle boundary. Scale shape: one shuffle builds the
+    // bigram counts, the prefix totals fold from the (already reduced)
+    // bigram table, and the doc-side join is gram-keyed hash — no
+    // collect, no driver-side model; at 100 TB the model table shards
+    // with the join instead of needing to fit anywhere.
+    QueryDef("text_lm_score",
+      (s, d) => {
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), " +
+              "i -> named_struct('w1', w[i], 'w2', w[i + 1]))")).as("g"))
+          .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        val bg = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val pre = bg.groupBy("w1").agg(sum("c2").as("c1"))
+        grams.join(bg, Seq("w1", "w2")).join(pre, "w1")
+          .withColumn("p_pm", expr("(c2 * 1000) DIV c1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("p_pm").as("sum_pm"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("sum_pm DIV n_bigrams").as("avg_pm"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS g
+        |  FROM t WHERE len(w) >= 2),
+        |ge AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM ge GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((c2 * 1000) // c1) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS avg_pm
+        |FROM ge JOIN bg USING (w1, w2) JOIN pre USING (w1)
+        |GROUP BY doc_id""".stripMargin))
   )
 }

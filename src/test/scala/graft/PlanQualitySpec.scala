@@ -257,4 +257,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "scalar cross join must not plan a shuffled cartesian")
   }
+
+  test("scd2 build shares one user_id exchange across both windows") {
+    val p = plan("q_scd2_dim")
+    // change-filter window and interval/version window have identical
+    // partitioning + ordering: Catalyst must plan a single user_id hash
+    // Exchange (the orderBy wrapper in the driver contract adds the final
+    // range exchange; no third exchange may appear)
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"expected one hash + one output-sort exchange:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      "scd2 windows must partition by user_id")
+  }
+
+  test("anomaly flags broadcast the per-type stats back onto hours") {
+    val p = plan("q_anomaly_hours")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row per-type stats side must broadcast")
+    // the hourly rollup must combine map-side before its shuffle
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "hourly rollup must be a partial aggregate")
+  }
+
+  test("rolling window pre-aggregates days before the frame scan") {
+    val p = plan("q_rolling_window")
+    // the RANGE frame must consume the daily rollup, not raw events: a
+    // partial-aggregated daily series, window keyed on user_id, and the
+    // purchase filter pushed to the scan
+    assert(p.contains("hashpartitioning(user_id"),
+      "frame must partition by user_id")
+    assert(p.contains("Window") && (p.contains("partial_sum") || p.contains("Partial")),
+      "window frame must read a pre-aggregated daily series")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      "purchase filter must push down to the events scan")
+  }
+
+  test("gap fill generates the spine distributed and joins without cartesian") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("Generate"),
+      "the hour spine must come from a distributed sequence+explode")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup joins within lists and keeps the verdict broadcast") {
+    val p = plan("dedup_semantic")
+    // the within-list pair join is an equi-join on list_id; the dropped
+    // set (bounded by near-dup count) must come back as a broadcast join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "list pair search must be an equi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
