@@ -11,6 +11,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Builder-side iteration: comma-separated query-name filter. The
+    // driver never sets it — its sweep always times the full surface.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,7 +28,9 @@ object Bench {
     // timed query measures the query, not the JVM.
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
-    val results = SparkEntry.all.map { q =>
+    val results = SparkEntry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.run(spark, sfDir).foreach(_ => ()); true }
