@@ -429,8 +429,10 @@ object TextQueries {
     // Statistical-LM fluency scoring — the KenLM-style quality gate of a
     // curation pipeline, in EXACT integer arithmetic: a corpus bigram
     // model P(w2|w1) = c(w1,w2)/c(w1,·), and each document scores the
-    // average per-mille conditional probability of its word bigrams
-    // ((c2·1000) DIV c1, integer-summed, integer-averaged). Gibberish and
+    // average parts-per-million conditional probability of its word
+    // bigrams ((c2·1e6) DIV c1, integer-summed, integer-averaged — ppm
+    // rather than per-mille so the integer floor keeps ~6 significant
+    // digits of discrimination). Gibberish and
     // boilerplate separate cleanly on this axis without any ln/float
     // crossing the oracle boundary. Scale shape: one shuffle builds the
     // bigram counts, the prefix totals fold from the (already reduced)
@@ -450,11 +452,11 @@ object TextQueries {
         val bg = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val pre = bg.groupBy("w1").agg(sum("c2").as("c1"))
         grams.join(bg, Seq("w1", "w2")).join(pre, "w1")
-          .withColumn("p_pm", expr("(c2 * 1000) DIV c1"))
+          .withColumn("p_ppm", expr("(c2 * 1000000) DIV c1"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("p_pm").as("sum_pm"))
+          .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sum_ppm"))
           .select(col("doc_id"), col("n_bigrams"),
-            expr("sum_pm DIV n_bigrams").as("avg_pm"))
+            expr("sum_ppm DIV n_bigrams").as("avg_ppm"))
       },
       Some("""WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -468,8 +470,8 @@ object TextQueries {
         |  FROM ge GROUP BY 1, 2),
         |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum((c2 * 1000) // c1) AS BIGINT)
-        |    // CAST(count(*) AS BIGINT) AS avg_pm
+        |  CAST(sum((c2 * 1000000) // c1) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS avg_ppm
         |FROM ge JOIN bg USING (w1, w2) JOIN pre USING (w1)
         |GROUP BY doc_id""".stripMargin))
   )

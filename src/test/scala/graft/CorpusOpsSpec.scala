@@ -81,4 +81,27 @@ class CorpusOpsSpec extends SparkSpec {
     // and at least one vector was actually dropped (fixture has near-dups)
     assert(out.exists(_._3 == 0L), "no duplicates dropped — dead fixture?")
   }
+
+  test("lm score is a probability average and separates repeated text") {
+    val out = SparkEntry.queries("text_lm_score")(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"avg_ppm")
+      .as[(Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, w) => id -> w.filter(_.nonEmpty) }.toMap
+    // exactly the docs with >= 2 tokens are scored
+    assert(out.map(_._1).toSet == docs.filter(_._2.length >= 2).keySet)
+    out.foreach { case (id, n, pm) =>
+      assert(n == docs(id).length - 1, s"doc $id bigram count")
+      // an average of ppm probabilities lives in [0, 1e6]
+      assert(pm >= 0 && pm <= 1000000L, s"doc $id avg_ppm $pm out of range")
+    }
+    // the signal must actually discriminate: repeated spans (planted
+    // near-dups) push bigram probabilities up, unique text sits at the
+    // floor — a constant score column would be a dead model
+    val distinctScores = out.map(_._3).distinct.length
+    assert(distinctScores > out.length / 10,
+      s"only $distinctScores distinct scores across ${out.length} docs")
+  }
 }
