@@ -73,4 +73,58 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(finalPlan.contains("skew=true"),
       s"expected a skew-split join in:\n${finalPlan.take(1500)}")
   }
+
+  test("dynamic partition pruning skips partitions via the dim filter") {
+    // the fourth runtime scale lever: a fact table partitioned by day,
+    // joined to a dimension whose FILTER (not the fact's) decides which
+    // days matter — DPP turns the dim-side predicate into a runtime
+    // partition filter on the fact scan, so only the matching day
+    // directories are read. This is what makes star-schema queries over a
+    // 100 TB day-partitioned events table read one day, not the table.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // plain physical plan so the scan leaves (and their metrics) are
+    // directly reachable — DPP itself is an optimizer rule, not AQE
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    import s.implicits._
+
+    val out = tmpDir("dpp")
+    val base = 1700000000000000L
+    val rows = for (d <- 0 until 8; i <- 0 until 50)
+      yield (d * 50 + i.toLong, base + d * 86400000000L + i * 1000000L)
+    graft.operators.Layout.writeDayPartitioned(
+      rows.toDF("event_id", "ts_us"), col("ts_us"), out,
+      sortCols = Seq("event_id"))
+
+    // dim: day -> campaign, with exactly one 'active' day (the partition
+    // column reads back as DATE; keep the dim side in date space so the
+    // join key is exactly the partition column). The dim must be a REAL
+    // scan with a filter on top — a LocalRelation constant-folds the
+    // predicate away and DPP's selective-filter pattern never matches.
+    val fact = s.read.parquet(out)
+    val dimOut = tmpDir("dpp_dim")
+    fact.select(date_format($"day", "yyyy-MM-dd").as("ds"))
+      .distinct().collect().map(_.getString(0))
+      .sorted.zipWithIndex
+      .map { case (day, i) => (day, if (i == 2) "active" else "done") }
+      .toSeq.toDF("d_day_s", "status")
+      .select(to_date($"d_day_s").as("d_day"), $"status")
+      .write.mode("overwrite").parquet(dimOut)
+    val dim = s.read.parquet(dimOut)
+    val j = fact.join(dim, $"day" === $"d_day")
+      .filter($"status" === "active")
+      .agg(count(lit(1)).as("n"))
+
+    assert(j.collect().head.getLong(0) == 50L)
+    val planned = j.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruningexpression"),
+      s"expected DPP on the fact scan in:\n${planned.take(2000)}")
+    // the fact scan's partition metric confirms pruning actually happened
+    val scan = j.queryExecution.executedPlan.collectLeaves()
+      .filter(_.nodeName.toLowerCase.contains("scan"))
+      .filter(_.toString.contains(out)) // the fact side, not the dim
+    val read = scan.flatMap(_.metrics.get("numPartitions").map(_.value))
+    assert(read.nonEmpty && read.sum <= 2,
+      s"DPP must read ~1 of 8 day partitions, read ${read.sum}")
+  }
 }
