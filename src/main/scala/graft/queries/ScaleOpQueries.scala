@@ -470,6 +470,40 @@ object ScaleOpQueries {
         |  CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
         |  CAST(CASE WHEN h.cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
         |FROM spine LEFT JOIN h ON spine.event_type = h.event_type
-        |  AND spine.hour_us = h.hour_us""".stripMargin))
+        |  AND spine.hour_us = h.hour_us""".stripMargin)),
+
+    // Incremental aggregate maintenance (graft.operators.IncrementalAgg):
+    // the per-user spend rollup maintained as BASE state (history) plus a
+    // DELTA fold (the latest day) — merge(state(base), state(delta)) must
+    // equal the single-pass aggregate, which is exactly what the oracle
+    // computes. At 100 TB this is the difference between scanning one
+    // day per refresh and rescanning the table; the mergeable-statistics
+    // algebra (count/sum/min/max; avg finalized, distinct absent by
+    // design) is what makes the persistent state boundary sound.
+    QueryDef("q_incr_agg",
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val ev = table(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000")
+            .as("day"), cents(col("value")).as("v_c"))
+        val mx = ev.agg(max("day").as("max_day"))
+        val tagged = ev.crossJoin(broadcast(mx))
+        val base = IncrementalAgg.state(
+          tagged.filter(col("day") < col("max_day")), Seq("user_id"), col("v_c"))
+        val delta = IncrementalAgg.state(
+          tagged.filter(col("day") === col("max_day")), Seq("user_id"), col("v_c"))
+        IncrementalAgg.finalize(
+          IncrementalAgg.merge(Seq("user_id"), base, delta))
+      },
+      Some("""SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS s_cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_sum,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_min,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_max,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |    // count(*) AS BIGINT) AS s_avg
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin))
   )
 }

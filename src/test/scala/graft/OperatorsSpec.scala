@@ -219,6 +219,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length <= 8)
   }
 
+  test("incremental agg state merge equals the single-pass aggregate") {
+    import graft.operators.IncrementalAgg
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+    // arbitrary 3-way split (hash thirds) — merge must not care how the
+    // history was sliced into deltas
+    val parts = (0 until 3).map(i =>
+      IncrementalAgg.state(ev.filter($"event_id" % 3 === i),
+        Seq("user_id"), $"v_c"))
+    val merged = IncrementalAgg.finalize(
+        IncrementalAgg.merge(Seq("user_id"), parts: _*))
+      .orderBy("user_id").collect().toSeq
+    val direct = IncrementalAgg.finalize(
+        IncrementalAgg.state(ev, Seq("user_id"), $"v_c"))
+      .orderBy("user_id").collect().toSeq
+    assert(merged == direct)
+    // chaining: fold one more empty delta — identity
+    val withEmpty = IncrementalAgg.merge(Seq("user_id"),
+      IncrementalAgg.merge(Seq("user_id"), parts: _*),
+      IncrementalAgg.state(ev.filter(lit(false)), Seq("user_id"), $"v_c"))
+    assert(IncrementalAgg.finalize(withEmpty)
+      .orderBy("user_id").collect().toSeq == direct)
+  }
+
   test("scd2 intervals tile each user's history with no gaps or overlaps") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_scd2_dim")(spark, dir)
