@@ -148,7 +148,8 @@ object SparkEntry {
     "q_rolling_window" -> Seq("user_id", "day"),
     "q_gap_fill" -> Seq("event_type", "hour_us"),
     "text_lm_score" -> Seq("doc_id"),
-    "q_incr_agg" -> Seq("user_id"))
+    "q_incr_agg" -> Seq("user_id"),
+    "q_hll_distinct_union" -> Seq("event_type"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

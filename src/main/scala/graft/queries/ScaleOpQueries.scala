@@ -504,6 +504,29 @@ object ScaleOpQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT))
         |    // count(*) AS BIGINT) AS s_avg
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id""".stripMargin))
+        |GROUP BY user_id""".stripMargin)),
+
+    // The distinct-count companion to q_incr_agg's mergeable state: exact
+    // distincts do NOT fold across deltas, so the incremental form keeps
+    // a DataSketches HLL sketch per (type, day) partial and UNIONS
+    // sketches at read time — sketch union is associative and lossless
+    // w.r.t. the sketch's own error bound, which is what lets a 100 TB
+    // pipeline answer "distinct users so far" by folding one day's
+    // sketch instead of rescanning history. No SQL oracle (the sketch
+    // binary and its estimator are DataSketches-specific; DuckDB's HLL
+    // is a different sketch) — OperatorsSpec bounds the estimate against
+    // the exact distinct instead (rows-only driver check).
+    QueryDef("q_hll_distinct_union",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      },
+      None)
   )
 }

@@ -244,6 +244,23 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq == direct)
   }
 
+  test("unioned daily HLL sketches estimate distinct users within bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q_hll_distinct_union")(spark, dir)
+      .select($"event_type", $"n_days", $"est_users")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (tpe, n) =>
+      val e = est(tpe)
+      // lgConfigK=12 default => ~1.6% relative standard error; allow 5%
+      assert(math.abs(e - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$tpe: HLL estimate $e vs exact $n")
+    }
+  }
+
   test("scd2 intervals tile each user's history with no gaps or overlaps") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_scd2_dim")(spark, dir)
