@@ -13,8 +13,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Builder-side iteration: comma-separated query-name filter. The
     // driver never sets it — its sweep always times the full surface.
+    // Names are trimmed; unknown names fail loudly rather than letting a
+    // typo read as an all-green empty sweep.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.all.map(_.name).toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: " +
+        unknown.toSeq.sorted.mkString(", "))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -806,8 +806,13 @@ object RelationalQueries {
     // on days 1 and 9 must NOT see day 1 in day 9's trailing week. The
     // daily pre-aggregate keeps the window input to one row per
     // (user, day) — the frame scan is bounded by 7 regardless of how
-    // many raw events land in a day, and the whole plan is one user_id
-    // shuffle (daily rollup and window share the partitioning).
+    // many raw events land in a day. Two exchanges by design: the raw
+    // stream partial-aggregates map-side before its (user_id, day)
+    // shuffle, and only the REDUCED daily series re-shuffles to the
+    // window's user_id partitioning — at scale that second exchange
+    // moves days-per-user rows, not events, which beats the
+    // one-exchange alternative of shuffling raw events by user_id with
+    // no map-side combine.
     QueryDef("q_rolling_window",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

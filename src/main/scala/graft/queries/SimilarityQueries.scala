@@ -308,9 +308,9 @@ object SimilarityQueries {
         val sims = IvfCodebook.similarities(cm, nm, trained)
         val wNearest = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cent_id"))
-        val assign = sims.withColumn("rn", row_number().over(wNearest))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("list_id"))
+        // list structure = the SHARED persisted full-corpus assignment
+        // (IvfCodebook.assign is the same argmax/tiebreak as wNearest)
+        val assign = corpusAssignment(s, d)
         val probe = sims.filter(col("vec_id") < 5)
           .withColumn("rn", row_number().over(wNearest))
           .filter(col("rn") <= 4)
@@ -448,14 +448,19 @@ object SimilarityQueries {
 
     // Semantic deduplication (SemDeDup-style): partition the corpus by the
     // trained k-means codebook, then WITHIN each cluster drop every vector
-    // that has a lower-id neighbor at quantized cosine >= 0.4 — keeping
-    // the deterministic minimal representatives. The cluster partition is
-    // what makes this a scale path: the quadratic pair search runs only
+    // that has ANY lower-id neighbor at quantized cosine >= 0.4 — the
+    // dropped neighbor itself included, so on a similarity chain a<b<c
+    // (a~b, b~c, a!~c) both b and c drop. That is deliberately STRICTER
+    // than the greedy sequential scan (which would keep c): the rule is
+    // embarrassingly parallel — one within-list pair join, no sequential
+    // dependence — where greedy maximal-independent-set needs an
+    // iterative frontier at cluster scale. The cluster partition is what
+    // makes this a scale path: the quadratic pair search runs only
     // inside a list (bounded by list size, the codebook's k dial), never
     // across the corpus; cross-list near-dups are the documented recall
     // tradeoff, audited by ann_recall_audit's exact fixture. Survivor
-    // property (CorpusOpsSpec): no two kept vectors in the same list are
-    // similar — any such pair would have dropped its larger id.
+    // properties (CorpusOpsSpec): each list's min id survives, and no
+    // two kept vectors in the same list are similar.
     QueryDef("dedup_semantic",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)

@@ -54,7 +54,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hit, s"doc $flagged flagged but shares no eval 8-gram")
   }
 
-  test("semantic dedup keeps a maximal dissimilar prefix per cluster") {
+  test("semantic dedup drops exactly the vectors with a lower-id similar neighbor") {
     val out = SparkEntry.queries("dedup_semantic")(spark, dir)
       .select($"vec_id", $"list_id", $"kept")
       .as[(Long, Long, Long)].collect()

@@ -263,10 +263,13 @@ class PlanQualitySpec extends SparkSpec {
     // change-filter window and interval/version window have identical
     // partitioning + ordering: Catalyst must plan a single user_id hash
     // Exchange (the orderBy wrapper in the driver contract adds the final
-    // range exchange; no third exchange may appear)
-    val exchanges = "Exchange (hash|range)partitioning".r
-      .findAllIn(p).size
-    assert(exchanges <= 2, s"expected one hash + one output-sort exchange:\n$p")
+    // range exchange; no second hash exchange may appear). Formatted
+    // explain puts partitionings on Arguments: lines, so count the
+    // partitioning spellings themselves, not 'Exchange <partitioning>'.
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert("rangepartitioning\\(".r.findAllIn(p).size <= 1,
+      s"expected at most the output-sort range exchange:\n$p")
     assert(p.contains("hashpartitioning(user_id"),
       "scd2 windows must partition by user_id")
   }
@@ -284,9 +287,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_rolling_window")
     // the RANGE frame must consume the daily rollup, not raw events: a
     // partial-aggregated daily series, window keyed on user_id, and the
-    // purchase filter pushed to the scan
-    assert(p.contains("hashpartitioning(user_id"),
-      "frame must partition by user_id")
+    // purchase filter pushed to the scan. Exactly two hash exchanges —
+    // the (user_id, day) rollup of raw events and the daily series'
+    // re-shuffle to user_id (see the query comment for why that beats
+    // a single raw-event shuffle)
+    // the rollup exchange keys (user_id, day) — day may print as an
+    // aliased _groupingexpression — and the window exchange keys user_id
+    // alone: tell them apart by key count (trailing arg is numPartitions)
+    val hashParts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(hashParts.size == 2 &&
+      hashParts.count(_.count(_ == ',') == 2) == 1 &&
+      hashParts.count(_.count(_ == ',') == 1) == 1,
+      s"expected the rollup + window exchanges, got $hashParts")
     assert(p.contains("Window") && (p.contains("partial_sum") || p.contains("Partial")),
       "window frame must read a pre-aggregated daily series")
     assert(p.contains("EqualTo(event_type,purchase)"),
