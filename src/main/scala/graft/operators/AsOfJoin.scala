@@ -36,17 +36,25 @@ object AsOfJoin {
       factId: String, factTime: String, dimTime: String, attr: String,
       outName: String): DataFrame = {
     val attrType = dims.schema(attr).dataType
+    val fidType = facts.schema(factId).dataType
     // The carried value is a STRUCT wrapping the attribute, not the
     // attribute itself: last(ignoreNulls) must distinguish "this row is
     // a fact" (null struct, skipped) from "the latest version's
     // attribute happens to be NULL" (non-null struct, carried) — carrying
     // the raw attribute would silently resurrect an OLDER version's
     // value over a newer null.
-    val d = dims.select(col(key), col(dimTime).as("_t"),
-      lit(false).as("_isf"), lit(null).cast("long").as("_fid"),
-      struct(col(attr).as("v")).as("_ver"))
+    //
+    // Null-key DIM versions are dropped up front: a SQL equi-join never
+    // matches on NULL, but a window partition would happily group the
+    // null keys together and leak a null-key version's attribute onto
+    // null-key facts. (Null-key facts still flow through and surface a
+    // null attribute, exactly as the correlated-subquery form does.)
+    val d = dims.filter(col(key).isNotNull)
+      .select(col(key), col(dimTime).as("_t"),
+        lit(false).as("_isf"), lit(null).cast(fidType).as("_fid"),
+        struct(col(attr).as("v")).as("_ver"))
     val f = facts.select(col(key), col(factTime).as("_t"),
-      lit(true).as("_isf"), col(factId).cast("long").as("_fid"),
+      lit(true).as("_isf"), col(factId).as("_fid"),
       lit(null).cast(s"struct<v:${attrType.sql}>").as("_ver"))
     val w = Window.partitionBy(key)
       .orderBy(col("_t"), col("_isf").cast("int"),

@@ -42,20 +42,34 @@ object TotalOrder {
   def prefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
       sumName: String, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df
+    // Normalize the measure INSIDE the plan before the RDD boundary: an
+    // IntegerType measure would otherwise ClassCastException at
+    // Row.getLong, and a NULL would silently unbox to 0 — the cast
+    // handles any integral type, and nulls are explicitly counted as 0
+    // (documented SUM-of-nothing semantics for a running total).
+    require(!df.columns.contains("_psv"),
+      "prefixSum reserves the internal column name _psv")
+    val prepared = df.withColumn("_psv",
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col(valueCol).cast("long"),
+        org.apache.spark.sql.functions.lit(0L)))
+    val ranged = prepared
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val vIdx = ranged.schema.fieldIndex("_psv") // appended: last position
     val totals = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(vIdx))
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = totals.scanLeft(0L)(_ + _)
-    val schema = ranged.schema.add(sumName, LongType, nullable = false)
+    val schema = df.schema.add(sumName, LongType, nullable = false)
     val rows = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
       var run = offsets(i)
-      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+      it.map { r =>
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ run)
+      }
     }
     spark.createDataFrame(rows, schema)
   }

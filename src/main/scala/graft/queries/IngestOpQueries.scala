@@ -373,9 +373,10 @@ object IngestOpQueries {
           col("event_type"), cents(col("value")).as("value_c"), col("props"))
         val cols = Seq("event_id", "ts_us", "user_id", "event_type",
           "value_c", "props")
-        val exprs = cols.flatMap { c =>
-          Seq(count(lit(1)).as(s"n_$c"),
-            count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+        // ONE shared total-row count — per-column totals are guaranteed
+        // identical, so six count(1) buffers would be pure redundancy
+        val exprs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq(count(when(col(c).isNull, 1)).as(s"nulls_$c"),
             countDistinct(col(c)).as(s"dist_$c"),
             min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c"))
@@ -383,7 +384,7 @@ object IngestOpQueries {
         val one = ev.agg(exprs.head, exprs.tail: _*)
         one.select(expr(
           s"stack(${cols.length}, ${cols.map(c =>
-            s"'$c', n_$c, nulls_$c, dist_$c, min_$c, max_$c").mkString(", ")})"
+            s"'$c', n_rows, nulls_$c, dist_$c, min_$c, max_$c").mkString(", ")})"
             + " AS (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
       },
       Some("""WITH ev AS (SELECT event_id,

@@ -818,9 +818,10 @@ object RelationalQueries {
         import org.apache.spark.sql.expressions.Window
         val daily = table(s, d, "events")
           .filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"),
-            expr("(ts DIV 1000) DIV 86400000000").as("day"))
-          .agg(sum(cents(col("value"))).as("day_spend_c"))
+          .select(col("user_id"), tsMicros.as("us"),
+            cents(col("value")).as("v_c"))
+          .groupBy(col("user_id"), expr("us DIV 86400000000").as("day"))
+          .agg(sum(col("v_c")).as("day_spend_c"))
         val w = Window.partitionBy("user_id").orderBy(col("day"))
           .rangeBetween(-6, Window.currentRow)
         daily.select(col("user_id"), col("day"), col("day_spend_c"),

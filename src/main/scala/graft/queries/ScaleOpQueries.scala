@@ -298,8 +298,13 @@ object ScaleOpQueries {
     // oracle affords the single-node window form.
     QueryDef("dq_skew_profile",
       (s, d) => {
-        val counts = table(s, d, "events")
-          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        // persisted once: the RDD boundary inside globalRank blocks
+        // exchange reuse, so without this the per-user count aggregate
+        // (a full corpus scan + shuffle) would run twice — once feeding
+        // the ranked lineage, once for the n_keys/n_rows/max_n stats
+        val counts = cached(s, d, "skew_user_counts") {
+          table(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
+        }
         val ranked = graft.operators.TotalOrder.globalRank(
           counts, Seq(col("n"), col("user_id")), "rn", numPartitions = 8)
         val k = counts.agg(count(lit(1)).as("n_keys"),
@@ -485,8 +490,10 @@ object ScaleOpQueries {
         import graft.operators.IncrementalAgg
         val ev = table(s, d, "events")
           .filter(col("event_type") === "purchase")
-          .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000")
-            .as("day"), cents(col("value")).as("v_c"))
+          .select(col("user_id"), tsMicros.as("us"),
+            cents(col("value")).as("v_c"))
+          .select(col("user_id"), expr("us DIV 86400000000").as("day"),
+            col("v_c"))
         val mx = ev.agg(max("day").as("max_day"))
         val tagged = ev.crossJoin(broadcast(mx))
         val base = IncrementalAgg.state(
@@ -519,8 +526,9 @@ object ScaleOpQueries {
     QueryDef("q_hll_distinct_union",
       (s, d) => {
         val ev = table(s, d, "events")
-          .select(col("event_type"),
-            expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+          .select(col("event_type"), tsMicros.as("us"), col("user_id"))
+          .select(col("event_type"), expr("us DIV 86400000000").as("day"),
+            col("user_id"))
         val daily = ev.groupBy("event_type", "day")
           .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         daily.groupBy("event_type")

@@ -62,6 +62,24 @@ class OperatorsSpec extends SparkSpec {
       14L -> 31L, 15L -> -1L, 16L -> -1L))
   }
 
+  test("as-of join: null keys never match, non-long fact ids survive") {
+    import graft.operators.AsOfJoin
+    // SQL equi-join semantics: a NULL-key version matches NOTHING, and a
+    // NULL-key fact picks up nothing — the window-partition form must not
+    // group the nulls together and leak the version's attribute
+    val dims = Seq((Option.empty[Long], 5L, 42L), (Some(1L), 5L, 7L))
+      .toDF("user_id", "us", "profile_c")
+    val facts = Seq(("f-null", Option.empty[Long], 10L),
+      ("f-one", Some(1L), 10L))
+      .toDF("event_id", "user_id", "us") // STRING fact id: must not null out
+    val got = AsOfJoin.pointInTime(facts, dims, "user_id", "event_id",
+        "us", "us", "profile_c", "p")
+      .select("event_id", "p").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map("f-null" -> -1L, "f-one" -> 7L))
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     // skewed input: user 7 owns 80% of rows
     val rows = (1 to 8000).map(i => (7L, 3L)) ++

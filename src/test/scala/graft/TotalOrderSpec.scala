@@ -58,4 +58,17 @@ class TotalOrderSpec extends SparkSpec {
       .select("id", "cum")
     assert(again.except(want).isEmpty && want.except(again).isEmpty)
   }
+
+  test("prefixSum handles INT measures and counts nulls as zero") {
+    // an IntegerType measure (what size()/length() produce) must not
+    // ClassCastException at the RDD boundary, and NULLs add 0 by contract
+    val df = Seq((1L, Some(5)), (2L, None), (3L, Some(2)))
+      .toDF("id", "v") // v is IntegerType, nullable
+    val got = TotalOrder.prefixSum(df, Seq(col("id")), "v", "cum", 3)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 7L))
+    // the internal staging column must not leak into the output schema
+    assert(!TotalOrder.prefixSum(df, Seq(col("id")), "v", "cum", 3)
+      .columns.contains("_psv"))
+  }
 }
