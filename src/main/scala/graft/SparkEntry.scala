@@ -149,7 +149,8 @@ object SparkEntry {
     "q_gap_fill" -> Seq("event_type", "hour_us"),
     "text_lm_score" -> Seq("doc_id"),
     "q_incr_agg" -> Seq("user_id"),
-    "q_hll_distinct_union" -> Seq("event_type"))
+    "q_hll_distinct_union" -> Seq("event_type"),
+    "corpus_shard_text" -> Seq("bin"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -426,6 +426,49 @@ object TextQueries {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin)),
 
+    // Shard materialization — the step after bin assignment: each bin's
+    // documents concatenated in doc_id order with a newline separator,
+    // surfaced as digest + byte length (the shard identity, without
+    // hauling megabytes of text through the oracle compare). The per-bin
+    // collect is BOUNDED by the 4096-token budget, which is the whole
+    // point of packing first — an unbudgeted per-key collect_list is the
+    // aggregation-buffer anti-pattern the inverted index's df-guard
+    // exists for. Order inside the shard is explicit (array_sort on
+    // doc_id before joining), never collect_list arrival order.
+    QueryDef("corpus_shard_text",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+              .as("n_tokens"))
+        graft.operators.TotalOrder
+          .prefixSum(docs, Seq(col("doc_id")), "n_tokens", "cum", 8)
+          .select(col("doc_id"), col("text"),
+            expr("(cum - n_tokens) DIV 4096").as("bin"))
+          .groupBy("bin")
+          .agg(collect_list(struct(col("doc_id"), col("text"))).as("ds"))
+          .select(col("bin"),
+            expr("CAST(size(ds) AS BIGINT)").as("n_docs"),
+            expr("""length(array_join(transform(array_sort(ds),
+              x -> x.text), '\n'))""").cast("long").as("shard_len"),
+            md5(expr("""array_join(transform(array_sort(ds),
+              x -> x.text), '\n')""")).as("shard_md5"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n_tokens) // 4096 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT)
+        |    AS shard_len,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+        |FROM c GROUP BY 1""".stripMargin)),
+
     // Statistical-LM fluency scoring — the KenLM-style quality gate of a
     // curation pipeline, in EXACT integer arithmetic: a corpus bigram
     // model P(w2|w1) = c(w1,w2)/c(w1,·), and each document scores the
