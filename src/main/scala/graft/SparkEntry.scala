@@ -150,7 +150,8 @@ object SparkEntry {
     "text_lm_score" -> Seq("doc_id"),
     "q_incr_agg" -> Seq("user_id"),
     "q_hll_distinct_union" -> Seq("event_type"),
-    "corpus_shard_text" -> Seq("bin"))
+    "corpus_shard_text" -> Seq("bin"),
+    "q_peak_concurrency" -> Seq("n_sessions"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -535,6 +535,60 @@ object ScaleOpQueries {
           .agg(count(lit(1)).as("n_days"),
             expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
       },
-      None)
+      None),
+
+    // Peak concurrency — the classic interval-sweep analytic (max
+    // simultaneously-open sessions): sessions become +1/-1 boundary
+    // events, concurrency is the RUNNING SUM of deltas in time order,
+    // the answer its max. The global running sum is exactly the
+    // SinglePartition window cliff, so the sweep runs on the
+    // DISTRIBUTED prefix sum (graft.operators.TotalOrder.prefixSum:
+    // range shuffle + totals-only pass + parallel emit). Boundary
+    // ordering is end-INCLUSIVE (+1 sorts before -1 at equal times via
+    // d DESC), so touching sessions count as concurrent and the
+    // running sum never dips negative; the user_id tiebreak makes the
+    // whole sweep a pure function of the data.
+    QueryDef("q_peak_concurrency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = table(s, d, "events")
+          .select(col("user_id"), tsMicros.as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+        val sessions = ev
+          .withColumn("prev", lag("us", 1).over(w))
+          .withColumn("brk", when(col("prev").isNull ||
+            col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("us").as("s_us"), max("us").as("e_us"))
+        val bounds = sessions.select(col("s_us").as("t"),
+            lit(1L).as("dlt"), col("user_id"))
+          .unionByName(sessions.select(col("e_us").as("t"),
+            lit(-1L).as("dlt"), col("user_id")))
+        val swept = graft.operators.TotalOrder.prefixSum(bounds,
+          Seq(col("t"), col("dlt").desc, col("user_id")), "dlt", "cum", 8)
+        sessions.agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(broadcast(
+            swept.agg(max("cum").as("peak_concurrent"))))
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |o AS (SELECT user_id, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        |s AS (SELECT user_id, us, CASE WHEN prev IS NULL
+        |    OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        |  FROM g GROUP BY 1, 2),
+        |b AS (SELECT s_us AS t, CAST(1 AS BIGINT) AS dlt, user_id FROM iv
+        |  UNION ALL
+        |  SELECT e_us, CAST(-1 AS BIGINT), user_id FROM iv),
+        |r AS (SELECT sum(dlt) OVER (ORDER BY t, dlt DESC, user_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+        |  CAST(max(cum) AS BIGINT) AS peak_concurrent
+        |FROM r""".stripMargin))
   )
 }
