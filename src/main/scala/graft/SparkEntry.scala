@@ -151,7 +151,8 @@ object SparkEntry {
     "q_incr_agg" -> Seq("user_id"),
     "q_hll_distinct_union" -> Seq("event_type"),
     "corpus_shard_text" -> Seq("bin"),
-    "q_peak_concurrency" -> Seq("n_sessions"))
+    "q_peak_concurrency" -> Seq("n_sessions"),
+    "q_skyline" -> Seq("event_type", "hour_us"))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

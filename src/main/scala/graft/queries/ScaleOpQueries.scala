@@ -589,6 +589,44 @@ object ScaleOpQueries {
         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
         |SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
         |  CAST(max(cum) AS BIGINT) AS peak_concurrent
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // Skyline (pareto frontier) — the preference-query operator: per
+    // event type, the hours not DOMINATED in (event volume, distinct
+    // users) — dominated meaning another hour is >= on both measures and
+    // strictly better on one. The scale discipline is REDUCE FIRST: the
+    // dominance test runs on the aggregated (type, hour) cells — bounded
+    // by the time domain, thousands of rows — never on raw events, so
+    // the quadratic dominance join is quadratic in CELLS. The cell table
+    // broadcasts; the anti-join is a BroadcastNestedLoopJoin, not a
+    // shuffled cartesian (PlanQualitySpec's no-cartesian sweep covers
+    // it like every other registered query).
+    QueryDef("q_skyline",
+      (s, d) => {
+        val cells = table(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", tsCol)).as("hour_us"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("nd"))
+        val rivals = cells.select(col("event_type").as("q_t"),
+          col("cnt").as("q_cnt"), col("nd").as("q_nd"))
+        cells.join(broadcast(rivals),
+            col("q_t") === col("event_type") &&
+              col("q_cnt") >= col("cnt") && col("q_nd") >= col("nd") &&
+              (col("q_cnt") > col("cnt") || col("q_nd") > col("nd")),
+            "left_anti")
+          .select("event_type", "hour_us", "cnt", "nd")
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_us, cnt, nd FROM h p
+        |WHERE NOT EXISTS (SELECT 1 FROM h q
+        |  WHERE q.event_type = p.event_type
+        |    AND q.cnt >= p.cnt AND q.nd >= p.nd
+        |    AND (q.cnt > p.cnt OR q.nd > p.nd))""".stripMargin))
   )
 }
