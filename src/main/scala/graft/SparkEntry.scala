@@ -14,10 +14,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  val all: Seq[QueryDef] =
-    IngestOpQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs ++
-      TpchShapeQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ ScaleOpQueries.defs ++ IrQueries.defs
+  /** Query sets in sweep order. Bench releases the shared persisted
+    * intermediates (`Q.release`) at each set boundary so a full 127-query
+    * single-JVM sweep doesn't accumulate every set's blocks in executor
+    * storage — late sets would otherwise pay eviction + GC churn for
+    * intermediates only earlier sets need. */
+  val sets: Seq[(String, Seq[QueryDef])] = Seq(
+    "ingest" -> IngestOpQueries.defs,
+    "pipeline" -> PipelineQueries.defs,
+    "relational" -> RelationalQueries.defs,
+    "tpch" -> TpchShapeQueries.defs,
+    "dedup" -> DedupQueries.defs,
+    "similarity" -> SimilarityQueries.defs,
+    "text" -> TextQueries.defs,
+    "scaleops" -> ScaleOpQueries.defs,
+    "ir" -> IrQueries.defs)
+
+  val all: Seq[QueryDef] = sets.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -114,6 +127,7 @@ object SparkEntry {
     "text_fingerprint" -> Seq("doc_id"),
     "text_winnow_fingerprint" -> Seq("doc_id", "fp"),
     "multimodal_meta" -> Seq("doc_id"),
+    "multimodal_pixels" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),
     "corpus_decontaminate" -> Seq("doc_id"),
     "text_repetition" -> Seq("doc_id"),

@@ -33,14 +33,21 @@ object Verify {
       rm(out)
     }
     out.mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Walk in set order (not Map order) and release each set's shared
+    // persisted intermediates at the boundary — same storage hygiene as
+    // Bench: a 127-query dump would otherwise carry every set's blocks.
+    SparkEntry.sets.foreach { case (_, defs) =>
+      defs.map(_.name)
+        .filter(name => only.forall(_.contains(name)))
+        .foreach { name =>
+          val fn = SparkEntry.queries(name)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      graft.queries.Q.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,4 +77,35 @@ object Q {
       df.count() // populate blocks once; self-joins then read them
       df
     })
+
+  /** Release every memoized intermediate held for `s` (all data dirs, all
+    * tags): unpersist the blocks and drop the memo entries so the next
+    * `cached` call rebuilds. Called between bench/verify query sets and at
+    * spec teardown — without it, a long single-JVM sweep accumulates every
+    * persisted intermediate (fingerprints, signatures, gram sets, cluster
+    * assignments, …) in executor storage for the rest of the run, and late
+    * queries pay the eviction + GC churn. A later set that reuses an
+    * earlier set's intermediate rebuilds it once; that one rebuild is
+    * cheaper than carrying all sets' blocks to the end of the sweep.
+    *
+    * `blocking = false`: block deletion proceeds asynchronously; callers
+    * only need the storage *budget* back, not a synchronous fence.
+    */
+  def release(s: SparkSession): Unit = {
+    val keys = memo.keysIterator.filter(_._1 eq s).toList
+    keys.foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Release the memoized intermediates for one (session, data dir) pair —
+    * multi-scale test suites free a scale's blocks when moving on to the
+    * next scale without touching other dirs' entries. */
+  def release(s: SparkSession, d: String): Unit = {
+    val keys = memo.keysIterator
+      .filter(k => (k._1 eq s) && k._2 == d).toList
+    keys.foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 }

@@ -400,26 +400,35 @@ object ScaleOpQueries {
     // count sits more than 3 population-σ from the per-type mean —
     // entirely in EXACT integer algebra, so the verdict is bit-identical
     // in any engine. (c − μ)² > 9σ² with μ = S/n, σ² = (nQ − S²)/n²
-    // rearranges to (n·c − S)² > 9·(nQ − S²): counts, sums and sums of
-    // squares are all BIGINT-exact, no floating-point mean/stddev ever
-    // materializes. Plan shape at scale: the hourly rollup is one map-side
-    // combinable shuffle, the per-type stats are a 5-row aggregate joined
-    // back by BROADCAST — the hourly stream is never re-shuffled or
-    // windowed for the z-test.
+    // rearranges to (n·c − S)² > 9·(nQ − S²): no floating-point
+    // mean/stddev ever materializes. The squares/products run in
+    // DECIMAL(38,0) on the Spark side and HUGEINT (int128) in the
+    // oracle, NOT BIGINT — at 100 TB a per-type event sum S passes ~3e9
+    // and S² would silently wrap a 64-bit long. Exactness bound of the
+    // widened form: |n·c − S| < 10^19 and 9(nQ − S²) < 10^38 — i.e.
+    // ~10^19 events per type before DECIMAL(38,0) itself saturates,
+    // comfortably past a 100 TB corpus. Plan shape at scale: the hourly
+    // rollup is one map-side combinable shuffle, the per-type stats are
+    // a 5-row aggregate joined back by BROADCAST — the hourly stream is
+    // never re-shuffled or windowed for the z-test.
     QueryDef("q_anomaly_hours",
       (s, d) => {
+        val dec = "decimal(38,0)"
         val hourly = table(s, d, "events")
           .groupBy(col("event_type"),
             unix_micros(date_trunc("hour", tsCol)).as("hour_us"))
           .agg(count(lit(1)).as("cnt"))
         val stats = hourly.groupBy("event_type")
           .agg(count(lit(1)).as("n_hours"), sum("cnt").as("s"),
-            sum(col("cnt") * col("cnt")).as("q"))
-        val dev = col("n_hours") * col("cnt") - col("s")
+            // square in decimal BEFORE the sum: cnt² alone can pass
+            // Long.MaxValue once an hour holds >3e9 events
+            sum(col("cnt").cast(dec) * col("cnt")).as("q"))
+        val dev = col("n_hours").cast(dec) * col("cnt") - col("s")
         hourly.join(broadcast(stats), "event_type")
           .select(col("event_type"), col("hour_us"), col("cnt"),
-            when(dev * dev > lit(9L) * (col("n_hours") * col("q") -
-              col("s") * col("s")), 1L).otherwise(0L)
+            when(dev * dev > lit(9L).cast(dec) *
+              (col("n_hours").cast(dec) * col("q") -
+                col("s").cast(dec) * col("s")), 1L).otherwise(0L)
               .cast("long").as("is_anomaly"))
       },
       Some("""WITH h AS (
@@ -428,11 +437,14 @@ object ScaleOpQueries {
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-        |    CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    sum(CAST(cnt AS HUGEINT) * cnt) AS q
         |  FROM h GROUP BY 1)
         |SELECT h.event_type, hour_us, cnt,
-        |  CAST(CASE WHEN (n_hours * cnt - s) * (n_hours * cnt - s)
-        |    > 9 * (n_hours * q - s * s) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |  CAST(CASE WHEN (CAST(n_hours AS HUGEINT) * cnt - s)
+        |      * (CAST(n_hours AS HUGEINT) * cnt - s)
+        |    > 9 * (CAST(n_hours AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM h JOIN st ON h.event_type = st.event_type""".stripMargin)),
 
     // Time-series densification (gap fill): every hour between each
@@ -551,17 +563,23 @@ object ScaleOpQueries {
     QueryDef("q_peak_concurrency",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = table(s, d, "events")
-          .select(col("user_id"), tsMicros.as("us"))
-        val w = Window.partitionBy("user_id").orderBy("us")
-        val sessions = ev
-          .withColumn("prev", lag("us", 1).over(w))
-          .withColumn("brk", when(col("prev").isNull ||
-            col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
-          .withColumn("sid", sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "sid")
-          .agg(min("us").as("s_us"), max("us").as("e_us"))
+        // persisted once: prefixSum's internal RDD boundary blocks
+        // exchange reuse, so without this the sessionization lineage
+        // (full events shuffle + window + groupBy) would rebuild for
+        // BOTH the boundary sweep and the n_sessions count
+        val sessions = cached(s, d, "peak_sessions") {
+          val ev = table(s, d, "events")
+            .select(col("user_id"), tsMicros.as("us"))
+          val w = Window.partitionBy("user_id").orderBy("us")
+          ev
+            .withColumn("prev", lag("us", 1).over(w))
+            .withColumn("brk", when(col("prev").isNull ||
+              col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+            .withColumn("sid", sum("brk").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("user_id", "sid")
+            .agg(min("us").as("s_us"), max("us").as("e_us"))
+        }
         val bounds = sessions.select(col("s_us").as("t"),
             lit(1L).as("dlt"), col("user_id"))
           .unionByName(sessions.select(col("e_us").as("t"),

@@ -18,6 +18,23 @@ object TextQueries {
   private def occurrencesSql(hay: String, needle: String): String =
     s"(length($hay) - length(replace($hay, '$needle', ''))) // ${needle.length}"
 
+  /** Subword token count — the budget measure context-window packing
+    * runs on. A deterministic BPE-like segmentation: letter runs split
+    * greedily into ≤4-char pieces (the average piece length of public
+    * byte-pair vocabularies), digit runs into ≤3-char pieces, every
+    * other non-space character is its own token. Counting whitespace
+    * WORDS instead would under-fill bins by exactly the factor long
+    * words split into subwords — bins are sized in tokenizer tokens.
+    * Greedy quantifiers tokenize identically under java.util.regex and
+    * RE2, so the count is engine-portable (same contract as
+    * `n_bpe_tokens` in text_token_stats).
+    */
+  private val SubwordRe = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+  private[queries] def subwordCount: org.apache.spark.sql.Column =
+    expr(s"CAST(size(regexp_extract_all(text, '$SubwordRe', 0)) AS BIGINT)")
+  private[queries] def subwordCountSql: String =
+    s"CAST(len(regexp_extract_all(text, '$SubwordRe')) AS BIGINT)"
+
   /** Distinct per-document winnow fingerprints (MOSS, k=8 w=4), computed
     * block-locally with the native `winnow_fps` expression and persisted
     * once per (session, dataset) — shared by the fingerprint query and the
@@ -186,6 +203,66 @@ object TextQueries {
         |sha256(text) AS content_sha,
         |CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin)),
+
+    // REAL image-payload decode, end-to-end: each document's PNG arm
+    // (doc_id % 6 = 2, same arm as Multimodal.syntheticFromDocuments)
+    // becomes a genuine 8-bit-truecolor PNG — per-scanline filters
+    // cycling through all five PNG filter types, zlib-deflated IDAT, real
+    // chunk CRCs — whose pixels follow a closed-form generative formula.
+    // The query then decodes the blob with the dependency-free codec
+    // (java.util.zip.Inflater + filter reconstruction,
+    // Multimodal.decodePngPixels) and reports stats computed from the
+    // DECODED bytes, while the oracle computes the same stats directly
+    // from the formula: any drift anywhere in
+    // encode → filter → deflate → CRC → inflate → defilter is a hash
+    // mismatch. Decode is per-row and partition-local (mapPartitions) —
+    // the same embarrassingly-parallel shape a 100 TB media corpus needs,
+    // with feature output ~10^4 × smaller than the media scan.
+    QueryDef("multimodal_pixels",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 2)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val nBytes =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val w = 1 + nBytes % 128
+              val h = 1 + (id % 64).toInt
+              val rgb = Array.tabulate(w * h * 3) { i =>
+                ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
+              }
+              val img = Multimodal.decodePngPixels(
+                Multimodal.pngRgb(w, h, rgb)).get
+              var sum = 0L; var crc = 0L; var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i) & 0xff
+                sum += v; crc += v.toLong * (i % 97 + 1); i += 1
+              }
+              (id, img.width, img.height, sum, crc)
+            }
+          }
+          .toDF("doc_id", "width", "height", "pixel_sum", "px_crc")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 128) AS w,
+        |    1 + (doc_id % 64) AS h
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |v AS (SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h * 3), i ->
+        |      ((i // 3) % w + 2 * ((i // 3) // w) + 3 * (i % 3) + doc_id)
+        |        % 256) AS vals
+        |  FROM m)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h * 3), i ->
+        |    vals[CAST(i + 1 AS INTEGER)] * ((i % 97) + 1))) AS BIGINT)
+        |    AS px_crc
+        |FROM v""".stripMargin)),
 
     // Intra-document repetition — the "repeated phrases" quality rule
     // (high duplicate-3-gram ratio marks boilerplate/spam): per document,
@@ -394,17 +471,19 @@ object TextQueries {
     // Deterministic context-window packing: documents laid into
     // fixed-budget (4096-token) bins by their token count's running
     // total in doc_id order — a doc's bin is where its first token
-    // lands. The running total is the DISTRIBUTED prefix sum
-    // (graft.operators.TotalOrder.prefixSum: range shuffle + totals-only
-    // pass + parallel emit), because the window form
-    // `sum() OVER (ORDER BY doc_id)` funnels the corpus through one
-    // partition — the oracle affords exactly that single-node form.
+    // lands. The budget measure is the SUBWORD segmentation (below),
+    // not whitespace words: context windows are sized in tokenizer
+    // tokens, and a whitespace count under-fills bins by exactly the
+    // factor long words split into subwords. The running total is the
+    // DISTRIBUTED prefix sum (graft.operators.TotalOrder.prefixSum:
+    // range shuffle + totals-only pass + parallel emit), because the
+    // window form `sum() OVER (ORDER BY doc_id)` funnels the corpus
+    // through one partition — the oracle affords exactly that
+    // single-node form.
     QueryDef("corpus_pack_bins",
       (s, d) => {
         val docs = table(s, d, "documents")
-          .select(col("doc_id"),
-            expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
-              .as("n_tokens"))
+          .select(col("doc_id"), subwordCount.as("n_tokens"))
         graft.operators.TotalOrder
           .prefixSum(docs, Seq(col("doc_id")), "n_tokens", "cum", 8)
           .select(col("doc_id"), col("n_tokens"),
@@ -413,9 +492,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS BIGINT) AS n_tokens
+      Some(s"""WITH t AS (SELECT doc_id, $subwordCountSql AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
@@ -438,9 +515,7 @@ object TextQueries {
     QueryDef("corpus_shard_text",
       (s, d) => {
         val docs = table(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
-              .as("n_tokens"))
+          .select(col("doc_id"), col("text"), subwordCount.as("n_tokens"))
         graft.operators.TotalOrder
           .prefixSum(docs, Seq(col("doc_id")), "n_tokens", "cum", 8)
           .select(col("doc_id"), col("text"),
@@ -454,9 +529,7 @@ object TextQueries {
             md5(expr("""array_join(transform(array_sort(ds),
               x -> x.text), '\n')""")).as("shard_md5"))
       },
-      Some("""WITH t AS (SELECT doc_id, text,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS BIGINT) AS n_tokens
+      Some(s"""WITH t AS (SELECT doc_id, text, $subwordCountSql AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, text, n_tokens,
         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id

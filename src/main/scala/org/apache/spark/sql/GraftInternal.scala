@@ -10,6 +10,27 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftInternal {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The executed plan's RDD[InternalRow] — the zero-copy view of a
+    * DataFrame's output (`Dataset.rdd` would deserialize every row to an
+    * external `Row`). `QueryExecution.toRdd` is a lazy val, so two jobs
+    * over the same handle reuse one lineage (and its shuffle files). */
+  def toInternalRdd(
+      df: DataFrame): org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** The `private[sql]` InternalRow-to-DataFrame constructor —
+    * `createDataFrame(RDD[Row], schema)` would re-validate and re-encode
+    * every row. The scan operator projects each row to unsafe itself, so
+    * the RDD may yield reused/wrapped rows (iterator discipline). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
 
 /** Bridge into `private[sql]` SparkSessionExtensions builders — used only
