@@ -29,18 +29,20 @@ case class MediaFeature(
   * Real in this module: the binary-column schema, the partition-parallel
   * batch shape (`mapPartitions` — one decoder init per partition, the same
   * contract a Pandas-batch UDF gives PySpark), the feature schema, the
-  * resize/frame-sample dataflow — and REAL decoders for the two container
-  * formats whose parsing is pure byte arithmetic: BMP (DIB header →
-  * width/height), PNG (signature + IHDR → width/height; dimensions never
-  * need zlib) and canonical PCM WAV (RIFF header → sample rate, channels,
-  * sample count). For audio the generic feature triple maps as
-  * width = sample rate, height = channels, n_frames = PCM sample frames.
+  * resize/frame-sample dataflow — and REAL decoders: header metadata for
+  * BMP/PNG/JPEG/GIF/WAV (pure byte arithmetic: DIB header, IHDR, SOFn
+  * marker walk, logical screen descriptor, RIFF layout), plus FULL PNG
+  * payload decode ([[decodePngPixels]]: chunk CRCs, zlib IDAT via
+  * `java.util.zip.Inflater`, all five scanline filters reversed) and the
+  * matching encoder ([[pngRgb]]). For audio the generic feature triple
+  * maps as width = sample rate, height = channels, n_frames = PCM sample
+  * frames.
   *
-  * STUBBED — clearly and deliberately: blobs in formats that need a codec
-  * (JPEG/MP4 — no media libraries ship in this environment) fall back
-  * to `decodeStub`, a deterministic function of the bytes, so tests stay
-  * exact; swapping in a real codec changes ONE dispatch arm and nothing
-  * about the dataflow.
+  * STUBBED — clearly and deliberately: blobs in formats whose PAYLOAD
+  * needs an entropy codec (JPEG huffman/DCT, MP4 — no media libraries
+  * ship in this environment) fall back to `decodeStub`, a deterministic
+  * function of the bytes, so tests stay exact; swapping in a real codec
+  * changes ONE dispatch arm and nothing about the dataflow.
   *
   * Scale notes: decode is embarrassingly parallel and pipelined per
   * partition (no shuffle); feature output is tiny vs input, so the stage is
@@ -421,26 +423,6 @@ object Multimodal {
     out.array()
   }
 
-  /** Minimal PNG: signature + IHDR chunk (8-bit truecolor declared, CRC
-    * left zero — header consumers don't checksum) + `payload` appended as
-    * opaque trailing bytes.
-    */
-  private[multimodal] def pngBytes(width: Int, height: Int,
-      payload: Array[Byte]): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(33 + payload.length)
-      .order(java.nio.ByteOrder.BIG_ENDIAN)
-    out.put(PngSignature)
-      .putInt(13)                  // IHDR data length
-      .put("IHDR".getBytes)
-      .putInt(width).putInt(height)
-      .put(8.toByte)               // bit depth
-      .put(2.toByte)               // truecolor
-      .put(0.toByte).put(0.toByte).put(0.toByte)
-      .putInt(0)                   // CRC (not validated by header readers)
-      .put(payload)
-    out.array()
-  }
-
   /** Minimal baseline JPEG: SOI + JFIF APP0 + a 1-component SOF0 frame
     * header carrying the dimensions + EOI, with `payload` as opaque
     * trailing bytes. The APP0 before the SOF makes the decoder actually
@@ -523,8 +505,15 @@ object Multimodal {
           case 1 => MediaRow(id, "audio",
             wavBytes(1 + (id % 2).toInt,
               if (id % 8 == 1) 16000 else 8000, payload), src)
-          case 2 => MediaRow(id, "image",
-            pngBytes(1 + (text.length % 128), 1 + (id % 64).toInt, payload), src)
+          case 2 =>
+            // a REAL PNG, pixels and all (deflated IDAT, genuine CRCs):
+            // the payload-decode stage gets honest input at every scale
+            val w = 1 + (text.length % 128)
+            val h = 1 + (id % 64).toInt
+            val rgb = Array.tabulate(w * h * 3) { i =>
+              ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
+            }
+            MediaRow(id, "image", pngRgb(w, h, rgb), src)
           case 4 => MediaRow(id, "image",
             jpegBytes(1 + (text.length % 256), 1 + (id % 48).toInt, payload), src)
           case 5 => MediaRow(id, "image",

@@ -73,6 +73,33 @@ class MultimodalSpec extends SparkSpec {
     assert(br.ok && br.width > 0 && br.height > 0 && br.n_frames == 1)
   }
 
+  test("PNG payload round-trips through deflate + all five scanline filters") {
+    // height ≥ 5 ⇒ the encoder's y%5 filter cycle exercises
+    // None/Sub/Up/Average/Paeth; adversarial pixel content (every byte
+    // value, plus structure that makes each predictor matter)
+    for ((w, h) <- Seq((1, 7), (3, 5), (17, 11), (64, 6))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + i / 7) % 256).toByte)
+      val png = Multimodal.pngRgb(w, h, rgb)
+      val img = Multimodal.decodePngPixels(png)
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(img.width == w && img.height == h)
+      assert(java.util.Arrays.equals(img.pixels, rgb), s"pixels diverge ${w}x$h")
+    }
+    // corruption is refused, not mis-decoded: a flipped IDAT byte breaks
+    // that chunk's CRC
+    val good = Multimodal.pngRgb(4, 5, Array.fill(60)(7.toByte))
+    val corrupt = good.clone()
+    corrupt(45) = (corrupt(45) ^ 0x01).toByte
+    assert(Multimodal.decodePngPixels(corrupt).isEmpty)
+    // truncation (IEND lost) is refused
+    assert(Multimodal.decodePngPixels(good.dropRight(13)).isEmpty)
+    // corpus PNG blobs carry real zlib pixel payloads: full decode works
+    // on the synthetic media table itself, not just hand-built fixtures
+    val m = corpus().filter(_.media_id % 6 == 2).head(1).head
+    val dec = Multimodal.decodePngPixels(m.content)
+    assert(dec.exists(img => img.pixels.length == img.width * img.height * 3))
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)

@@ -16,8 +16,18 @@ object TestSpark {
     .getOrCreate()
 }
 
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Suites share one session: release this suite's memoized persisted
+    * intermediates when it finishes, so a full `sbt test` run doesn't
+    * accumulate every suite's blocks in executor storage (same hygiene as
+    * Bench/Verify at query-set boundaries). */
+  override protected def afterAll(): Unit = {
+    graft.queries.Q.release(spark)
+    super.afterAll()
+  }
 }
