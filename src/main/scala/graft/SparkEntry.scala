@@ -131,6 +131,7 @@ object SparkEntry {
     "multimodal_pixels" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),
     "corpus_decontaminate" -> Seq("doc_id"),
+    "corpus_decontaminate_bloom" -> Seq("doc_id"),
     "text_repetition" -> Seq("doc_id"),
     "dedup_winnow_pairs" -> Seq("doc_a", "doc_b"),
     "dedup_clusters" -> Seq("doc_id"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline over `documents`: token
@@ -365,6 +366,65 @@ object TextQueries {
         |FROM g JOIN eg USING (gram)
         |WHERE g.doc_id >= 20
         |GROUP BY 1""".stripMargin)),
+
+    // Bloom-sketch decontamination — the membership form the exact gram
+    // join above can't reach at 100 TB: the benchmark side is folded into
+    // a FIXED-SIZE filter (k=3 md5-prefix hash positions over a 16-bit
+    // slot space, ≤ 65536 entries no matter how many benchmark grams
+    // exist) and broadcast, and the corpus side is a pure-map hash plus a
+    // broadcast position join — corpus grams never shuffle, and the
+    // shipped filter is positions (2 bytes each), not 8-gram strings.
+    // Standard Bloom semantics, exactly reproduced in the oracle: zero
+    // false negatives (every truly contaminated gram set its own
+    // positions), false positives at the documented ~(fill)^k rate — a
+    // doc's n_flagged is an upper bound of its exact n_contam
+    // (DecontaminateBloomSpec asserts the containment). Hash = md5 hex
+    // prefix, deterministic in any engine; no RNG anywhere.
+    QueryDef("corpus_decontaminate_bloom",
+      (s, d) => {
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 8,
+                sequence(lit(1), size(col("ws")) - 7))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), expr((1 to 7)
+            .map(o => s"element_at(ws, i + $o)")
+            .mkString("element_at(ws, i) || ' ' || ",
+              " || ' ' || ", "")).as("gram"))
+          .distinct()
+        def positions(df: DataFrame): DataFrame = df
+          .select(col("*"), explode(sequence(lit(0), lit(2))).as("j"))
+          .withColumn("pos",
+            substring(md5(concat(col("j").cast("string"), lit("|"),
+              col("gram"))), 1, 4))
+        val filterBits = positions(g.filter(col("doc_id") < 20)
+          .select("gram").distinct()).select("j", "pos").distinct()
+        positions(g.filter(col("doc_id") >= 20))
+          .join(broadcast(filterBits), Seq("j", "pos"))
+          .groupBy("doc_id", "gram")
+          .agg(count(lit(1)).as("n_set"))
+          .filter(col("n_set") === 3) // all k positions set = bloom hit
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_flagged"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |    ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM w)),
+        |ks AS (SELECT unnest(range(0, 3)) AS j),
+        |fb AS (SELECT DISTINCT j,
+        |    substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 4) AS pos
+        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id < 20), ks),
+        |cg AS (SELECT doc_id, gram, j,
+        |    substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 4) AS pos
+        |  FROM g, ks WHERE doc_id >= 20),
+        |hits AS (SELECT doc_id, gram FROM cg JOIN fb USING (j, pos)
+        |  GROUP BY doc_id, gram HAVING count(*) = 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+        |FROM hits GROUP BY 1""".stripMargin)),
 
     // PII detection + redaction — scalar regex over each document, the
     // standard pre-training scrub. The synthetic corpus carries no PII, so
