@@ -169,6 +169,47 @@ object SimilarityQueries {
         .select("src", "dst", "sim")
     }
 
+  /** DuckDB rendering of [[nswAdjacency]]: a CTE prefix (no leading WITH)
+    * ending in `adjt(src, dst, sim)` — the degree-6-truncated kNN graph —
+    * plus `n(vec_id, qe, n2)` for downstream exact-cosine scoring. Keep in
+    * lockstep with the Spark builder; shared by the graph-ANN search and
+    * the graph-cluster dedup oracles.
+    */
+  private val NswAdjSql: String =
+    """planes AS (
+      |  SELECT p, dim,
+      |    CASE WHEN instr('02468ace',
+      |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+      |  FROM (SELECT unnest(range(0, 16)) AS p),
+      |       (SELECT unnest(range(1, 65)) AS dim)),
+      |comps AS (SELECT vec_id,
+      |    unnest(range(1, len(embedding) + 1)) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+      |  FROM embeddings),
+      |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+      |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+      |tb AS (SELECT vec_id, p // 4 AS t,
+      |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |ve AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qe,
+      |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM ve),
+      |sp AS (SELECT vec_a, vec_b,
+      |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+      |    i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+      |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
+      |sym AS (SELECT vec_a AS src, vec_b AS dst, sim FROM sp
+      |  UNION ALL SELECT vec_b AS src, vec_a AS dst, sim FROM sp),
+      |adjt AS (SELECT src, dst, sim FROM (
+      |    SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+      |      ORDER BY sim DESC, dst) AS rn FROM sym) z WHERE rn <= 6)""".stripMargin
+
   /** DuckDB CTE chain replaying the deterministic Lloyd training of
     * [[graft.operators.IvfCodebook]]: integer-quantized comps, k lowest-id
     * seeds, `iters` assign/update rounds (centroids = componentwise
@@ -624,39 +665,8 @@ object SimilarityQueries {
           |f$r AS (SELECT query_id, vec_id FROM (
           |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
           |      ORDER BY sim DESC, vec_id) AS rn FROM v$r) z WHERE rn <= 8)""".stripMargin
-        """WITH planes AS (
-        |  SELECT p, dim,
-        |    CASE WHEN instr('02468ace',
-        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
-        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
-        |  FROM (SELECT unnest(range(0, 16)) AS p),
-        |       (SELECT unnest(range(1, 65)) AS dim)),
-        |comps AS (SELECT vec_id,
-        |    unnest(range(1, len(embedding) + 1)) AS dim,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
-        |  FROM embeddings),
-        |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
-        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
-        |tb AS (SELECT vec_id, p // 4 AS t,
-        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |ve AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM ve),
-        |sp AS (SELECT vec_a, vec_b,
-        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
-        |    i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
-        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
-        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
-        |sym AS (SELECT vec_a AS src, vec_b AS dst, sim FROM sp
-        |  UNION ALL SELECT vec_b AS src, vec_a AS dst, sim FROM sp),
-        |adj AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src
-        |      ORDER BY sim DESC, dst) AS rn FROM sym) z WHERE rn <= 6),
+        s"""WITH $NswAdjSql,
+        |adj AS (SELECT src, dst FROM adjt),
         |qv AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2
         |  FROM n WHERE vec_id < 5),
         |ep AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
@@ -674,6 +684,47 @@ object SimilarityQueries {
         |    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM v3) z
         |WHERE rank <= 10""".stripMargin
-      })
+      }),
+
+    // Graph-based semantic dedup: connected components over the NSW
+    // adjacency's strong edges (sim ≥ 0.4 — the same verify threshold as
+    // the exact and LSH embedding-dedup paths). Composes THREE existing
+    // operators without new machinery: the shared persisted kNN graph
+    // (its truncated degree bounds the edge count at O(n·6) no matter how
+    // dense the similarity structure), min-label propagation with pointer
+    // jumping (graft.operators.ConnectedComponents, O(log diameter)
+    // rounds), and the broadcast cluster-size join. Against
+    // `dedup_semantic` (IVF-cluster-bounded) this is the TRANSITIVE
+    // variant: a~b and b~c land in one cluster even when a~c never
+    // surfaced — exactly the dedup_clusters-vs-pairwise distinction, now
+    // at the embedding level. The oracle replays the same graph and walks
+    // the closure with a recursive CTE.
+    QueryDef("dedup_graph_clusters",
+      (s, d) => {
+        val adj = nswAdjacency(s, d)
+        val pairs = adj.filter(col("sim") >= 0.4)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("w"))
+          .distinct()
+        val (labels, _) = graft.operators.ConnectedComponents.run(pairs)
+        val rep = labels
+          .select(col("v").as("vec_id"), col("component").as("cluster_id"))
+        val sizes = rep.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        rep.join(broadcast(sizes), "cluster_id")
+          .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $NswAdjSql,
+        |edges AS (SELECT src AS u, dst AS w FROM adjt WHERE sim >= 0.4
+        |  UNION SELECT dst, src FROM adjt WHERE sim >= 0.4),
+        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT rc.v, e.w FROM reach rc JOIN edges e ON e.u = rc.r),
+        |rep AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT vec_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM rep""".stripMargin))
   )
 }

@@ -320,4 +320,23 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "list pair search must be an equi-join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bloom decontamination ships positions, not gram strings") {
+    val p = plan("corpus_decontaminate_bloom")
+    // the fixed-size filter side must broadcast; membership is a
+    // broadcast hash join on (j, pos) — never a shuffle of corpus grams
+    // against the benchmark side
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom membership must be a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph-ANN search broadcasts frontiers; the corpus never re-shuffles") {
+    val p = plan("ann_graph_topk")
+    // every per-hop join (frontier x adjacency, candidates x corpus,
+    // candidates x queries) keeps the tiny side broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"beam search joins must broadcast the frontier side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
