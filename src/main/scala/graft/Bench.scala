@@ -44,7 +44,7 @@ object Bench {
     // bookkeeping, not query cost); a later set that reuses an earlier
     // set's intermediate rebuilds it once inside its own timing — the
     // first payer records the materialization, same policy as within-set.
-    val results = SparkEntry.sets.flatMap { case (_, defs) =>
+    val bySet = SparkEntry.sets.map { case (setName, defs) =>
       val rs = defs.filter(q => only.forall(_.contains(q.name))).map { q =>
         val t0 = System.nanoTime()
         val ok =
@@ -56,8 +56,9 @@ object Bench {
         (q.name, (System.nanoTime() - t0) / 1e9, ok)
       }
       graft.queries.Q.release(spark)
-      rs
+      setName -> rs
     }
+    val results = bySet.flatMap(_._2)
     // A failed query reports -1 (not its near-zero elapsed time) and lands
     // in `failed`, so a regression can't masquerade as a speedup.
     val qs = results.map { case (k, v, ok) =>
@@ -65,8 +66,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // per-set sums, directly comparable to BASELINE.md's per-set table
+    // (failed queries excluded, same as the total)
+    val sets = bySet.map { case (sn, rs) =>
+      "\"" + sn + "\":" + f"${rs.filter(_._3).map(_._2).sum}%.3f"
+    }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sets":$sets,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

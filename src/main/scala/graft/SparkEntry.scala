@@ -167,6 +167,7 @@ object SparkEntry {
     "text_lm_score" -> Seq("doc_id"),
     "q_incr_agg" -> Seq("user_id"),
     "q_hll_distinct_union" -> Seq("event_type"),
+    "q_incr_percentiles" -> Seq("event_type"),
     "corpus_shard_text" -> Seq("bin"),
     "q_peak_concurrency" -> Seq("n_sessions"),
     "q_skyline" -> Seq("event_type", "hour_us"))

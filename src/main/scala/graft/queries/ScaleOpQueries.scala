@@ -549,6 +549,66 @@ object ScaleOpQueries {
       },
       None),
 
+    // Incremental QUANTILE maintenance — the percentile companion of
+    // q_incr_agg/q_hll_distinct_union: per (type, day) partial state is a
+    // bounded-width HISTOGRAM (value-cents DIV 50 buckets — mergeable by
+    // plain count addition, the property GK/t-digest sketches buy with
+    // far more machinery), and refresh-time merge is one sum per bucket —
+    // a new day APPENDS its histogram, history is never rescanned. The
+    // quantile readout walks the merged cumulative histogram to the
+    // ceil(n·p) rank bucket and reports its lower bound: error bounded by
+    // the bin width by construction, and everything is exact integer
+    // arithmetic — unlike sketch binaries, the state AND the readout are
+    // engine-portable, so the oracle replays both bit-for-bit.
+    QueryDef("q_incr_percentiles",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), tsMicros.as("us"),
+            cents(col("value")).as("v"))
+          .select(col("event_type"), expr("us DIV 86400000000").as("day"),
+            expr("v DIV 50").as("bucket"))
+        // the stored per-day partials (what a refresh persists)
+        val daily = ev.groupBy("event_type", "day", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        // refresh-time merge: one sum per (type, bucket)
+        val merged = daily.groupBy("event_type", "bucket")
+          .agg(sum("cnt").as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val cum = merged
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("n", sum("cnt").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        cum.groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            min(when(col("cum") * 100 >= col("n") * 50, col("bucket")))
+              .as("p50_bucket"),
+            min(when(col("cum") * 100 >= col("n") * 95, col("bucket")))
+              .as("p95_bucket"))
+          .select(col("event_type"), col("n"),
+            (col("p50_bucket") * 50).as("p50_lo_c"),
+            (col("p95_bucket") * 50).as("p95_lo_c"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) // 50 AS bucket
+        |  FROM events),
+        |daily AS (SELECT event_type, day, bucket, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM merged)
+        |SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN bucket END) * 50 AS p50_lo_c,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN bucket END) * 50 AS p95_lo_c
+        |FROM cum GROUP BY event_type""".stripMargin)),
+
     // Peak concurrency — the classic interval-sweep analytic (max
     // simultaneously-open sessions): sessions become +1/-1 boundary
     // events, concurrency is the RUNNING SUM of deltas in time order,
