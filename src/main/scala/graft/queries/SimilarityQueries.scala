@@ -132,7 +132,13 @@ object SimilarityQueries {
     * (never all-pairs), per-node truncation is the native GroupTopK
     * bounded-heap operator (no per-bucket sort), and the finished
     * adjacency is O(n · degree) rows partitioned by `src` — at corpus
-    * scale the graph STAYS put and only frontiers move.
+    * scale the graph STAYS put and only frontiers move. The COST DIAL is
+    * bits-per-table: expected bucket population is n / 2^bits and pair
+    * generation is quadratic per bucket, so bits must grow with
+    * log2(corpus) to keep construction linear (at this test scale 4-bit
+    * tables ≈ 125 vectors/bucket; a 10^9-vector corpus wants ~16-bit
+    * tables for the same per-bucket work) — exactly the bands/rows dial
+    * every LSH construction here exposes.
     */
   private def nswAdjacency(s: SparkSession, d: String): DataFrame =
     cached(s, d, "nsw_adj") {
