@@ -246,6 +246,186 @@ object Multimodal {
     Some(PngImage(w, h, px))
   }
 
+  /** A fully decoded GIF frame: dimensions + row-major palette indices
+    * (1 byte per pixel; with [[gifIndexed]]'s identity-grayscale palette
+    * the index IS the gray value). */
+  final case class GifImage(width: Int, height: Int, indices: Array[Byte])
+
+  /** REAL GIF89a encoder for 8-bit indexed images: logical screen
+    * descriptor, 256-entry identity-grayscale global color table, one
+    * image descriptor, and the pixel indices LZW-compressed with the GIF
+    * variable-code-width scheme (clear/EOI codes, LSB-first bit packing,
+    * dictionary reset at 4096) in ≤255-byte sub-blocks.
+    */
+  def gifIndexed(width: Int, height: Int, idx: Array[Byte]): Array[Byte] = {
+    require(idx.length == width * height, "idx must be w*h bytes")
+    val out = new java.io.ByteArrayOutputStream
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16w(width); le16w(height)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2c) // image descriptor
+    le16w(0); le16w(0); le16w(width); le16w(height)
+    out.write(0)    // no local color table, not interlaced
+    out.write(8)    // LZW minimum code size
+    // GIF-LZW: codes LSB-first, width grows at dictionary size 2^width
+    val Clear = 256; val Eoi = 257
+    val lzw = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L; var bitLen = 0; var codeWidth = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitLen; bitLen += codeWidth
+      while (bitLen >= 8) { lzw.write((bitBuf & 0xff).toInt); bitBuf >>= 8; bitLen -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258
+    emit(Clear)
+    var prefix = -1
+    var i = 0
+    while (i < idx.length) {
+      val k = idx(i) & 0xff
+      if (prefix < 0) prefix = k
+      else dict.get((prefix, k)) match {
+        case Some(code) => prefix = code
+        case None =>
+          emit(prefix)
+          dict((prefix, k)) = next; next += 1
+          // width grows when the next code to assign no longer fits
+          if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          if (next == 4096) { // dictionary full: reset
+            emit(Clear); dict = scala.collection.mutable.HashMap.empty
+            next = 258; codeWidth = 9
+          }
+          prefix = k
+      }
+      i += 1
+    }
+    if (prefix >= 0) {
+      emit(prefix)
+      // the decoder performs one more dictionary add upon READING this
+      // final code (it cannot know the stream ends), so its table is one
+      // entry ahead of ours from here on; if that phantom add lands on
+      // 2^w - 1 the decoder widens before reading EOI — mirror it, or EOI
+      // is written narrow and the decoder runs dry
+      next += 1
+      if (next - 1 == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+    }
+    emit(Eoi)
+    if (bitLen > 0) lzw.write((bitBuf & 0xff).toInt)
+    val data = lzw.toByteArray
+    var o = 0
+    while (o < data.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, data.length - o)
+      out.write(n); out.write(data, o, n); o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF payload decode — the LZW entropy codec, dependency-free:
+    * walks the block stream (screen descriptor, global color table,
+    * extension blocks skipped by their sub-block lengths), concatenates
+    * the image's LZW sub-blocks and decodes them with the canonical GIF
+    * algorithm (LSB-first variable-width codes, clear/EOI, the KwKwK
+    * first-char case, width growth at 2^width, reset at 4096). Supports
+    * the non-interlaced single-frame layout [[gifIndexed]] writes and the
+    * common corpus case; interlaced or local-palette frames return None
+    * and the caller falls back to header metadata.
+    */
+  def decodeGifPixels(b: Array[Byte]): Option[GifImage] = {
+    if (b.length < 14 || !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || w > (1 << 16) - 1 || h <= 0 || h > (1 << 16) - 1) return None
+    var i = 13
+    val flags = b(10) & 0xff
+    if ((flags & 0x80) != 0) i += 3 * (2 << (flags & 7)) // global color table
+    // walk blocks to the first image descriptor
+    while (i < b.length && (b(i) & 0xff) == 0x21) { // extension
+      i += 2 // introducer + label
+      while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      i += 1
+    }
+    if (i >= b.length || (b(i) & 0xff) != 0x2c) return None
+    val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+    val iflags = b(i + 9) & 0xff
+    if (iw != w || ih != h || (iflags & 0xc0) != 0) return None // LCT/interlace
+    i += 10
+    if (i >= b.length) return None
+    val minCode = b(i) & 0xff
+    if (minCode != 8) return None // [[gifIndexed]] layout: 8-bit indices
+    i += 1
+    val data = new java.io.ByteArrayOutputStream
+    while (i < b.length && (b(i) & 0xff) != 0) {
+      val n = b(i) & 0xff
+      if (i + 1 + n > b.length) return None
+      data.write(b, i + 1, n); i += 1 + n
+    }
+    if (i >= b.length) return None // missing block terminator
+    val lzw = data.toByteArray
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    // dictionary as prefix-link + last-byte tables (4096 entries)
+    val prefixOf = new Array[Int](4096); val byteOf = new Array[Byte](4096)
+    var next = 258; var codeWidth = 9
+    var bitBuf = 0L; var bitLen = 0; var pos = 0
+    var prev = -1
+    val stack = new Array[Byte](4096); var sp = 0
+    def firstByte(code0: Int): Byte = {
+      var code = code0
+      while (code >= 258) code = prefixOf(code)
+      code.toByte
+    }
+    while (pos < lzw.length || bitLen >= codeWidth) {
+      while (bitLen < codeWidth && pos < lzw.length) {
+        bitBuf |= (lzw(pos) & 0xffL) << bitLen; bitLen += 8; pos += 1
+      }
+      if (bitLen < codeWidth) return None // truncated stream
+      val code = (bitBuf & ((1 << codeWidth) - 1)).toInt
+      bitBuf >>= codeWidth; bitLen -= codeWidth
+      if (code == Clear) { next = 258; codeWidth = 9; prev = -1 }
+      else if (code == Eoi) {
+        return if (outPos == w * h) Some(GifImage(w, h, out)) else None
+      } else {
+        if (code > next || (code == next && prev < 0)) return None
+        sp = 0
+        if (code == next) { // KwKwK: prev + first(prev)
+          var c = prev
+          while (c >= 258) { stack(sp) = byteOf(c); sp += 1; c = prefixOf(c) }
+          stack(sp) = c.toByte; sp += 1
+          // emit prev's expansion then its first byte
+          var j = sp - 1
+          if (outPos + sp + 1 > out.length) return None
+          while (j >= 0) { out(outPos) = stack(j); outPos += 1; j -= 1 }
+          out(outPos) = firstByte(prev); outPos += 1
+        } else {
+          var c = code
+          while (c >= 258) { stack(sp) = byteOf(c); sp += 1; c = prefixOf(c) }
+          stack(sp) = c.toByte; sp += 1
+          if (outPos + sp > out.length) return None
+          var j = sp - 1
+          while (j >= 0) { out(outPos) = stack(j); outPos += 1; j -= 1 }
+        }
+        if (prev >= 0 && next < 4096) {
+          prefixOf(next) = prev
+          byteOf(next) = firstByte(code)
+          next += 1
+          // one entry EARLIER than the encoder's bump: the decoder's
+          // dictionary trails the encoder by exactly one entry when each
+          // code is read, so its width must flip one add sooner (the
+          // classic max_code-1 rule every GIF decoder carries)
+          if (next == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    None // ran out of data before EOI
+  }
+
   /** REAL BMP decode: 'BM' magic + BITMAPINFOHEADER width/height (height
     * may be negative = top-down; dimensions sanity-bounded).
     */
@@ -516,8 +696,15 @@ object Multimodal {
             MediaRow(id, "image", pngRgb(w, h, rgb), src)
           case 4 => MediaRow(id, "image",
             jpegBytes(1 + (text.length % 256), 1 + (id % 48).toInt, payload), src)
-          case 5 => MediaRow(id, "image",
-            gifBytes(1 + (text.length % 200), 1 + (id % 40).toInt, payload), src)
+          case 5 =>
+            // a REAL GIF, pixels and all (LZW-coded indices, global color
+            // table, sub-blocks): the second honest payload-decode input
+            val w = 1 + (text.length % 200)
+            val h = 1 + (id % 40).toInt
+            val idx = Array.tabulate(w * h) { i =>
+              ((i % w + 5 * (i / w) + 7 * id) % 256).toByte
+            }
+            MediaRow(id, "image", gifIndexed(w, h, idx), src)
           case _ => MediaRow(id, "video", payload, src)
         }
       }

@@ -205,45 +205,63 @@ object TextQueries {
         |CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin)),
 
-    // REAL image-payload decode, end-to-end: each document's PNG arm
-    // (doc_id % 6 = 2, same arm as Multimodal.syntheticFromDocuments)
-    // becomes a genuine 8-bit-truecolor PNG — per-scanline filters
-    // cycling through all five PNG filter types, zlib-deflated IDAT, real
-    // chunk CRCs — whose pixels follow a closed-form generative formula.
-    // The query then decodes the blob with the dependency-free codec
-    // (java.util.zip.Inflater + filter reconstruction,
-    // Multimodal.decodePngPixels) and reports stats computed from the
-    // DECODED bytes, while the oracle computes the same stats directly
-    // from the formula: any drift anywhere in
-    // encode → filter → deflate → CRC → inflate → defilter is a hash
-    // mismatch. Decode is per-row and partition-local (mapPartitions) —
-    // the same embarrassingly-parallel shape a 100 TB media corpus needs,
-    // with feature output ~10^4 × smaller than the media scan.
+    // REAL image-payload decode, end-to-end, through BOTH dependency-free
+    // entropy codecs: the PNG arm (doc_id % 6 = 2, as in
+    // Multimodal.syntheticFromDocuments) becomes a genuine
+    // 8-bit-truecolor PNG — per-scanline filters cycling through all five
+    // PNG filter types, zlib-deflated IDAT, real chunk CRCs — and the GIF
+    // arm (doc_id % 6 = 5) a genuine GIF89a — palette indices
+    // LZW-compressed with variable-width codes, clear/EOI, dictionary
+    // reset, ≤255-byte sub-blocks. Pixels follow closed-form generative
+    // formulas; the query decodes each blob with the matching codec
+    // (Multimodal.decodePngPixels / decodeGifPixels) and reports stats
+    // computed from the DECODED bytes, while the oracle computes the same
+    // stats directly from the formulas: any drift anywhere in
+    // encode → compress → decompress → reconstruct is a hash mismatch.
+    // Decode is per-row and partition-local (mapPartitions) — the same
+    // embarrassingly-parallel shape a 100 TB media corpus needs, with
+    // feature output ~10^4 × smaller than the media scan.
     QueryDef("multimodal_pixels",
       (s, d) => {
         import s.implicits._
         import graft.multimodal.Multimodal
         table(s, d, "documents")
           .select(col("doc_id"), col("text"))
-          .where(col("doc_id") % 6 === 2)
+          .where(col("doc_id") % 6 === 2 || col("doc_id") % 6 === 5)
           .as[(Long, String)]
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val nBytes =
                 text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-              val w = 1 + nBytes % 128
-              val h = 1 + (id % 64).toInt
-              val rgb = Array.tabulate(w * h * 3) { i =>
-                ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
+              if (id % 6 == 2) {
+                val w = 1 + nBytes % 128
+                val h = 1 + (id % 64).toInt
+                val rgb = Array.tabulate(w * h * 3) { i =>
+                  ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
+                }
+                val img = Multimodal.decodePngPixels(
+                  Multimodal.pngRgb(w, h, rgb)).get
+                var sum = 0L; var crc = 0L; var i = 0
+                while (i < img.pixels.length) {
+                  val v = img.pixels(i) & 0xff
+                  sum += v; crc += v.toLong * (i % 97 + 1); i += 1
+                }
+                (id, img.width, img.height, sum, crc)
+              } else {
+                val w = 1 + nBytes % 200
+                val h = 1 + (id % 40).toInt
+                val idx = Array.tabulate(w * h) { i =>
+                  ((i % w + 5 * (i / w) + 7 * id) % 256).toByte
+                }
+                val img = Multimodal.decodeGifPixels(
+                  Multimodal.gifIndexed(w, h, idx)).get
+                var sum = 0L; var crc = 0L; var i = 0
+                while (i < img.indices.length) {
+                  val v = img.indices(i) & 0xff
+                  sum += v; crc += v.toLong * (i % 97 + 1); i += 1
+                }
+                (id, img.width, img.height, sum, crc)
               }
-              val img = Multimodal.decodePngPixels(
-                Multimodal.pngRgb(w, h, rgb)).get
-              var sum = 0L; var crc = 0L; var i = 0
-              while (i < img.pixels.length) {
-                val v = img.pixels(i) & 0xff
-                sum += v; crc += v.toLong * (i % 97 + 1); i += 1
-              }
-              (id, img.width, img.height, sum, crc)
             }
           }
           .toDF("doc_id", "width", "height", "pixel_sum", "px_crc")
@@ -256,14 +274,30 @@ object TextQueries {
         |    list_transform(range(0, w * h * 3), i ->
         |      ((i // 3) % w + 2 * ((i // 3) // w) + 3 * (i % 3) + doc_id)
         |        % 256) AS vals
-        |  FROM m)
+        |  FROM m),
+        |mg AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 200) AS w,
+        |    1 + (doc_id % 40) AS h
+        |  FROM documents WHERE doc_id % 6 = 5),
+        |vg AS (SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h), i ->
+        |      (i % w + 5 * (i // w) + 7 * doc_id) % 256) AS vals
+        |  FROM mg)
         |SELECT doc_id, CAST(w AS INTEGER) AS width,
         |  CAST(h AS INTEGER) AS height,
         |  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
         |  CAST(list_sum(list_transform(range(0, w * h * 3), i ->
         |    vals[CAST(i + 1 AS INTEGER)] * ((i % 97) + 1))) AS BIGINT)
         |    AS px_crc
-        |FROM v""".stripMargin)),
+        |FROM v
+        |UNION ALL
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h), i ->
+        |    vals[CAST(i + 1 AS INTEGER)] * ((i % 97) + 1))) AS BIGINT)
+        |    AS px_crc
+        |FROM vg""".stripMargin)),
 
     // Intra-document repetition — the "repeated phrases" quality rule
     // (high duplicate-3-gram ratio marks boilerplate/spam): per document,

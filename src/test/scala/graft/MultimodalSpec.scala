@@ -100,6 +100,58 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.exists(img => img.pixels.length == img.width * img.height * 3))
   }
 
+  test("GIF payload round-trips through variable-width LZW") {
+    def roundTrip(w: Int, h: Int, idx: Array[Byte]): Unit = {
+      val gif = Multimodal.gifIndexed(w, h, idx)
+      val img = Multimodal.decodeGifPixels(gif)
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(img.width == w && img.height == h)
+      assert(java.util.Arrays.equals(img.indices, idx), s"indices diverge ${w}x$h")
+    }
+    // small shapes + the corpus formula at its max corpus dimensions
+    for ((w, h) <- Seq((1, 1), (7, 3), (200, 40)))
+      roundTrip(w, h, Array.tabulate(w * h)(i => ((i % w + 5 * (i / w)) % 256).toByte))
+    // a constant run: the decoder's KwKwK (code == next) case fires on
+    // nearly every code
+    roundTrip(64, 64, Array.fill(4096)(42.toByte))
+    // EOI-width boundary: this shape's final data code is the decoder's
+    // 2^9 - 1'th table add, so it widens BEFORE reading EOI — the encoder
+    // must mirror that phantom add or EOI is written narrow (regression:
+    // the sweep's original failure at id=5, w=77, h=6)
+    roundTrip(77, 6, Array.tabulate(77 * 6) { i =>
+      ((i % 77 + 5 * (i / 77) + 35) % 256).toByte
+    })
+    // high-entropy content large enough that the dictionary hits 4096
+    // and the encoder emits a mid-stream Clear: exercises reset on both
+    // sides plus every width step 9→10→11→12
+    var seed = 12345L
+    val noisy = Array.fill(160 * 160) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) & 0xff).toByte
+    }
+    roundTrip(160, 160, noisy)
+    // truncation is refused, not mis-decoded: losing the tail drops the
+    // block terminator / EOI
+    val good = Multimodal.gifIndexed(9, 9, Array.tabulate(81)(_.toByte))
+    assert(Multimodal.decodeGifPixels(good.dropRight(8)).isEmpty)
+    assert(Multimodal.decodeGifPixels(good.take(12)).isEmpty)
+    // corpus GIF blobs carry real LZW payloads that decode back to the
+    // generator's closed-form indices — full fidelity, not just shape
+    val doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .filter(_._1 % 6 == 5).head(1).head
+    val (id, text) = doc
+    val m = corpus().filter(_.media_id == id).head(1).head
+    val dec = Multimodal.decodeGifPixels(m.content)
+      .getOrElse(fail("corpus GIF blob failed to decode"))
+    val w = 1 + (text.length % 200); val h = 1 + (id % 40).toInt
+    val expected = Array.tabulate(w * h) { i =>
+      ((i % w + 5 * (i / w) + 7 * id) % 256).toByte
+    }
+    assert(dec.width == w && dec.height == h)
+    assert(java.util.Arrays.equals(dec.indices, expected))
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)
