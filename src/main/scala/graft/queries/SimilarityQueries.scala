@@ -51,6 +51,60 @@ object SimilarityQueries {
         broadcast(trainedCodebook(s, d)))
     }
 
+  /** Product-quantization codebooks: the 64-dim space split into 4
+    * subspaces of 16 dims, each with its own 16-centroid codebook trained
+    * by the SAME deterministic integer Lloyd as the IVF coarse quantizer
+    * (2 iterations, 1-in-4 sample, k lowest-id seeds) — so the DuckDB
+    * oracle replays training per subspace exactly. Persisted once per
+    * (session, dataset): 4 × 16 × 16 = 1024 rows, broadcast-small.
+    */
+  private val PqM = 4
+  private val PqSubDims = 16
+  private def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "pq_codebooks") {
+      val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      (0 until PqM).map { m =>
+        graft.operators.IvfCodebook.train(s,
+          v.select(col("vec_id"),
+            expr(s"slice(embedding, ${m * PqSubDims + 1}, $PqSubDims)")
+              .as("embedding")),
+          k = 16, iters = 2, sampleEvery = 4)
+          .select(lit(m.toLong).as("m"), col("cent_id"), col("dim"), col("cs"))
+      }.reduce(_ unionByName _)
+    }
+
+  /** The PQ-compressed corpus: per vector, one code per subspace (nearest
+    * centroid by exact-integer cosine, cent_id tiebreak) plus the exact
+    * subspace norm — 4 codes + 4 norms instead of 64 floats, the 100 TB
+    * representation an ADC scan reads (codes are what stays hot; raw
+    * vectors are only touched for the final re-rank). Persisted once per
+    * (session, dataset).
+    */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "pq_codes") {
+      val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val comps = v
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("vec_id"),
+          expr(s"CAST(dim0 DIV $PqSubDims AS BIGINT)").as("m"),
+          (col("dim0") % PqSubDims + 1).as("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qx"))
+      val cb = pqCodebooks(s, d)
+      val cn = cb.groupBy("m", "cent_id").agg(sum(col("cs") * col("cs")).as("cn2"))
+      val xn = comps.groupBy("vec_id", "m").agg(sum(col("qx") * col("qx")).as("xn2"))
+      val dots = comps.join(broadcast(cb), Seq("m", "dim"))
+        .groupBy("vec_id", "m", "cent_id").agg(sum(col("qx") * col("cs")).as("dot"))
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("sim").desc, col("cent_id"))
+      dots.join(xn, Seq("vec_id", "m")).join(broadcast(cn), Seq("m", "cent_id"))
+        .select(col("vec_id"), col("m"), col("cent_id"), col("xn2"),
+          (col("dot").cast("double") /
+            (sqrt(col("xn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+            .as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cent_id").as("code"), col("xn2"))
+    }
+
   /** DuckDB rendering of the deterministic random-hyperplane bucketing
     * (±1 weights from sha256(plane-dim) hex parity, exact integer
     * projections, bucket = sign-bit signature) as a `buckets` CTE. The
@@ -224,36 +278,45 @@ object SimilarityQueries {
     * similarities against the FINAL centroids, ready for assignment
     * (`rn = 1`) and probing (`rn <= nprobe`).
     */
-  private def lloydCtes(k: Int, iters: Int, sampleEvery: Int): String = {
+  private def lloydCtes(k: Int, iters: Int, sampleEvery: Int): String =
+    lloydCtesFor("", "embeddings", k, iters, sampleEvery)
+
+  /** [[lloydCtes]] generalized for product quantization: every CTE name
+    * carries `pfx` so several independent Lloyd chains (one per PQ
+    * subspace, each over a SLICED embedding relation `srcRel`) can share
+    * one WITH clause without colliding.
+    */
+  private def lloydCtesFor(pfx: String, srcRel: String, k: Int, iters: Int,
+      sampleEvery: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""comps AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+      s"""${pfx}comps AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
-        |  FROM embeddings),
-        |tc AS (SELECT * FROM comps WHERE vec_id % $sampleEvery = 0),
-        |nq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM comps GROUP BY 1),
-        |c0 AS (SELECT vec_id AS cent_id, dim, qx AS cs FROM comps WHERE vec_id < $k)""".stripMargin)
+        |  FROM $srcRel),
+        |${pfx}tc AS (SELECT * FROM ${pfx}comps WHERE vec_id % $sampleEvery = 0),
+        |${pfx}nq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM ${pfx}comps GROUP BY 1),
+        |${pfx}c0 AS (SELECT vec_id AS cent_id, dim, qx AS cs FROM ${pfx}comps WHERE vec_id < $k)""".stripMargin)
     for (t <- 0 to iters) {
       // training rounds (t < iters) assign only the SAMPLE; the final
       // round scores the FULL corpus against the trained centroids
-      val src = if (t < iters) "tc" else "comps"
+      val src = if (t < iters) s"${pfx}tc" else s"${pfx}comps"
       sb.append(s""",
-        |cn$t AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM c$t GROUP BY 1),
-        |d$t AS (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
-        |  FROM $src JOIN c$t USING (dim) GROUP BY 1, 2),
-        |s$t AS (SELECT d$t.vec_id, d$t.cent_id,
+        |${pfx}cn$t AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM ${pfx}c$t GROUP BY 1),
+        |${pfx}d$t AS (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
+        |  FROM $src JOIN ${pfx}c$t USING (dim) GROUP BY 1, 2),
+        |${pfx}s$t AS (SELECT ${pfx}d$t.vec_id, ${pfx}d$t.cent_id,
         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
-        |  FROM d$t JOIN nq ON d$t.vec_id = nq.vec_id JOIN cn$t ON d$t.cent_id = cn$t.cent_id),
-        |r$t AS (SELECT vec_id, cent_id,
+        |  FROM ${pfx}d$t JOIN ${pfx}nq ON ${pfx}d$t.vec_id = ${pfx}nq.vec_id JOIN ${pfx}cn$t ON ${pfx}d$t.cent_id = ${pfx}cn$t.cent_id),
+        |${pfx}r$t AS (SELECT vec_id, cent_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |  FROM s$t)""".stripMargin)
+        |  FROM ${pfx}s$t)""".stripMargin)
       if (t < iters) sb.append(s""",
-        |a$t AS (SELECT vec_id, cent_id AS list_id FROM r$t WHERE rn = 1),
-        |m${t + 1} AS (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
-        |  FROM tc JOIN a$t USING (vec_id) GROUP BY 1, 2),
-        |c${t + 1} AS (SELECT c$t.cent_id, c$t.dim, coalesce(m${t + 1}.cs_new, c$t.cs) AS cs
-        |  FROM c$t LEFT JOIN m${t + 1}
-        |    ON c$t.cent_id = m${t + 1}.cent_id AND c$t.dim = m${t + 1}.dim)""".stripMargin)
+        |${pfx}a$t AS (SELECT vec_id, cent_id AS list_id FROM ${pfx}r$t WHERE rn = 1),
+        |${pfx}m${t + 1} AS (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
+        |  FROM ${pfx}tc JOIN ${pfx}a$t USING (vec_id) GROUP BY 1, 2),
+        |${pfx}c${t + 1} AS (SELECT ${pfx}c$t.cent_id, ${pfx}c$t.dim, coalesce(${pfx}m${t + 1}.cs_new, ${pfx}c$t.cs) AS cs
+        |  FROM ${pfx}c$t LEFT JOIN ${pfx}m${t + 1}
+        |    ON ${pfx}c$t.cent_id = ${pfx}m${t + 1}.cent_id AND ${pfx}c$t.dim = ${pfx}m${t + 1}.dim)""".stripMargin)
     }
     sb.toString
   }
@@ -731,6 +794,146 @@ object SimilarityQueries {
         |rep AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
         |SELECT vec_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-        |FROM rep""".stripMargin))
+        |FROM rep""".stripMargin)),
+
+    // Product quantization — the fourth ANN architecture, and the one
+    // that changes the SCAN, not just the candidate set: each vector is
+    // compressed to 4 subspace codes + 4 exact subspace norms (here
+    // 4 bytes + 4 ints standing in for 64 floats — a 16-64× scan-width
+    // reduction), queries precompute a 4×16 lookup table of subspace
+    // dots against the trained codebooks, and the ADC (asymmetric
+    // distance computation) pass scores the ENTIRE corpus by table
+    // lookups over the codes — never touching raw vectors. Raw embeddings
+    // are read only for the exact re-rank of the deterministic top-50
+    // shortlist, the standard PQ → re-rank production shape. Everything
+    // is bit-reproducible: training is the same integer Lloyd as IVF run
+    // per subspace (the oracle replays all 4 chains), the ADC term
+    // `dot · sqrt(xn2) / sqrt(cn2)` is one fixed-order double expression,
+    // the 4 terms are summed in WRITTEN order (t0+t1+t2+t3, never an
+    // aggregation whose order an engine chooses), and every truncation
+    // tiebreaks on vec_id.
+    QueryDef("ann_pq_topk",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val codes = pqCodes(s, d)
+        val cb = pqCodebooks(s, d)
+        val cn = cb.groupBy("m", "cent_id")
+          .agg(sum(col("cs") * col("cs")).as("cn2"))
+        // query-side 4×16 ADC lookup table: subspace dots vs every centroid
+        val qcomps = v.filter(col("vec_id") < 5)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+          .select(col("vec_id"),
+            expr(s"CAST(dim0 DIV $PqSubDims AS BIGINT)").as("m"),
+            (col("dim0") % PqSubDims + 1).as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qx"))
+        val lut = qcomps.join(broadcast(cb), Seq("m", "dim"))
+          .groupBy("vec_id", "m", "cent_id")
+          .agg(sum(col("qx") * col("cs")).as("dot"))
+          .join(broadcast(cn), Seq("m", "cent_id"))
+          .select(col("vec_id").as("query_id"), col("m"),
+            col("cent_id").as("code"), col("dot"), col("cn2"))
+        // ADC scan: codes × lookup table, one fixed-order term per subspace
+        val terms = codes.join(broadcast(lut), Seq("m", "code"))
+          .withColumn("term", col("dot").cast("double") *
+            sqrt(col("xn2").cast("double")) / sqrt(col("cn2").cast("double")))
+        val adc = terms.groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(when(col("m") === 0, col("term"))).as("t0"),
+            sum(when(col("m") === 1, col("term"))).as("t1"),
+            sum(when(col("m") === 2, col("term"))).as("t2"),
+            sum(when(col("m") === 3, col("term"))).as("t3"),
+            sum(col("xn2")).as("xn2t"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("adc", expr("(t0 + t1 + t2 + t3) / sqrt(CAST(xn2t AS DOUBLE))"))
+        val wShort = Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("vec_id"))
+        val short = adc.withColumn("srn", row_number().over(wShort))
+          .filter(col("srn") <= 50)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val qe = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        val ne = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"))
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        short.join(broadcast(qe), "query_id").join(ne, "neighbor_id")
+          .withColumn("cosine", expr("quant_cosine_sim(qemb, nemb)"))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            row_number().over(wRank).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      Some(s"""WITH ${pqLloydAll},
+        |codes AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id, cent_id AS code FROM p${m}_r2 WHERE rn = 1")
+          .mkString("\n  UNION ALL ")}),
+        |xn AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id, n2 AS xn2 FROM p${m}_nq")
+          .mkString("\n  UNION ALL ")}),
+        |cns AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, cent_id, cn2 FROM p${m}_cn2")
+          .mkString("\n  UNION ALL ")}),
+        |qd AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id AS query_id, cent_id AS code, dot FROM p${m}_d2 WHERE vec_id < 5")
+          .mkString("\n  UNION ALL ")}),
+        |terms AS (SELECT q.query_id, c.vec_id, c.m,
+        |    CAST(q.dot AS DOUBLE) * sqrt(CAST(x.xn2 AS DOUBLE)) / sqrt(CAST(n.cn2 AS DOUBLE)) AS term,
+        |    x.xn2 AS xn2
+        |  FROM codes c JOIN qd q ON q.m = c.m AND q.code = c.code
+        |  JOIN xn x ON x.m = c.m AND x.vec_id = c.vec_id
+        |  JOIN cns n ON n.m = c.m AND n.cent_id = c.code),
+        |adc AS (SELECT query_id, vec_id,
+        |    sum(CASE WHEN m = 0 THEN term END) AS t0,
+        |    sum(CASE WHEN m = 1 THEN term END) AS t1,
+        |    sum(CASE WHEN m = 2 THEN term END) AS t2,
+        |    sum(CASE WHEN m = 3 THEN term END) AS t3,
+        |    CAST(sum(xn2) AS BIGINT) AS xn2t
+        |  FROM terms GROUP BY 1, 2),
+        |sl AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (t0 + t1 + t2 + t3) / sqrt(CAST(xn2t AS DOUBLE)) DESC, vec_id) AS srn
+        |    FROM adc WHERE vec_id <> query_id) z WHERE srn <= 50),
+        |rv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |rnorm AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM rv),
+        |pair AS (SELECT query_id, neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM sl JOIN rnorm q ON query_id = q.vec_id JOIN rnorm b ON neighbor_id = b.vec_id),
+        |rr AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
+        |  FROM pair)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rr) WHERE rank <= 10""".stripMargin)),
+
+    // PQ codebook balance — the compression-quality diagnostic mirroring
+    // corpus_embedding_clusters for the coarse quantizer: per (subspace,
+    // code) population. A usable PQ codebook spreads the corpus across
+    // codes (one dominant code per subspace = that subspace carries ~0
+    // bits of information and reconstruction collapses); this is the
+    // number to watch when retraining. Shares the persisted codes — zero
+    // extra training or scan cost.
+    QueryDef("pq_code_balance",
+      (s, d) => pqCodes(s, d)
+        .groupBy("m", "code")
+        .agg(count(lit(1)).cast("long").as("n_vecs")),
+      Some(s"""WITH ${pqLloydAll},
+        |codes AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id, cent_id AS code FROM p${m}_r2 WHERE rn = 1")
+          .mkString("\n  UNION ALL ")})
+        |SELECT m, code, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM codes GROUP BY 1, 2""".stripMargin))
   )
+
+  /** The 4 per-subspace Lloyd CTE chains (each over its 16-dim slice of
+    * `embeddings`), shared by the PQ oracles. */
+  private def pqLloydAll: String =
+    (0 until PqM).map { m =>
+      val lo = m * PqSubDims + 1; val hi = (m + 1) * PqSubDims
+      lloydCtesFor(s"p${m}_",
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        k = 16, iters = 2, sampleEvery = 4)
+    }.mkString(",\n")
 }
