@@ -119,6 +119,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> Seq("vec_id"),
     "ann_ivf_topk" -> Seq("query_id", "rank"),
     "ann_pq_topk" -> Seq("query_id", "rank"),
+    "ann_ivfpq_topk" -> Seq("query_id", "rank"),
     "pq_code_balance" -> Seq("m", "code"),
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),

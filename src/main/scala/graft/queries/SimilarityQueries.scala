@@ -51,6 +51,33 @@ object SimilarityQueries {
         broadcast(trainedCodebook(s, d)))
     }
 
+  /** The nprobe nearest coarse lists per query vector (the standing
+    * query set `vec_id < 5`), ranked by exact-integer cosine against the
+    * shared trained codebook — factored out so `ann_ivfpq_topk` and its
+    * spec assert against the SAME probe computation. Per-query cost is
+    * k centroid dots; the probe set is what bounds the ADC scan.
+    */
+  private def probeLists(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import graft.operators.IvfCodebook
+    val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 5)
+    val cm = IvfCodebook.comps(v)
+    val sims = IvfCodebook.similarities(cm, IvfCodebook.norms(cm),
+      broadcast(trainedCodebook(s, d)))
+    val wNearest = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    sims.withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"))
+  }
+
+  // test-only visibility bridges (PqSpec asserts the coarse pruning
+  // really bounded the ADC scan)
+  private[graft] def probeListsForTest(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    probeLists(s, d, nprobe)
+  private[graft] def corpusAssignmentForTest(s: SparkSession, d: String): DataFrame =
+    corpusAssignment(s, d)
+
   /** Product-quantization codebooks: the 64-dim space split into 4
     * subspaces of 16 dims, each with its own 16-centroid codebook trained
     * by the SAME deterministic integer Lloyd as the IVF coarse quantizer
@@ -891,6 +918,124 @@ object SimilarityQueries {
         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
         |      ORDER BY (t0 + t1 + t2 + t3) / sqrt(CAST(xn2t AS DOUBLE)) DESC, vec_id) AS srn
         |    FROM adc WHERE vec_id <> query_id) z WHERE srn <= 50),
+        |rv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |rnorm AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM rv),
+        |pair AS (SELECT query_id, neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM sl JOIN rnorm q ON query_id = q.vec_id JOIN rnorm b ON neighbor_id = b.vec_id),
+        |rr AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cosine
+        |  FROM pair)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rr) WHERE rank <= 10""".stripMargin)),
+
+    // IVF-PQ — the composition that runs billion-scale ANN in production
+    // (the IVF-ADC design of Jégou et al.'s product-quantization paper):
+    // the coarse trained codebook prunes the corpus to nprobe=4 inverted
+    // lists (~1/4 of the corpus here), the PQ codes ADC-score ONLY those
+    // candidates from the 4×16 lookup table, and raw vectors are touched
+    // just for the exact re-rank of the top-20 shortlist. Both quantizers
+    // and all intermediate tables (coarse codebook, corpus assignment, PQ
+    // codebooks, codes) are the SAME persisted objects the standalone IVF
+    // and PQ queries use — at scale these are the index you build once.
+    // Cost per query: 16 centroid dots + |corpus|·nprobe/lists code
+    // lookups + 20 exact dots, vs |corpus| exact dots brute-force.
+    QueryDef("ann_ivfpq_topk",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val probe = probeLists(s, d, nprobe = 4)
+        val cand = broadcast(probe).join(corpusAssignment(s, d), "list_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+        val codes = pqCodes(s, d)
+        val cb = pqCodebooks(s, d)
+        val cn = cb.groupBy("m", "cent_id")
+          .agg(sum(col("cs") * col("cs")).as("cn2"))
+        val qcomps = v.filter(col("vec_id") < 5)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+          .select(col("vec_id"),
+            expr(s"CAST(dim0 DIV $PqSubDims AS BIGINT)").as("m"),
+            (col("dim0") % PqSubDims + 1).as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qx"))
+        val lut = qcomps.join(broadcast(cb), Seq("m", "dim"))
+          .groupBy("vec_id", "m", "cent_id")
+          .agg(sum(col("qx") * col("cs")).as("dot"))
+          .join(broadcast(cn), Seq("m", "cent_id"))
+          .select(col("vec_id").as("query_id"), col("m"),
+            col("cent_id").as("code"), col("dot"), col("cn2"))
+        val terms = cand.join(codes, "vec_id")
+          .join(broadcast(lut), Seq("query_id", "m", "code"))
+          .withColumn("term", col("dot").cast("double") *
+            sqrt(col("xn2").cast("double")) / sqrt(col("cn2").cast("double")))
+        val adc = terms.groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(when(col("m") === 0, col("term"))).as("t0"),
+            sum(when(col("m") === 1, col("term"))).as("t1"),
+            sum(when(col("m") === 2, col("term"))).as("t2"),
+            sum(when(col("m") === 3, col("term"))).as("t3"),
+            sum(col("xn2")).as("xn2t"))
+          .withColumn("adc", expr("(t0 + t1 + t2 + t3) / sqrt(CAST(xn2t AS DOUBLE))"))
+        val wShort = Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("vec_id"))
+        val short = adc.withColumn("srn", row_number().over(wShort))
+          .filter(col("srn") <= 20)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val qe = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        val ne = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"))
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        short.join(broadcast(qe), "query_id").join(ne, "neighbor_id")
+          .withColumn("cosine", expr("quant_cosine_sim(qemb, nemb)"))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            row_number().over(wRank).cast("long").as("rank"))
+          .filter(col("rank") <= 10)
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |probe AS (SELECT vec_id AS query_id, cent_id AS list_id
+        |  FROM r2 WHERE vec_id < 5 AND rn <= 4),
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.query_id),
+        |${pqLloydAll},
+        |codes AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id, cent_id AS code FROM p${m}_r2 WHERE rn = 1")
+          .mkString("\n  UNION ALL ")}),
+        |xn AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id, n2 AS xn2 FROM p${m}_nq")
+          .mkString("\n  UNION ALL ")}),
+        |cns AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, cent_id, cn2 FROM p${m}_cn2")
+          .mkString("\n  UNION ALL ")}),
+        |qd AS (${(0 until PqM).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS m, vec_id AS query_id, cent_id AS code, dot FROM p${m}_d2 WHERE vec_id < 5")
+          .mkString("\n  UNION ALL ")}),
+        |terms AS (SELECT q.query_id, c.vec_id, c.m,
+        |    CAST(q.dot AS DOUBLE) * sqrt(CAST(x.xn2 AS DOUBLE)) / sqrt(CAST(n.cn2 AS DOUBLE)) AS term,
+        |    x.xn2 AS xn2
+        |  FROM cand cd
+        |  JOIN codes c ON c.vec_id = cd.vec_id
+        |  JOIN qd q ON q.query_id = cd.query_id AND q.m = c.m AND q.code = c.code
+        |  JOIN xn x ON x.m = c.m AND x.vec_id = c.vec_id
+        |  JOIN cns n ON n.m = c.m AND n.cent_id = c.code),
+        |adc AS (SELECT query_id, vec_id,
+        |    sum(CASE WHEN m = 0 THEN term END) AS t0,
+        |    sum(CASE WHEN m = 1 THEN term END) AS t1,
+        |    sum(CASE WHEN m = 2 THEN term END) AS t2,
+        |    sum(CASE WHEN m = 3 THEN term END) AS t3,
+        |    CAST(sum(xn2) AS BIGINT) AS xn2t
+        |  FROM terms GROUP BY 1, 2),
+        |sl AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (t0 + t1 + t2 + t3) / sqrt(CAST(xn2t AS DOUBLE)) DESC, vec_id) AS srn
+        |    FROM adc) z WHERE srn <= 20),
         |rv AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
         |  FROM embeddings),

@@ -62,6 +62,50 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: pruned ADC search still recovers most true neighbors") {
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, dir).collect()
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, dir).collect()
+    assert(ivfpq.length == 50)
+    val got = ivfpq.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = exact.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"IVF-PQ recall@10 vs brute force: $recall")
+    // the coarse quantizer prunes to nprobe=4 of 16 lists BEFORE the PQ
+    // codes score anything, so recall compounds both quantizers' loss;
+    // it must still clear the useful-index bar
+    assert(recall >= 0.4, s"IVF-PQ recall collapsed: $recall")
+    // re-rank contract: reported cosines are exact
+    val exactCos = exact.map(r => ((r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")), r.getAs[Double]("cosine"))).toMap
+    ivfpq.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(r.getAs[Double]("cosine") == c))
+    }
+  }
+
+  test("IVF-PQ neighbors all live in the query's probed coarse lists") {
+    val dirTables = dir
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, dirTables).collect()
+    // recompute the probe sets and the corpus assignment the query used
+    // (same memoized objects), then assert every returned neighbor's home
+    // list is one of its query's nprobe=4 probed lists — i.e. the coarse
+    // pruning REALLY bounded the ADC scan, nothing leaked in from outside
+    val assign = graft.queries.SimilarityQueries
+      .corpusAssignmentForTest(spark, dirTables)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    val probes = graft.queries.SimilarityQueries
+      .probeListsForTest(spark, dirTables, nprobe = 4)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("list_id")).toSet).toMap
+    ivfpq.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(probes(q).contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed lists")
+    }
+  }
+
   test("codes are deterministic under repartitioning") {
     val a = SparkEntry.queries("pq_code_balance")(spark, dir)
       .orderBy("m", "code").collect().toSeq
