@@ -133,6 +133,7 @@ object SparkEntry {
     "text_winnow_fingerprint" -> Seq("doc_id", "fp"),
     "multimodal_meta" -> Seq("doc_id"),
     "multimodal_pixels" -> Seq("doc_id"),
+    "multimodal_samples" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),
     "corpus_decontaminate" -> Seq("doc_id"),
     "corpus_decontaminate_bloom" -> Seq("doc_id"),

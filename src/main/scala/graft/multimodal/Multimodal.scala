@@ -454,6 +454,63 @@ object Multimodal {
       else None
     } else None
 
+  /** A fully decoded PCM WAV: rate, channels, interleaved little-endian
+    * 16-bit samples (complete frames only — a trailing partial frame is
+    * not audio), the output of [[decodeWavSamples]]. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** REAL full-payload PCM WAV decode: a generic RIFF chunk walk (fmt
+    * and data located by tag wherever they sit, unknown chunks skipped
+    * via their self-described size with RIFF's odd-length pad byte), then
+    * the data chunk parsed as interleaved sign-extended little-endian
+    * 16-bit PCM, truncated to whole frames. Strict where it matters: a
+    * chunk that overruns the blob, a non-PCM format code, or a missing
+    * fmt/data chunk is a decode failure, not a guess.
+    */
+  def decodeWavSamples(b: Array[Byte]): Option[WavAudio] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+        tag(b, 8) != "WAVE") None
+    else {
+      var i = 12
+      var rate = 0; var channels = 0; var bits = 0; var pcm = false
+      var haveFmt = false
+      var dataOff = -1; var dataLen = 0
+      var bad = false
+      while (!bad && i + 8 <= b.length) {
+        val t = tag(b, i)
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len > b.length) bad = true
+        else {
+          if (t == "fmt " && len >= 16) {
+            haveFmt = true
+            pcm = le16(b, i + 8) == 1
+            channels = le16(b, i + 10)
+            rate = le32(b, i + 12)
+            bits = le16(b, i + 22)
+          } else if (t == "data" && dataOff < 0) {
+            dataOff = i + 8; dataLen = len
+          }
+          i += 8 + len + (len & 1) // RIFF pads odd chunks to even
+        }
+      }
+      if (bad || !haveFmt || !pcm || dataOff < 0 || channels <= 0 ||
+          channels > 16 || rate <= 0 || bits != 16) None
+      else {
+        val frames = dataLen / (channels * 2)
+        val n = frames * channels
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          out(k) = ((b(dataOff + 2 * k) & 0xff) |
+            (b(dataOff + 2 * k + 1) << 8)).toShort
+          k += 1
+        }
+        Some(WavAudio(rate, channels, out))
+      }
+    }
+  }
+
   /** REAL JPEG header decode: walk the marker stream from SOI to the
     * first SOFn frame header (C0-CF except the C4/C8/CC non-frame
     * markers) and read the big-endian height/width it carries. Segment
@@ -647,7 +704,7 @@ object Multimodal {
   }
 
   /** Canonical 44-byte PCM WAV header + `payload` as sample data. */
-  private[multimodal] def wavBytes(channels: Int, sampleRate: Int,
+  def wavBytes(channels: Int, sampleRate: Int,
       payload: Array[Byte]): Array[Byte] = {
     val bits = 16
     val out = java.nio.ByteBuffer.allocate(44 + payload.length)

@@ -299,6 +299,69 @@ object TextQueries {
         |    AS px_crc
         |FROM vg""".stripMargin)),
 
+    // REAL audio-payload decode: the audio arm (doc_id % 6 = 1, as in
+    // Multimodal.syntheticFromDocuments) is a genuine canonical PCM WAV
+    // whose sample data is the document's UTF-8 bytes. The query encodes
+    // each blob, then decodes it back with decodeWavSamples — a generic
+    // RIFF chunk walk + sign-extended little-endian 16-bit PCM parse,
+    // whole frames only — and reports stats over the DECODED samples; the
+    // oracle recomputes the same stats straight from the text's character
+    // codes (the corpus is pure ASCII, so byte k == unicode(char k) and
+    // sample i == byte(2i) + 256·byte(2i+1) with no sign bit ever set).
+    // Any drift in header layout, chunk walk, frame truncation, or
+    // endianness is a hash mismatch. Same partition-local mapPartitions
+    // shape as the image decodes: no shuffle, feature output ≪ media scan.
+    QueryDef("multimodal_samples",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 1)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val payload =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val blob = Multimodal.wavBytes(1 + (id % 2).toInt,
+                if (id % 8 == 1) 16000 else 8000, payload)
+              val a = Multimodal.decodeWavSamples(blob).get
+              var sum = 0L; var crc = 0L; var peak = 0L; var i = 0
+              while (i < a.samples.length) {
+                val v = a.samples(i).toLong
+                sum += v; crc += v * (i % 101 + 1)
+                if (v > peak) peak = v
+                i += 1
+              }
+              (id, a.sampleRate, a.channels,
+                (a.samples.length / a.channels).toLong, sum, crc, peak)
+            }
+          }
+          .toDF("doc_id", "sample_rate", "channels", "n_frames",
+            "sample_sum", "sample_crc", "peak")
+      },
+      Some("""WITH a AS (SELECT doc_id, text,
+        |    CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+        |    CAST(CASE WHEN doc_id % 8 = 1 THEN 16000 ELSE 8000 END
+        |      AS INTEGER) AS sample_rate,
+        |    len(text) // (2 * (1 + (doc_id % 2))) AS frames
+        |  FROM documents WHERE doc_id % 6 = 1),
+        |v AS (SELECT doc_id, sample_rate, channels, frames,
+        |    list_transform(range(0, frames * channels), i ->
+        |      unicode(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) +
+        |      256 * unicode(substr(text, CAST(2 * i + 2 AS INTEGER), 1)))
+        |      AS s
+        |  FROM a)
+        |SELECT doc_id, sample_rate, channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(coalesce(list_sum(s), 0) AS BIGINT) AS sample_sum,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(0, frames * channels), i ->
+        |    s[CAST(i + 1 AS INTEGER)] * ((i % 101) + 1))), 0) AS BIGINT)
+        |    AS sample_crc,
+        |  CAST(coalesce(list_max(s), 0) AS BIGINT) AS peak
+        |FROM v""".stripMargin)),
+
     // Intra-document repetition — the "repeated phrases" quality rule
     // (high duplicate-3-gram ratio marks boilerplate/spam): per document,
     // total vs distinct word-3-grams and their ratio. Computed on ARRAYS

@@ -152,6 +152,67 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(dec.indices, expected))
   }
 
+  test("WAV payload round-trips through the RIFF chunk walk as 16-bit PCM") {
+    // canonical layout: every sample survives, sign-extended
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 256)
+    val payload = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(payload.putShort)
+    val wav = Multimodal.wavBytes(2, 16000, payload.array())
+    val a = Multimodal.decodeWavSamples(wav).getOrElse(fail("decode failed"))
+    assert(a.sampleRate == 16000 && a.channels == 2)
+    assert(java.util.Arrays.equals(a.samples, samples))
+
+    // a trailing partial frame is dropped: 2 channels × 16 bits = 4-byte
+    // frames, so 7 payload bytes yield exactly one frame (2 samples)
+    val odd = Multimodal.decodeWavSamples(
+      Multimodal.wavBytes(2, 8000, Array.fill(7)(0x41.toByte)))
+      .getOrElse(fail("odd-payload decode failed"))
+    assert(odd.samples.length == 2)
+
+    // the chunk walk is generic, not offset-44 arithmetic: an unknown
+    // odd-length chunk (with RIFF pad byte) between fmt and data must be
+    // skipped, and the data chunk still found
+    val extra = {
+      val data = Array[Byte](0x10, 0x20, 0x30, 0x40)
+      val out = java.nio.ByteBuffer.allocate(12 + 24 + (8 + 3 + 1) + 8 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(24 + 12 + 12 + 4).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("LIST".getBytes).putInt(3).put("abc".getBytes).put(0.toByte)
+        .put("data".getBytes).putInt(4).put(data)
+      out.array()
+    }
+    val e = Multimodal.decodeWavSamples(extra).getOrElse(fail("chunk walk failed"))
+    assert(e.samples.toSeq == Seq(0x2010.toShort, 0x4030.toShort))
+
+    // strict refusals: non-PCM format code, 8-bit samples, overrunning
+    // chunk length, truncated blob
+    val nonPcm = Multimodal.wavBytes(1, 8000, Array.fill(4)(1.toByte))
+    nonPcm(20) = 3 // format code 3 = IEEE float
+    assert(Multimodal.decodeWavSamples(nonPcm).isEmpty)
+    val eightBit = Multimodal.wavBytes(1, 8000, Array.fill(4)(1.toByte))
+    eightBit(34) = 8
+    assert(Multimodal.decodeWavSamples(eightBit).isEmpty)
+    val overrun = Multimodal.wavBytes(1, 8000, Array.fill(4)(1.toByte))
+    overrun(40) = 100 // data chunk claims more bytes than exist
+    assert(Multimodal.decodeWavSamples(overrun).isEmpty)
+    assert(Multimodal.decodeWavSamples(wav.take(30)).isEmpty)
+
+    // and the corpus audio blobs decode end-to-end: samples are exactly
+    // the document's ASCII bytes as little-endian int16 pairs
+    val m = corpus().filter(_.media_id % 6 == 1).head(1).head
+    val doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" === m.media_id).select($"text").as[String].head()
+    val got = Multimodal.decodeWavSamples(m.content).get
+    val bytes = doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val want = (0 until got.samples.length).map(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort)
+    assert(got.samples.toSeq == want)
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)
