@@ -31,18 +31,21 @@ case class MediaFeature(
   * contract a Pandas-batch UDF gives PySpark), the feature schema, the
   * resize/frame-sample dataflow — and REAL decoders: header metadata for
   * BMP/PNG/JPEG/GIF/WAV (pure byte arithmetic: DIB header, IHDR, SOFn
-  * marker walk, logical screen descriptor, RIFF layout), plus FULL PNG
-  * payload decode ([[decodePngPixels]]: chunk CRCs, zlib IDAT via
-  * `java.util.zip.Inflater`, all five scanline filters reversed) and the
-  * matching encoder ([[pngRgb]]). For audio the generic feature triple
-  * maps as width = sample rate, height = channels, n_frames = PCM sample
-  * frames.
+  * marker walk, logical screen descriptor, RIFF layout), plus FULL
+  * payload decode for four formats: PNG ([[decodePngPixels]]: chunk
+  * CRCs, zlib IDAT via `java.util.zip.Inflater`, all five scanline
+  * filters reversed), GIF ([[decodeGifPixels]]: variable-width LZW),
+  * baseline JPEG ([[decodeJpegPixels]]: canonical Huffman entropy
+  * decode, DC prediction, dequant, IDCT), and PCM WAV
+  * ([[decodeWavSamples]]: RIFF chunk walk, 16-bit samples) — each with
+  * its matching encoder. For audio the generic feature triple maps as
+  * width = sample rate, height = channels, n_frames = PCM sample frames.
   *
   * STUBBED — clearly and deliberately: blobs in formats whose PAYLOAD
-  * needs an entropy codec (JPEG huffman/DCT, MP4 — no media libraries
-  * ship in this environment) fall back to `decodeStub`, a deterministic
-  * function of the bytes, so tests stay exact; swapping in a real codec
-  * changes ONE dispatch arm and nothing about the dataflow.
+  * needs a codec stack this runtime cannot carry (MP4/video — no media
+  * libraries ship in this environment) fall back to `decodeStub`, a
+  * deterministic function of the bytes, so tests stay exact; swapping in
+  * a real codec changes ONE dispatch arm and nothing about the dataflow.
   *
   * Scale notes: decode is embarrassingly parallel and pipelined per
   * partition (no shuffle); feature output is tiny vs input, so the stage is
@@ -569,6 +572,409 @@ object Multimodal {
       else None
     } else None
 
+  // ------------------------------------------------------------------
+  // REAL baseline JPEG codec (grayscale): genuine DQT/DHT/SOF0/SOS
+  // segments, canonical Huffman entropy coding with byte stuffing and DC
+  // prediction on the encode side; a generic marker walk, canonical
+  // Huffman decode (BITS/HUFFVAL exactly as DHT declares them — any
+  // valid baseline grayscale table decodes, not just ours), run/size AC
+  // expansion with ZRL/EOB, dequantization against the parsed DQT, and
+  // a float IDCT with round+clamp on the decode side. No media library:
+  // pure bit arithmetic, like the PNG and GIF codecs above.
+  // ------------------------------------------------------------------
+
+  /** JPEG zigzag scan: position i in zigzag order sits at natural index
+    * ZigZag(i) of the 8×8 block (row-major). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Our DHT table specs — canonical and deliberately simple: the 12 DC
+    * size categories as 5-bit codes, the 162 AC run/size symbols (EOB,
+    * ZRL, run 0-15 × size 1-10) as 8-bit codes. Flat-length tables are
+    * valid canonical Huffman (single-length codes are trivially
+    * prefix-free, and neither reaches the reserved all-ones codeword);
+    * the decoder never assumes them — it rebuilds whatever DHT declares.
+    */
+  private val DcHuffVals: Array[Int] = (0 to 11).toArray
+  private val DcHuffBits: Array[Int] = {
+    val b = new Array[Int](16); b(4) = DcHuffVals.length; b
+  }
+  private val AcHuffVals: Array[Int] =
+    0x00 +: ((for (run <- 0 to 15; size <- 1 to 10)
+      yield (run << 4) | size).toArray :+ 0xf0)
+  private val AcHuffBits: Array[Int] = {
+    val b = new Array[Int](16); b(7) = AcHuffVals.length; b
+  }
+
+  /** Canonical Huffman code assignment (JPEG Annex C): value → (code,
+    * length), lengths walked in order, code doubled at each new length. */
+  private def huffCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += (vals(k) -> ((code, len))); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+  private lazy val DcEnc = huffCodes(DcHuffBits, DcHuffVals)
+  private lazy val AcEnc = huffCodes(AcHuffBits, AcHuffVals)
+
+  /** MSB-first bit accumulator with JPEG byte stuffing (FF → FF 00) and
+    * 1-padding to the byte boundary on flush, exactly as SOS data needs. */
+  private final class JpegBitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          buf += acc.toByte
+          if (acc == 0xff) buf += 0x00.toByte
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+    def bytes: Array[Byte] = buf.toArray
+  }
+
+  @inline private def jpegCategory(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** General grayscale baseline encoder: `coeffs` holds one 64-int
+    * natural-order coefficient block per 8×8 tile, row-major over the
+    * padded image (these are the values the decoder must recover — the
+    * quantization table written to DQT is all-ones). AC magnitudes must
+    * fit size ≤ 10, DC ≤ 11 — the full baseline grayscale range our AC
+    * table declares.
+    */
+  def jpegEncodeGray(width: Int, height: Int,
+      coeffs: Array[Array[Int]]): Array[Byte] = {
+    val bx = (width + 7) / 8; val by = (height + 7) / 8
+    require(coeffs.length == bx * by, "one coefficient block per 8x8 tile")
+    val w = new JpegBitWriter
+    var prevDc = 0
+    coeffs.foreach { blk =>
+      require(blk.length == 64)
+      val dc = blk(0)
+      val diff = dc - prevDc
+      prevDc = dc
+      val s = if (diff == 0) 0 else jpegCategory(diff)
+      require(s <= 11, s"DC category $s out of range")
+      val (dcode, dlen) = DcEnc(s)
+      w.put(dcode, dlen)
+      if (s > 0) w.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var run = 0; var k = 1
+      while (k < 64) {
+        val c = blk(ZigZag(k))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = AcEnc(0xf0); w.put(z, zl); run -= 16 }
+          val sz = jpegCategory(c)
+          require(sz <= 10, s"AC magnitude $c out of range")
+          val (acode, alen) = AcEnc((run << 4) | sz)
+          w.put(acode, alen)
+          w.put(if (c >= 0) c else c + (1 << sz) - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (e, el) = AcEnc(0x00); w.put(e, el) }
+    }
+    w.flush()
+    val entropy = w.bytes
+    // exact segment sizes: SOI 2, DQT 69, SOF0 13, DHT 212, SOS 10, EOI 2
+    val out = java.nio.ByteBuffer.allocate(
+      2 + 69 + 13 + 212 + 10 + entropy.length + 2)
+    out.putShort(0xffd8.toShort)                     // SOI
+    out.putShort(0xffdb.toShort).putShort(67.toShort) // DQT, Pq=0/Tq=0
+      .put(0x00.toByte)
+    (0 until 64).foreach(_ => out.put(1.toByte))     // all-ones quant table
+    out.putShort(0xffc0.toShort).putShort(11.toShort) // SOF0
+      .put(8.toByte)                                 // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte)                                 // 1 component
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)  // id, 1x1, Tq=0
+    out.putShort(0xffc4.toShort)                     // DHT (both tables)
+      .putShort((2 + 17 + 12 + 17 + 162).toShort)
+      .put(0x00.toByte)                              // Tc=DC, Th=0
+    DcHuffBits.foreach(b => out.put(b.toByte))
+    DcHuffVals.foreach(v => out.put(v.toByte))
+    out.put(0x10.toByte)                             // Tc=AC, Th=0
+    AcHuffBits.foreach(b => out.put(b.toByte))
+    AcHuffVals.foreach(v => out.put(v.toByte))
+    out.putShort(0xffda.toShort).putShort(8.toShort) // SOS
+      .put(1.toByte)                                 // 1 component
+      .put(1.toByte).put(0x00.toByte)                // id, Td=0/Ta=0
+      .put(0.toByte).put(63.toByte).put(0.toByte)    // Ss, Se, Ah/Al
+    out.put(entropy)
+    out.putShort(0xffd9.toShort)                     // EOI
+    out.array()
+  }
+
+  /** Block-constant grayscale JPEG: each 8×8 tile holds the single value
+    * `blockVal(bx, by)` (0-255). The DCT of a flat block is exactly its
+    * DC coefficient 8·(v-128) with every AC zero, so with the all-ones
+    * quantization table the encode→Huffman→decode→IDCT round trip is
+    * BIT-EXACT — the property that makes real entropy-coded JPEGs
+    * oracle-able from a closed-form pixel formula.
+    */
+  def jpegGrayFlat(width: Int, height: Int,
+      blockVal: (Int, Int) => Int): Array[Byte] = {
+    val bx = (width + 7) / 8; val by = (height + 7) / 8
+    val blocks = Array.tabulate(bx * by) { i =>
+      val blk = new Array[Int](64)
+      blk(0) = 8 * (blockVal(i % bx, i / bx) - 128)
+      blk
+    }
+    jpegEncodeGray(width, height, blocks)
+  }
+
+  /** A fully decoded grayscale JPEG: dimensions + row-major 8-bit pixels
+    * (already cropped from MCU padding), the output of
+    * [[decodeJpegPixels]]. */
+  final case class JpegImage(width: Int, height: Int, gray: Array[Byte])
+
+  /** Canonical Huffman decode tables built from DHT's BITS/HUFFVAL via
+    * the standard mincode/maxcode/valptr construction. */
+  private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(code: Int, len: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** MSB-first bit reader over entropy-coded data: un-stuffs FF 00,
+    * stops (returns -1 forever) at any real marker. */
+  private final class JpegBitReader(b: Array[Byte], start: Int) {
+    private var i = start
+    private var acc = 0; private var n = 0
+    private var ended = false
+    def bit(): Int = {
+      if (n == 0) {
+        if (ended || i >= b.length) { ended = true; return -1 }
+        val v = b(i) & 0xff
+        if (v == 0xff) {
+          if (i + 1 < b.length && b(i + 1) == 0x00) { i += 2 } // stuffed FF
+          else { ended = true; return -1 }                      // real marker
+          acc = 0xff; n = 8
+        } else { acc = v; n = 8; i += 1 }
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var k = 0
+      while (k < len) {
+        val bt = bit(); if (bt < 0) return Int.MinValue
+        v = (v << 1) | bt; k += 1
+      }
+      v
+    }
+  }
+
+  @inline private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline grayscale JPEG down to its DEQUANTIZED
+    * natural-order coefficient blocks (row-major over the padded image) —
+    * the full entropy layer: marker walk, DQT/DHT parse, canonical
+    * Huffman, DC prediction, run/size with ZRL/EOB, byte unstuffing.
+    * Returns (width, height, blocks). Strict: progressive/multi-component
+    * frames, missing tables, restart intervals, overruns and truncated
+    * streams are decode failures, not guesses.
+    */
+  def decodeJpegCoeffs(b: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTab = new Array[JpegHuffTable](4)
+    val acTab = new Array[JpegHuffTable](4)
+    var width = 0; var height = 0; var compQt = -1
+    var sosAt = -1; var dcSel = -1; var acSel = -1
+    while (sosAt < 0 && i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      (b(i + 1) & 0xff) match {
+        case 0xff => i += 1
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd8) => i += 2
+        case 0xd9 => return None // EOI before any scan
+        case m =>
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val seg = i + 4; val segEnd = i + 2 + len
+          m match {
+            case 0xdb => // DQT: one or more 8-bit tables
+              var p = seg
+              while (p < segEnd) {
+                val pq = (b(p) & 0xf0) >> 4; val tq = b(p) & 0x0f
+                if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+                quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+                p += 65
+              }
+            case 0xc4 => // DHT: one or more tables
+              var p = seg
+              while (p < segEnd) {
+                if (p + 17 > segEnd) return None
+                val tc = (b(p) & 0xf0) >> 4; val th = b(p) & 0x0f
+                if (tc > 1 || th > 3) return None
+                val bits = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+                val nv = bits.sum
+                if (p + 17 + nv > segEnd) return None
+                val vals = Array.tabulate(nv)(k => b(p + 17 + k) & 0xff)
+                val t = new JpegHuffTable(bits, vals)
+                if (tc == 0) dcTab(th) = t else acTab(th) = t
+                p += 17 + nv
+              }
+            case 0xc0 => // SOF0 baseline
+              if (len < 11 || (b(seg) & 0xff) != 8) return None
+              height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+              width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+              val ncomp = b(seg + 5) & 0xff
+              if (ncomp != 1 || (b(seg + 7) & 0xff) != 0x11) return None
+              compQt = b(seg + 8) & 0x0f
+            case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 &&
+                mm != 0xc8 && mm != 0xcc =>
+              return None // progressive / extended: not baseline
+            case 0xdd => return None // DRI: we never emit restarts
+            case 0xda => // SOS
+              if (len < 8 || (b(seg) & 0xff) != 1) return None
+              dcSel = (b(seg + 2) & 0xf0) >> 4
+              acSel = b(seg + 2) & 0x0f
+              sosAt = segEnd
+            case _ => () // APPn/COM: skip
+          }
+          i = segEnd
+      }
+    }
+    if (sosAt < 0 || width <= 0 || height <= 0 || compQt < 0) return None
+    val qt = quant(compQt)
+    val dt = dcTab(dcSel); val at = acTab(acSel)
+    if (qt == null || dt == null || at == null) return None
+    val bx = (width + 7) / 8; val by = (height + 7) / 8
+    val blocks = new Array[Array[Int]](bx * by)
+    val r = new JpegBitReader(b, sosAt)
+    def decodeSym(t: JpegHuffTable): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val bt = r.bit(); if (bt < 0) return -1
+        code = (code << 1) | bt; l += 1
+        if (t.maxCode(l) >= code && t.minCode(l) <= code) return t.value(code, l)
+      }
+      -1
+    }
+    var prevDc = 0
+    var n = 0
+    while (n < blocks.length) {
+      val blk = new Array[Int](64)
+      val s = decodeSym(dt)
+      if (s < 0 || s > 11) return None
+      val dv = if (s == 0) 0 else {
+        val raw = r.receive(s); if (raw == Int.MinValue) return None
+        jpegExtend(raw, s)
+      }
+      prevDc += dv
+      blk(0) = prevDc * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(at)
+        if (rs < 0) return None
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          val run = (rs >> 4) & 0x0f; val sz = rs & 0x0f
+          k += run
+          if (k > 63 || sz == 0 || sz > 10) return None
+          val raw = r.receive(sz); if (raw == Int.MinValue) return None
+          blk(ZigZag(k)) = jpegExtend(raw, sz) * qt(k)
+          k += 1
+        }
+      }
+      blocks(n) = blk
+      n += 1
+    }
+    Some((width, height, blocks))
+  }
+
+  private lazy val IdctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private lazy val IdctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Full grayscale pixel decode: [[decodeJpegCoeffs]] + per-block IDCT
+    * (round + clamp + 128 level shift) + crop from MCU padding. */
+  def decodeJpegPixels(b: Array[Byte]): Option[JpegImage] =
+    decodeJpegCoeffs(b).map { case (w, h, blocks) =>
+      val bx = (w + 7) / 8
+      val gray = new Array[Byte](w * h)
+      var n = 0
+      while (n < blocks.length) {
+        val blk = blocks(n)
+        val ox = (n % bx) * 8; val oy = (n / bx) * 8
+        var y = 0
+        while (y < 8) {
+          val py = oy + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val px = ox + x
+              if (px < w) {
+                var sum = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  val cu = IdctC(u) * IdctCos(u)(x)
+                  while (v < 8) {
+                    val f = blk(v * 8 + u)
+                    if (f != 0) sum += cu * IdctC(v) * IdctCos(v)(y) * f
+                    v += 1
+                  }
+                  u += 1
+                }
+                val p = math.round(sum / 4.0 + 128.0).toInt
+                gray(py * w + px) =
+                  (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        n += 1
+      }
+      JpegImage(w, h, gray)
+    }
+
   /** Decode dispatch: real header parse where the format allows it, the
     * deterministic stub for codec-requiring formats.
     */
@@ -660,34 +1066,6 @@ object Multimodal {
     out.array()
   }
 
-  /** Minimal baseline JPEG: SOI + JFIF APP0 + a 1-component SOF0 frame
-    * header carrying the dimensions + EOI, with `payload` as opaque
-    * trailing bytes. The APP0 before the SOF makes the decoder actually
-    * walk a non-frame segment.
-    */
-  private[multimodal] def jpegBytes(width: Int, height: Int,
-      payload: Array[Byte]): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2 + payload.length)
-      .order(java.nio.ByteOrder.BIG_ENDIAN)
-    out.put(0xff.toByte).put(0xd8.toByte)          // SOI
-      .put(0xff.toByte).put(0xe0.toByte)           // APP0
-      .putShort(16.toShort)
-      .put("JFIF".getBytes).put(0.toByte)
-      .put(1.toByte).put(1.toByte)                 // version 1.1
-      .put(0.toByte)                               // density units
-      .putShort(1.toShort).putShort(1.toShort)     // densities
-      .put(0.toByte).put(0.toByte)                 // no thumbnail
-      .put(0xff.toByte).put(0xc0.toByte)           // SOF0 (baseline)
-      .putShort(11.toShort)                        // 8 + 3 * 1 component
-      .put(8.toByte)                               // precision
-      .putShort(height.toShort).putShort(width.toShort)
-      .put(1.toByte)                               // 1 component
-      .put(1.toByte).put(0x11.toByte).put(0.toByte)
-      .put(0xff.toByte).put(0xd9.toByte)           // EOI
-      .put(payload)
-    out.array()
-  }
-
   /** Minimal GIF89a: signature + logical screen descriptor (no global
     * color table) + trailer, with `payload` as opaque trailing bytes.
     */
@@ -751,8 +1129,14 @@ object Multimodal {
               ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
             }
             MediaRow(id, "image", pngRgb(w, h, rgb), src)
-          case 4 => MediaRow(id, "image",
-            jpegBytes(1 + (text.length % 256), 1 + (id % 48).toInt, payload), src)
+          case 4 =>
+            // a REAL baseline JPEG, entropy-coded pixels and all (Huffman
+            // DC stream, byte stuffing, genuine DQT/DHT/SOF0/SOS): the
+            // third honest payload-decode input. Block-constant content
+            // keeps the lossy codec bit-exact (flat blocks are DC-only).
+            MediaRow(id, "image",
+              jpegGrayFlat(1 + (text.length % 256), 1 + (id % 48).toInt,
+                (bx, by) => ((5 * bx + 11 * by + id) % 256).toInt), src)
           case 5 =>
             // a REAL GIF, pixels and all (LZW-coded indices, global color
             // table, sub-blocks): the second honest payload-decode input

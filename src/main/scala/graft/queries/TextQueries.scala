@@ -299,6 +299,62 @@ object TextQueries {
         |    AS px_crc
         |FROM vg""".stripMargin)),
 
+    // REAL baseline-JPEG payload decode: the JPEG arm (doc_id % 6 = 4, as
+    // in Multimodal.syntheticFromDocuments) is a genuine entropy-coded
+    // baseline JPEG — canonical Huffman DC stream with byte stuffing,
+    // real DQT/DHT/SOF0/SOS segments. Content is block-constant, which
+    // makes the normally-lossy codec BIT-EXACT (a flat 8×8 block's DCT is
+    // pure DC, and DC = 8·(v-128) survives the all-ones quantizer and the
+    // IDCT exactly), so the oracle replays decoded pixels from the
+    // closed-form block formula: pixel(x,y) = (5·⌊x/8⌋ + 11·⌊y/8⌋ +
+    // doc_id) mod 256. Any drift in segment layout, Huffman coding, bit
+    // packing, byte stuffing, DC prediction, dequant, IDCT rounding, or
+    // MCU crop is a hash mismatch. Same shuffle-free mapPartitions shape
+    // as the PNG/GIF decode.
+    QueryDef("multimodal_jpeg_pixels",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 4)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val nBytes =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val w = 1 + nBytes % 256
+              val h = 1 + (id % 48).toInt
+              val blob = Multimodal.jpegGrayFlat(w, h,
+                (bx, by) => ((5 * bx + 11 * by + id) % 256).toInt)
+              val img = Multimodal.decodeJpegPixels(blob).get
+              var sum = 0L; var crc = 0L; var i = 0
+              while (i < img.gray.length) {
+                val v = img.gray(i) & 0xff
+                sum += v; crc += v.toLong * (i % 97 + 1); i += 1
+              }
+              (id, img.width, img.height, sum, crc)
+            }
+          }
+          .toDF("doc_id", "width", "height", "pixel_sum", "px_crc")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 256) AS w,
+        |    1 + (doc_id % 48) AS h
+        |  FROM documents WHERE doc_id % 6 = 4),
+        |v AS (SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h), i ->
+        |      (5 * ((i % w) // 8) + 11 * ((i // w) // 8) + doc_id) % 256)
+        |      AS vals
+        |  FROM m)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h), i ->
+        |    vals[CAST(i + 1 AS INTEGER)] * ((i % 97) + 1))) AS BIGINT)
+        |    AS px_crc
+        |FROM v""".stripMargin)),
+
     // REAL audio-payload decode: the audio arm (doc_id % 6 = 1, as in
     // Multimodal.syntheticFromDocuments) is a genuine canonical PCM WAV
     // whose sample data is the document's UTF-8 bytes. The query encodes

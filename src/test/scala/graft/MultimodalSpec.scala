@@ -152,6 +152,62 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(dec.indices, expected))
   }
 
+  test("JPEG entropy layer round-trips arbitrary coefficient blocks") {
+    // adversarial coefficients: max-magnitude positive/negative values,
+    // isolated coefficients forcing long zero runs and ZRL, a fully
+    // populated block, and DC prediction swinging across its full range
+    val blocks = Array(
+      Array.tabulate(64)(i => if (i == 0) 1016 else 0),             // max DC
+      Array.tabulate(64)(i => if (i == 0) -1024 else 0),            // min DC (max diff)
+      Array.tabulate(64)(i => if (i == 63) -1023 else 0),           // 62-zero run → ZRL×3
+      Array.tabulate(64)(i => if (i % 7 == 0) (i - 32) * 13 else 0),// scattered
+      Array.tabulate(64)(i => ((i * 37 + 11) % 2047) - 1023),       // dense
+      Array.tabulate(64)(i => if (i == 1) 1 else 0))                // AC then EOB
+    val jpeg = Multimodal.jpegEncodeGray(48, 8, blocks)
+    val (w, h, got) = Multimodal.decodeJpegCoeffs(jpeg)
+      .getOrElse(fail("coefficient decode failed"))
+    assert(w == 48 && h == 8 && got.length == blocks.length)
+    blocks.zip(got).zipWithIndex.foreach { case ((want, have), i) =>
+      assert(java.util.Arrays.equals(want, have), s"block $i diverged")
+    }
+  }
+
+  test("JPEG flat-block pixels decode bit-exactly, incl. MCU crop") {
+    // non-multiple-of-8 dimensions: the decoder must crop the padded MCU
+    // grid back to w×h; every pixel equals its block's constant value
+    for ((w, h) <- Seq((1, 1), (8, 8), (13, 5), (100, 23), (256, 48))) {
+      val f = (bx: Int, by: Int) => (7 * bx + 3 * by + 5) % 256
+      val img = Multimodal.decodeJpegPixels(Multimodal.jpegGrayFlat(w, h, f))
+        .getOrElse(fail(s"pixel decode failed for ${w}x$h"))
+      assert(img.width == w && img.height == h)
+      var i = 0
+      while (i < img.gray.length) {
+        val x = i % w; val y = i / w
+        assert((img.gray(i) & 0xff) == f(x / 8, y / 8),
+          s"pixel ($x,$y) diverged at ${w}x$h")
+        i += 1
+      }
+    }
+
+    // strict refusals: truncated entropy stream, corrupted marker, a
+    // progressive frame (SOF2), and a missing Huffman table
+    val good = Multimodal.jpegGrayFlat(32, 16, (a, b) => 128)
+    assert(Multimodal.decodeJpegPixels(good.dropRight(20)).isEmpty)
+    val sof2 = good.clone()
+    // SOI(2) + DQT(69) puts the SOF0 marker byte at offset 72
+    assert((sof2(72) & 0xff) == 0xc0, "fixture layout changed")
+    sof2(72) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(sof2).isEmpty)
+    val noDht = good.take(84) ++ good.drop(84 + 212) // excise DHT segment
+    assert(Multimodal.decodeJpegPixels(noDht).isEmpty)
+
+    // corpus JPEG blobs carry real entropy-coded payloads: full decode
+    // works on the synthetic media table itself
+    val m = corpus().filter(_.media_id % 6 == 4).head(1).head
+    val dec = Multimodal.decodeJpegPixels(m.content)
+    assert(dec.exists(img => img.gray.length == img.width * img.height))
+  }
+
   test("WAV payload round-trips through the RIFF chunk walk as 16-bit PCM") {
     // canonical layout: every sample survives, sign-extended
     val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 256)
