@@ -133,4 +133,79 @@ object IvfCodebook {
       .as[(Long, Int, Long)].collect().toSeq
       .toDF("cent_id", "dim", "cs")
   }
+
+  /** Train an INDEPENDENT codebook per `grp` value in one Lloyd pipeline.
+    *
+    * Product quantization needs one codebook per subspace; running
+    * [[train]] per subspace costs subspaces × (iters + 1) scan+shuffle
+    * pipelines, each with full job overhead. Because every Lloyd
+    * operation here is keyed, adding `grp` to each key trains all
+    * subspaces in the SAME jobs: one corpus pass per iteration total —
+    * the shape that matters when the corpus is 100 TB and the subspace
+    * count is 8 or 16, not 4.
+    *
+    * `gcomps` is (grp, vec_id, dim, qx) — [[comps]] with a group column;
+    * the result (grp, cent_id, dim, cs) is bit-identical per group to
+    * running [[train]] on that group's components alone (the groups never
+    * interact: joins, argmax windows and member sums all carry `grp`), so
+    * a per-subspace oracle replay keeps matching.
+    */
+  def trainGrouped(spark: SparkSession, gcomps: DataFrame, k: Int,
+      iters: Int, sampleEvery: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val c = (if (sampleEvery <= 1) gcomps
+      else gcomps.filter(col("vec_id") % sampleEvery === 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = c.groupBy("grp", "vec_id")
+      .agg(sum(col("qx") * col("qx")).as("n2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = localizeGrouped(spark,
+        gcomps.filter(col("vec_id") < k)
+          .select(col("grp"), col("vec_id").as("cent_id"), col("dim"),
+            col("qx").as("cs")))
+      for (_ <- 1 to iters)
+        cents = localizeGrouped(spark, stepGrouped(c, n, cents))
+      cents
+    } finally { c.unpersist(); n.unpersist() }
+  }
+
+  /** One grouped Lloyd update — [[step]] with `grp` carried through every
+    * key: per-group assignment argmax, per-group member sums, empty lists
+    * keep their previous centroid. */
+  private def stepGrouped(gcomps: DataFrame, gnorms: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cn = cents.groupBy("grp", "cent_id")
+      .agg(sum(col("cs") * col("cs")).as("cn2"))
+    val w = Window.partitionBy("grp", "vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = gcomps.join(broadcast(cents), Seq("grp", "dim"))
+      .groupBy("grp", "vec_id", "cent_id")
+      .agg(sum(col("qx") * col("cs")).as("dot"))
+      .join(gnorms, Seq("grp", "vec_id"))
+      .join(broadcast(cn), Seq("grp", "cent_id"))
+      .select(col("grp"), col("vec_id"), col("cent_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("grp"), col("vec_id"), col("cent_id").as("list_id"))
+    val sums = gcomps.join(assigned, Seq("grp", "vec_id"))
+      .groupBy("grp", "list_id", "dim")
+      .agg(sum(col("qx")).as("cs_new"))
+      .withColumnRenamed("list_id", "cent_id")
+    cents.join(sums, Seq("grp", "cent_id", "dim"), "left")
+      .select(col("grp"), col("cent_id"), col("dim"),
+        coalesce(col("cs_new"), col("cs")).as("cs"))
+  }
+
+  /** Grouped [[localize]]: groups × k · dims rows, still codebook-small. */
+  private def localizeGrouped(spark: SparkSession,
+      cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    cents.select(col("grp"), col("cent_id"), col("dim").cast("int"),
+        col("cs"))
+      .as[(Long, Long, Int, Long)].collect().toSeq
+      .toDF("grp", "cent_id", "dim", "cs")
+  }
 }
