@@ -135,6 +135,7 @@ object SparkEntry {
     "multimodal_pixels" -> Seq("doc_id"),
     "multimodal_samples" -> Seq("doc_id"),
     "multimodal_jpeg_pixels" -> Seq("doc_id"),
+    "multimodal_resize" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),
     "corpus_decontaminate" -> Seq("doc_id"),
     "corpus_decontaminate_bloom" -> Seq("doc_id"),

@@ -457,6 +457,34 @@ object Multimodal {
       else None
     } else None
 
+  /** REAL nearest-neighbor image resize over decoded RGB pixels: target
+    * pixel (x, y) samples source (⌊x·w/tw⌋, ⌊y·h/th⌋) — the standard
+    * floor mapping, closed-form enough for an exact oracle replay. Works
+    * for both down- and up-scaling; a box/bilinear filter would drop in
+    * here without changing the dataflow (decode → transform → encode,
+    * partition-local, no shuffle).
+    */
+  def resizeNearest(img: PngImage, tw: Int, th: Int): PngImage = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        val so = (sy * img.width + sx) * 3
+        val to = (y * tw + x) * 3
+        out(to) = img.pixels(so)
+        out(to + 1) = img.pixels(so + 1)
+        out(to + 2) = img.pixels(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(tw, th, out)
+  }
+
   /** A fully decoded PCM WAV: rate, channels, interleaved little-endian
     * 16-bit samples (complete frames only — a trailing partial frame is
     * not audio), the output of [[decodeWavSamples]]. */

@@ -355,6 +355,70 @@ object TextQueries {
         |    AS px_crc
         |FROM v""".stripMargin)),
 
+    // REAL image-resize stage — the thumbnail path a multimodal training
+    // pipeline runs between decode and feature extraction: each corpus
+    // PNG (doc_id % 6 = 2) is DECODED (zlib + scanline filters), resized
+    // to half size by nearest-neighbor (floor mapping), RE-ENCODED as a
+    // real PNG (the thumbnail artifact), then decoded AGAIN for the
+    // reported stats — so the query exercises decode → transform →
+    // encode → decode end-to-end, partition-local, no shuffle. The
+    // oracle replays the resized pixels in closed form: target (x,y,c)
+    // samples source (⌊x·w/tw⌋, ⌊y·h/th⌋), whose value the generative
+    // formula gives directly. Any asymmetry between the encoder and
+    // decoder, or an off-by-one in the floor mapping, is a hash mismatch.
+    QueryDef("multimodal_resize",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 2)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val nBytes =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val w = 1 + nBytes % 128
+              val h = 1 + (id % 64).toInt
+              val rgb = Array.tabulate(w * h * 3) { i =>
+                ((i / 3 % w + 2 * (i / 3 / w) + 3 * (i % 3) + id) % 256).toByte
+              }
+              val src = Multimodal.decodePngPixels(
+                Multimodal.pngRgb(w, h, rgb)).get
+              val thumb = Multimodal.resizeNearest(
+                src, (w + 1) / 2, (h + 1) / 2)
+              val out = Multimodal.decodePngPixels(
+                Multimodal.pngRgb(thumb.width, thumb.height, thumb.pixels)).get
+              var sum = 0L; var crc = 0L; var i = 0
+              while (i < out.pixels.length) {
+                val v = out.pixels(i) & 0xff
+                sum += v; crc += v.toLong * (i % 97 + 1); i += 1
+              }
+              (id, out.width, out.height, sum, crc)
+            }
+          }
+          .toDF("doc_id", "width", "height", "pixel_sum", "px_crc")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 128) AS w,
+        |    1 + (doc_id % 64) AS h
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |t AS (SELECT doc_id, w, h,
+        |    (w + 1) // 2 AS tw, (h + 1) // 2 AS th FROM m),
+        |v AS (SELECT doc_id, tw, th,
+        |    list_transform(range(0, tw * th * 3), i ->
+        |      ((((i // 3) % tw) * w // tw)
+        |       + 2 * ((((i // 3) // tw) * h) // th)
+        |       + 3 * (i % 3) + doc_id) % 256) AS vals
+        |  FROM t)
+        |SELECT doc_id, CAST(tw AS INTEGER) AS width,
+        |  CAST(th AS INTEGER) AS height,
+        |  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(range(0, tw * th * 3), i ->
+        |    vals[CAST(i + 1 AS INTEGER)] * ((i % 97) + 1))) AS BIGINT)
+        |    AS px_crc
+        |FROM v""".stripMargin)),
+
     // REAL audio-payload decode: the audio arm (doc_id % 6 = 1, as in
     // Multimodal.syntheticFromDocuments) is a genuine canonical PCM WAV
     // whose sample data is the document's UTF-8 bytes. The query encodes

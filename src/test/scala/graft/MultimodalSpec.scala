@@ -208,6 +208,33 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.exists(img => img.gray.length == img.width * img.height))
   }
 
+  test("nearest-neighbor resize samples the floor mapping exactly") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h * 3)(i => (i % 251).toByte)
+    val img = Multimodal.PngImage(w, h, px)
+    // identity resize is a pixel-perfect copy
+    val same = Multimodal.resizeNearest(img, w, h)
+    assert(java.util.Arrays.equals(same.pixels, px))
+    // downscale: target (x,y) reads source (⌊x·w/tw⌋, ⌊y·h/th⌋)
+    val down = Multimodal.resizeNearest(img, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      val sx = x * w / 3; val sy = y * h / 2
+      assert(down.pixels((y * 3 + x) * 3 + c) == px((sy * w + sx) * 3 + c),
+        s"down ($x,$y,$c)")
+    }
+    // upscale replicates source pixels, never reads out of bounds
+    val up = Multimodal.resizeNearest(img, 15, 11)
+    for (y <- 0 until 11; x <- 0 until 15; c <- 0 until 3) {
+      val sx = x * w / 15; val sy = y * h / 11
+      assert(up.pixels((y * 15 + x) * 3 + c) == px((sy * w + sx) * 3 + c),
+        s"up ($x,$y,$c)")
+    }
+    // resized output re-encodes as a valid PNG and round-trips
+    val re = Multimodal.decodePngPixels(
+      Multimodal.pngRgb(down.width, down.height, down.pixels))
+    assert(re.exists(r => java.util.Arrays.equals(r.pixels, down.pixels)))
+  }
+
   test("WAV payload round-trips through the RIFF chunk walk as 16-bit PCM") {
     // canonical layout: every sample survives, sign-extended
     val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 256)
