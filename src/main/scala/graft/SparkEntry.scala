@@ -121,6 +121,8 @@ object SparkEntry {
     "ann_pq_topk" -> Seq("query_id", "rank"),
     "ann_ivfpq_topk" -> Seq("query_id", "rank"),
     "pq_code_balance" -> Seq("m", "code"),
+    "embedding_project" -> Seq("vec_id", "j"),
+    "embedding_project_audit" -> Seq("n_pairs"),
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),
     "ann_recall_audit" -> Seq("total_true"),

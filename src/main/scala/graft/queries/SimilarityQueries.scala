@@ -87,6 +87,25 @@ object SimilarityQueries {
     */
   private val PqM = 4
   private val PqSubDims = 16
+
+  /** The matrix-free JL sign "matrix": ±1 for (output row j 0-15, input
+    * dim 1-64) from the parity of md5's first hex character — a fixed
+    * pseudo-random pattern any engine regenerates bit-identically. */
+  private def jlSigns(s: SparkSession): DataFrame =
+    s.range(0, 16).select(col("id").as("j"))
+      .crossJoin(s.range(1, 65).select(col("id").as("dim")))
+      .select(col("j"), col("dim"),
+        (lit(1L) - lit(2L) *
+          (ascii(substring(md5(concat_ws("_", col("j"), col("dim"))), 1, 1))
+            .cast("long") % 2)).as("sg"))
+
+  // declared before `defs` — string CTEs interpolate at defs init time
+  private val JlSignsSql: String =
+    """sg AS (SELECT j, dim,
+      |    1 - 2 * (ascii(substr(md5(CAST(j AS VARCHAR) || '_' ||
+      |      CAST(dim AS VARCHAR)), 1, 1)) % 2) AS sg
+      |  FROM (SELECT unnest(range(0, 16)) AS j),
+      |       (SELECT unnest(range(1, 65)) AS dim))""".stripMargin
   private def pqCodebooks(s: SparkSession, d: String): DataFrame =
     cached(s, d, "pq_codebooks") {
       // all 4 subspace codebooks train in ONE grouped Lloyd pipeline
@@ -1073,8 +1092,84 @@ object SimilarityQueries {
           s"SELECT CAST($m AS BIGINT) AS m, vec_id, cent_id AS code FROM p${m}_r2 WHERE rn = 1")
           .mkString("\n  UNION ALL ")})
         |SELECT m, code, CAST(count(*) AS BIGINT) AS n_vecs
-        |FROM codes GROUP BY 1, 2""".stripMargin))
+        |FROM codes GROUP BY 1, 2""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection 64 → 16 dims — the
+    // data-independent dimension reduction a 100 TB embedding corpus can
+    // afford: no training, no second pass, each vector projects
+    // independently (matrix-free: the ±1 entry for (output row j, input
+    // dim d) derives from md5(j || '_' || d), so the "matrix" is a
+    // broadcast 16×64 sign table both engines regenerate identically).
+    // Arithmetic is exact-integer end to end: projected component
+    // p(v, j) = Σ_d sign(j,d)·qx(v,d) over the repo-standard quantized
+    // components. Output is the long-form (vec_id, j, p) table.
+    QueryDef("embedding_project",
+      (s, d) => {
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val comps = graft.operators.IvfCodebook.comps(v)
+        comps.join(broadcast(jlSigns(s)), "dim")
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sg") * col("qx")).as("p"))
+      },
+      Some(s"""WITH $JlSignsSql,
+        |c AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings)
+        |SELECT vec_id, j, CAST(sum(sg * qx) AS BIGINT) AS p
+        |FROM c JOIN sg USING (dim) GROUP BY 1, 2""".stripMargin)),
+
+    // The JL guarantee, MEASURED (the recall-audit discipline applied to
+    // dimension reduction): for every pair in a bounded 50-vector sample,
+    // compare the projected squared distance against k·(original squared
+    // distance) — E[d2_proj] = k·d2_orig for a ±1 projection — and count
+    // pairs preserved within ±50%. ENTIRELY integer: both distances are
+    // integer sums, the predicate is 2·|d2p − k·d2o| ≤ k·d2o, so the
+    // oracle is exact, no floating point anywhere. A projection bug
+    // (sign drift, dimension mixup) collapses n_preserved instantly.
+    QueryDef("embedding_project_audit",
+      (s, d) => {
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 50)
+        val comps = graft.operators.IvfCodebook.comps(v)
+        val proj = comps.join(broadcast(jlSigns(s)), "dim")
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sg") * col("qx")).as("p"))
+        val dproj = proj.select(col("vec_id").as("va"), col("j"), col("p").as("pa"))
+          .join(proj.select(col("vec_id").as("vb"), col("j"), col("p").as("pb")), "j")
+          .filter(col("va") < col("vb"))
+          .groupBy("va", "vb")
+          .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("d2p"))
+        val dorig = comps.select(col("vec_id").as("va"), col("dim"), col("qx").as("qa"))
+          .join(comps.select(col("vec_id").as("vb"), col("dim"), col("qx").as("qb")), "dim")
+          .filter(col("va") < col("vb"))
+          .groupBy("va", "vb")
+          .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2o"))
+        dproj.join(dorig, Seq("va", "vb"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(when(abs(col("d2p") - lit(16L) * col("d2o")) * 2 <=
+              lit(16L) * col("d2o"), 1L).otherwise(0L)).as("n_preserved"))
+      },
+      Some(s"""WITH $JlSignsSql,
+        |c AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings WHERE vec_id < 50),
+        |proj AS (SELECT vec_id, j, CAST(sum(sg * qx) AS BIGINT) AS p
+        |  FROM c JOIN sg USING (dim) GROUP BY 1, 2),
+        |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2p
+        |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2o
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN 2 * abs(d2p - 16 * d2o) <= 16 * d2o
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved
+        |FROM dp JOIN dd USING (va, vb)""".stripMargin))
   )
+
 
   /** The 4 per-subspace Lloyd CTE chains (each over its 16-dim slice of
     * `embeddings`), shared by the PQ oracles. */

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Johnson-Lindenstrauss random projection: the sign matrix must carry
+  * real entropy (md5-parity signs near balance — a degenerate all-plus
+  * matrix would just sum components), and the distance-preservation
+  * guarantee is MEASURED against the exact pairwise distances, the same
+  * discipline as the LSH/MinHash/PQ recall audits.
+  */
+class ProjectionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("projection output is complete and the sign matrix is balanced") {
+    val p = SparkEntry.queries("embedding_project")(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(p.length == nVecs * 16, "16 projected components per vector")
+    // recover the sign balance from the oracle-shared derivation
+    val signs = for (j <- 0 until 16; d <- 1 to 64) yield {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      1 - 2 * (hex.charAt(0).toInt % 2)
+    }
+    val plus = signs.count(_ == 1).toDouble / signs.size
+    assert(plus > 0.38 && plus < 0.62, s"sign balance degenerate: $plus")
+  }
+
+  test("measured JL preservation: most pairs within ±50% of k·d2") {
+    val r = SparkEntry.queries("embedding_project_audit")(spark, dir)
+      .collect().head
+    val nPairs = r.getAs[Long]("n_pairs")
+    val nPreserved = r.getAs[Long]("n_preserved")
+    assert(nPairs == 50L * 49 / 2)
+    val rate = nPreserved.toDouble / nPairs
+    info(s"JL preservation rate at k=16: $rate")
+    // k=16 has ~sqrt(2/16)=35% relative std, so ±50% should capture the
+    // bulk; below 0.7 the projection stopped behaving like a JL matrix
+    assert(rate >= 0.7, s"preservation collapsed: $rate")
+  }
+}
