@@ -136,6 +136,11 @@ object SparkEntry {
     "multimodal_meta" -> Seq("doc_id"),
     "multimodal_pixels" -> Seq("doc_id"),
     "multimodal_samples" -> Seq("doc_id"),
+    "multimodal_audio_features" -> Seq("doc_id"),
+    "multimodal_video_frames" -> Seq("doc_id", "frame_idx"),
+    "q_kmv_distinct" -> Seq("event_type"),
+    "q_kmv_jaccard" -> Seq("type_a", "type_b"),
+    "corpus_weighted_sample" -> Seq("doc_id"),
     "multimodal_jpeg_pixels" -> Seq("doc_id"),
     "multimodal_resize" -> Seq("doc_id"),
     "corpus_mix_sample" -> Seq("doc_id"),

@@ -1129,6 +1129,96 @@ object Multimodal {
     out.array()
   }
 
+  /** A fully decoded YUV4MPEG2 stream: dimensions plus every frame's
+    * luma plane (row-major, one `Array[Byte]` of width*height per
+    * frame), the output of [[decodeY4m]]. */
+  final case class Y4mVideo(width: Int, height: Int,
+      frames: Array[Array[Byte]])
+
+  /** Canonical YUV4MPEG2 container around monochrome frames: the ASCII
+    * stream header (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono`), then each
+    * frame as a `FRAME` marker line plus its raw width*height luma
+    * plane. Y4M is the uncompressed interchange format of the ffmpeg /
+    * mjpegtools world — the one video container a dependency-free
+    * environment can write and parse for real, byte for byte.
+    */
+  def y4mBytes(width: Int, height: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    val header =
+      s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(marker.length + _.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker).put(f) }
+    out.array()
+  }
+
+  /** REAL YUV4MPEG2 decode: parse the ASCII stream header (W/H/C
+    * parameters located by tag wherever they sit in the parameter list,
+    * unknown parameters skipped), then walk the FRAME markers — each may
+    * carry its own parameter string up to the newline, per spec — and
+    * slice out one luma plane per frame. Strict where it matters: a
+    * missing magic, non-positive dimensions, a colorspace other than
+    * `Cmono` (the only one whose plane layout this writer emits), a
+    * malformed FRAME marker, or a truncated final plane is a decode
+    * failure, not a guess.
+    */
+  def decodeY4m(b: Array[Byte]): Option[Y4mVideo] = {
+    val magic = "YUV4MPEG2"
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != '\n') i += 1
+      i
+    }
+    if (b == null || b.length < magic.length + 1 ||
+        new String(b, 0, magic.length,
+          java.nio.charset.StandardCharsets.US_ASCII) != magic) None
+    else {
+      val hEnd = lineEnd(magic.length)
+      if (hEnd >= b.length) None
+      else {
+        val params = new String(b, magic.length, hEnd - magic.length,
+          java.nio.charset.StandardCharsets.US_ASCII)
+          .split(' ').filter(_.nonEmpty)
+        def intParam(tag: Char): Int =
+          params.collectFirst {
+            case p if p.length > 1 && p.head == tag &&
+                p.tail.forall(_.isDigit) => p.tail.toInt
+          }.getOrElse(-1)
+        val w = intParam('W')
+        val h = intParam('H')
+        val cs = params.collectFirst {
+          case p if p.head == 'C' => p.tail
+        }.getOrElse("420jpeg") // the spec default when C is absent
+        if (w <= 0 || h <= 0 || cs != "mono") None
+        else {
+          val plane = w * h
+          val fs = Array.newBuilder[Array[Byte]]
+          var i = hEnd + 1
+          var bad = false
+          while (!bad && i < b.length) {
+            if (i + 5 > b.length ||
+                new String(b, i, 5,
+                  java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+              bad = true
+            else {
+              val fEnd = lineEnd(i + 5) // frame-local params, skipped
+              if (fEnd >= b.length || fEnd + 1 + plane > b.length) bad = true
+              else {
+                fs += java.util.Arrays.copyOfRange(b, fEnd + 1,
+                  fEnd + 1 + plane)
+                i = fEnd + 1 + plane
+              }
+            }
+          }
+          if (bad) None else Some(Y4mVideo(w, h, fs.result()))
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic media table derived from `documents` — the
     * test corpus has no real media. Image rows are VALID BMP blobs and
     * audio rows VALID canonical WAV blobs (dimensions/rates derived from

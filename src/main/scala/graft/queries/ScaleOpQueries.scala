@@ -13,6 +13,50 @@ import org.apache.spark.sql.functions._
 object ScaleOpQueries {
   import Q._
 
+  /** Sketch size for the KMV queries — small enough that the estimator
+    * path (not the exact small-set path) is exercised at every test
+    * scale (150 distinct users/type at sf0.01), large enough for a
+    * meaningful estimate. */
+  private val KmvK = 64
+
+  /** 48-bit uniform hash of user_id, identical in both engines: the
+    * first 12 hex digits of sha256 of the decimal string. 48 bits keeps
+    * the DuckDB rendering in the double-exact range (< 2^53) while
+    * leaving collision odds negligible at test cardinalities. */
+  private val KmvHashExpr =
+    "CAST(conv(substring(sha2(CAST(user_id AS STRING), 256), 1, 12)," +
+      " 16, 10) AS BIGINT)"
+
+  /** Per-event-type KMV sketch (ascending ≤ k minima) plus the exact
+    * distinct count for auditability — persisted once and shared by the
+    * distinct-estimate and Jaccard queries. */
+  private def kmvSketches(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame =
+    cached(s, d, "kmv_sketches") {
+      table(s, d, "events")
+        .select(col("event_type"), expr(KmvHashExpr).as("hv"))
+        .groupBy("event_type")
+        .agg(graft.operators.Kmv.minValues(k)(col("hv")).as("sk"),
+          countDistinct(col("hv")).as("n_true"))
+    }
+
+  /** DuckDB rendering of the sketch derivation: a CTE prefix ending in
+    * `r(event_type, hv, rn, nd)` — distinct hashes ranked ascending per
+    * type, with the type's distinct count. Keep in lockstep with
+    * [[kmvSketches]]. */
+  private val KmvRankSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST(list_sum(list_transform(range(0, 12), i ->
+      |      (strpos('0123456789abcdef',
+      |        substr(sha256(CAST(user_id AS VARCHAR)),
+      |          CAST(i + 1 AS INTEGER), 1)) - 1)
+      |      * power(16, 11 - i))) AS BIGINT) AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Skew-safe aggregation: two-stage salted sum/count over (key, salt)
@@ -548,6 +592,105 @@ object ScaleOpQueries {
             expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
       },
       None),
+
+    // KMV (k-minimum-values) distinct sketch — the ORACLE-ABLE
+    // counterpart of q_hll_distinct_union: per event type, keep the
+    // k=64 smallest distinct 48-bit hashes of user_id (a typed
+    // Aggregator with map-side partial merge — each partition reduces
+    // to ≤ 64 longs before any shuffle, the bounded-state shape exact
+    // distinct can't give at 100 TB), then estimate cardinality from
+    // the k-th minimum: est = (k-1)·2^48 / h_(k), exact count when the
+    // sketch never filled. Unlike HLL's binary registers, the retained
+    // minima are plain integers a SQL engine re-derives with a rank
+    // window over distinct hashes, so the WHOLE sketch — state and
+    // readout — hash-matches in DuckDB; and unlike HLL it supports set
+    // intersection (q_kmv_jaccard below). The hash is the engine's
+    // sha256 prefix (both engines produce identical hex), so "random"
+    // is reproducible everywhere. n_true is the exact distinct count,
+    // carried so the estimate is auditable in one row (same policy as
+    // the recall audits).
+    QueryDef("q_kmv_distinct",
+      (s, d) => {
+        val k = KmvK
+        val sk = kmvSketches(s, d, k)
+        sk.select(col("event_type"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          when(size(col("sk")) >= k, element_at(col("sk"), k))
+            .as("kth_min"),
+          when(size(col("sk")) < k, size(col("sk")).cast("long"))
+            .otherwise(expr(
+              s"CAST(${(k - 1).toLong * (1L << 48)} DIV element_at(sk, $k)" +
+                " AS BIGINT)"))
+            .as("est_distinct"),
+          col("n_true"))
+      },
+      Some(s"""$KmvRankSql
+        |SELECT event_type,
+        |  CAST(least(max(nd), $KmvK) AS BIGINT) AS n_sketch,
+        |  CAST(max(CASE WHEN rn = $KmvK THEN hv END) AS BIGINT) AS kth_min,
+        |  CAST(CASE WHEN max(nd) < $KmvK THEN max(nd)
+        |    ELSE ${(KmvK - 1).toLong * (1L << 48)} // max(CASE WHEN rn = $KmvK THEN hv END)
+        |    END AS BIGINT) AS est_distinct,
+        |  CAST(max(nd) AS BIGINT) AS n_true
+        |FROM r GROUP BY event_type""".stripMargin)),
+
+    // KMV set-overlap estimation — the operation HLL cannot do: for
+    // every pair of event types, union the two k-minima sketches
+    // (k smallest of A_k ∪ B_k = k smallest of A ∪ B, the theta-union
+    // identity) and count union minima present in BOTH sketches; the
+    // match fraction estimates Jaccard similarity. Everything runs on
+    // the ≤ 64-long sketch arrays with array functions — the pair join
+    // is |types|², over sketches, never over events — so audience-
+    // overlap over a 100 TB event log costs one sketch pass plus a
+    // constant-size pair table. Integer-exact (counts and a scaled
+    // percentage), so the oracle replays it bit-for-bit.
+    QueryDef("q_kmv_jaccard",
+      (s, d) => {
+        val k = KmvK
+        val sk = kmvSketches(s, d, k)
+        val a = sk.select(col("event_type").as("type_a"),
+          col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"),
+          col("sk").as("skb"))
+        // |types| rows per side: the cross join is a broadcast over a
+        // handful of sketch rows, not a data-scale product
+        a.crossJoin(broadcast(b))
+          .where(col("type_a") < col("type_b"))
+          .withColumn("uk",
+            slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+          .select(col("type_a"), col("type_b"),
+            size(col("uk")).cast("long").as("n_union"),
+            size(array_intersect(col("uk"),
+              array_intersect(col("ska"), col("skb"))))
+              .cast("long").as("n_match"),
+            expr("CAST(100 * size(array_intersect(uk," +
+              " array_intersect(ska, skb))) DIV size(uk) AS BIGINT)")
+              .as("jaccard_pct"))
+      },
+      Some(s"""$KmvRankSql,
+        |sk AS (SELECT event_type, hv FROM r WHERE rn <= $KmvK),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |u AS (SELECT type_a, type_b, hv,
+        |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv)
+        |      AS urn
+        |  FROM (SELECT DISTINCT p.type_a, p.type_b, s.hv
+        |    FROM pairs p JOIN sk s
+        |      ON s.event_type = p.type_a OR s.event_type = p.type_b)),
+        |uk AS (SELECT type_a, type_b, hv FROM u WHERE urn <= $KmvK),
+        |m AS (SELECT uk.type_a, uk.type_b,
+        |    count(*) AS n_union,
+        |    sum(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS n_match
+        |  FROM uk
+        |  LEFT JOIN sk sa ON sa.event_type = uk.type_a AND sa.hv = uk.hv
+        |  LEFT JOIN sk sb ON sb.event_type = uk.type_b AND sb.hv = uk.hv
+        |  GROUP BY uk.type_a, uk.type_b)
+        |SELECT type_a, type_b, CAST(n_union AS BIGINT) AS n_union,
+        |  CAST(n_match AS BIGINT) AS n_match,
+        |  CAST(100 * n_match // n_union AS BIGINT) AS jaccard_pct
+        |FROM m""".stripMargin)),
 
     // Incremental QUANTILE maintenance — the percentile companion of
     // q_incr_agg/q_hll_distinct_union: per (type, day) partial state is a

@@ -482,6 +482,148 @@ object TextQueries {
         |  CAST(coalesce(list_max(s), 0) AS BIGINT) AS peak
         |FROM v""".stripMargin)),
 
+    // Audio FEATURE EXTRACTION — the deterministic per-channel signal
+    // statistics a pipeline derives before any learned featurizer:
+    // channel-0 energy (sum of squared samples), zero-crossing count
+    // about the integer mean (the classic voiced/unvoiced and
+    // noisiness cue), and total variation (sum |s[t+1]-s[t]|, a crude
+    // high-frequency-energy proxy). Runs on the REAL PCM WAV decode
+    // (generic RIFF chunk walk + 16-bit frames); every feature is
+    // integer arithmetic, so the result is bit-identical in any
+    // engine — no FFT doubles whose summation order could differ.
+    // mapPartitions is the right shape: one decoder per partition, the
+    // same plumbing a per-partition codec/library init needs on a
+    // cluster, and the stage stays linear and shuffle-free.
+    QueryDef("multimodal_audio_features",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 3)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val payload =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val blob = Multimodal.wavBytes(1 + (id % 2).toInt,
+                if (id % 4 == 3) 16000 else 8000, payload)
+              val a = Multimodal.decodeWavSamples(blob).get
+              val ch = a.channels
+              val n = a.samples.length / ch // complete frames
+              var sum = 0L; var i = 0
+              while (i < n) { sum += a.samples(i * ch).toLong; i += 1 }
+              val mean = if (n == 0) 0L else sum / n
+              var energy = 0L; var zc = 0L; var tv = 0L
+              i = 0
+              while (i < n) {
+                val v = a.samples(i * ch).toLong
+                energy += v * v
+                if (i + 1 < n) {
+                  val w = a.samples((i + 1) * ch).toLong
+                  if ((v - mean) * (w - mean) < 0) zc += 1
+                  tv += math.abs(w - v)
+                }
+                i += 1
+              }
+              (id, n.toLong, mean, energy, zc, tv)
+            }
+          }
+          .toDF("doc_id", "n_frames", "mean_s", "energy", "zero_cross",
+            "total_var")
+      },
+      Some("""WITH a AS (SELECT doc_id, text,
+        |    CAST(1 + (doc_id % 2) AS INTEGER) AS ch,
+        |    octet_length(encode(text)) // (2 * (1 + (doc_id % 2)))
+        |      AS frames
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |v AS (SELECT doc_id, frames,
+        |    list_transform(range(0, frames), f ->
+        |      unicode(substr(text, CAST(2 * f * ch + 1 AS INTEGER), 1)) +
+        |      256 * unicode(substr(text, CAST(2 * f * ch + 2 AS INTEGER), 1)))
+        |      AS s
+        |  FROM a),
+        |m AS (SELECT doc_id, frames, s,
+        |    CASE WHEN frames = 0 THEN 0
+        |      ELSE list_sum(s) // frames END AS mean_s
+        |  FROM v)
+        |SELECT doc_id, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(mean_s AS BIGINT) AS mean_s,
+        |  CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0)
+        |    AS BIGINT) AS energy,
+        |  CAST(coalesce(list_sum(list_transform(range(0, frames - 1), f ->
+        |    CASE WHEN (s[CAST(f + 1 AS INTEGER)] - mean_s)
+        |            * (s[CAST(f + 2 AS INTEGER)] - mean_s) < 0
+        |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross,
+        |  CAST(coalesce(list_sum(list_transform(range(0, frames - 1), f ->
+        |    abs(s[CAST(f + 2 AS INTEGER)] - s[CAST(f + 1 AS INTEGER)]))), 0)
+        |    AS BIGINT) AS total_var
+        |FROM m""".stripMargin)),
+
+    // Video FRAME SAMPLING — the stage that turns a video corpus into a
+    // per-frame training table: decode the container, keep every 2nd
+    // frame, emit one row per sampled frame with its luma statistics
+    // (the explode shape per-frame models consume). The container is
+    // REAL YUV4MPEG2 — written and parsed byte-for-byte by
+    // [[graft.multimodal.Multimodal.decodeY4m]] (ASCII stream header,
+    // per-frame FRAME markers, raw luma planes) — so the decode path
+    // exercises a genuine public video format, not an opaque stub.
+    // flatMap inside mapPartitions keeps decode per-partition and the
+    // output linear in sampled frames; at corpus scale the sampled-frame
+    // table partitions by doc like any other explode.
+    QueryDef("multimodal_video_frames",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 0)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              val nBytes =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val w = 1 + nBytes % 48
+              val h = 1 + (id % 32).toInt
+              val nf = 2 + (id % 5).toInt
+              val frames = Array.tabulate(nf) { f =>
+                Array.tabulate(w * h) { i =>
+                  ((i % w + 3 * (i / w) + 11 * f + id) % 256).toByte
+                }
+              }
+              val v =
+                Multimodal.decodeY4m(Multimodal.y4mBytes(w, h, frames)).get
+              (0 until v.frames.length by 2).map { f =>
+                val p = v.frames(f)
+                var sum = 0L; var crc = 0L; var i = 0
+                while (i < p.length) {
+                  val x = p(i) & 0xff
+                  sum += x; crc += x.toLong * (i % 89 + 1); i += 1
+                }
+                (id, f.toLong, v.width, v.height, sum, crc)
+              }
+            }
+          }
+          .toDF("doc_id", "frame_idx", "width", "height", "f_sum", "f_crc")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 48) AS w,
+        |    1 + (doc_id % 32) AS h,
+        |    2 + (doc_id % 5) AS nf
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM m),
+        |v AS (SELECT doc_id, w, h, fi,
+        |    list_transform(range(0, w * h), i ->
+        |      (i % w + 3 * (i // w) + 11 * fi + doc_id) % 256) AS p
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(p) AS BIGINT) AS f_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h), i ->
+        |    p[CAST(i + 1 AS INTEGER)] * ((i % 89) + 1))) AS BIGINT)
+        |    AS f_crc
+        |FROM v""".stripMargin)),
+
     // Intra-document repetition — the "repeated phrases" quality rule
     // (high duplicate-3-gram ratio marks boilerplate/spam): per document,
     // total vs distinct word-3-grams and their ratio. Computed on ARRAYS
@@ -543,6 +685,42 @@ object TextQueries {
         |  CASE WHEN lang = 'en' THEN '8000'
         |       WHEN lang IN ('de', 'fr') THEN '4000'
         |       ELSE '2000' END""".stripMargin)),
+
+    // WEIGHTED corpus sampling — priority sampling (Duffield, Lund,
+    // Thorup 2007): each document gets priority w/u with w its weight
+    // (word count — the "sample long documents proportionally more"
+    // training-mix knob) and u a uniform hash draw; the k highest
+    // priorities are the sample, which supports unbiased subset-sum
+    // estimates unlike naive weighted tosses. Everything is INTEGER:
+    // u = (h+1)/2^48 for a 48-bit sha-derived hash, so priority =
+    // w·2^48 ÷ (h+1) exactly (w ≤ ~100 words here, overflow-safe by
+    // 300×; floor division is part of the operator contract and the
+    // doc_id tiebreak makes boundary ties deterministic). The plan is a
+    // scalar projection + TakeOrdered top-k — per-partition heaps, no
+    // global sort, no shuffle of the corpus — the only affordable shape
+    // for "pick 25 of a billion by weight".
+    QueryDef("corpus_weighted_sample",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          expr("CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256)," +
+            " 1, 12), 16, 10) AS BIGINT)").as("h"))
+        .select(col("doc_id"), col("w"),
+          expr("CAST(w * 281474976710656 DIV (h + 1) AS BIGINT)")
+            .as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(25),
+      Some("""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(list_sum(list_transform(range(0, 12), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(sha256(CAST(doc_id AS VARCHAR)),
+        |          CAST(i + 1 AS INTEGER), 1)) - 1)
+        |      * power(16, 11 - i))) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w,
+        |  CAST(w * 281474976710656 // (h + 1) AS BIGINT) AS priority
+        |FROM d ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin)),
 
     // Benchmark DECONTAMINATION — drop training documents that overlap
     // the evaluation set: the eval fixture here is doc_id < 20, its

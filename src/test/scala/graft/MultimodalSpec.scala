@@ -296,6 +296,68 @@ class MultimodalSpec extends SparkSpec {
     assert(got.samples.toSeq == want)
   }
 
+  test("Y4M video round-trips: header params, frame markers, luma planes") {
+    val w = 5; val h = 3
+    val frames = Array.tabulate(4)(f =>
+      Array.tabulate(w * h)(i => ((i * 7 + f * 31) % 256).toByte))
+    val v = Multimodal.decodeY4m(Multimodal.y4mBytes(w, h, frames))
+      .getOrElse(fail("y4m decode failed"))
+    assert(v.width == w && v.height == h && v.frames.length == 4)
+    (0 until 4).foreach(f =>
+      assert(java.util.Arrays.equals(v.frames(f), frames(f)), s"frame $f"))
+
+    // header parsing is parameter-order-independent per spec: W/H/C
+    // located by tag, unknown params (X metadata) skipped
+    val reordered =
+      ("YUV4MPEG2 F25:1 Cmono Xmeta H2 W3 A1:1 Ip\n" + "FRAME\n")
+        .getBytes("US-ASCII") ++ Array.tabulate(6)(_.toByte)
+    val r = Multimodal.decodeY4m(reordered).getOrElse(fail("reorder failed"))
+    assert(r.width == 3 && r.height == 2 && r.frames.length == 1)
+    // frame-local parameters after the FRAME tag are legal and skipped
+    val frameParams =
+      ("YUV4MPEG2 W2 H2 Cmono\n" + "FRAME Ip\n").getBytes("US-ASCII") ++
+        Array[Byte](9, 8, 7, 6)
+    val fp = Multimodal.decodeY4m(frameParams)
+      .getOrElse(fail("frame-param decode failed"))
+    assert(fp.frames.head.toSeq == Seq[Byte](9, 8, 7, 6))
+
+    // strict refusals: bad magic, unsupported colorspace (the spec
+    // default 420jpeg when C is absent), truncated final plane, and a
+    // corrupt frame marker
+    assert(Multimodal.decodeY4m("JUNK W2 H2\nFRAME\nxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(
+      ("YUV4MPEG2 W2 H2\nFRAME\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4))).isEmpty)
+    val good = Multimodal.y4mBytes(w, h, frames)
+    assert(Multimodal.decodeY4m(good.dropRight(1)).isEmpty)
+    val corrupt = good.clone()
+    corrupt(good.indexOfSlice("FRAME".getBytes)) = 'G'
+    assert(Multimodal.decodeY4m(corrupt).isEmpty)
+  }
+
+  test("audio features are integer-exact on a known signal") {
+    // channel-0 of an interleaved stereo stream: [10, 0, 10, 0, 10]
+    // (channel 1 is constant 7 and must not leak into the features)
+    val ch0 = Array[Short](10, 0, 10, 0, 10)
+    val payload = java.nio.ByteBuffer.allocate(ch0.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ch0.foreach { v => payload.putShort(v); payload.putShort(7.toShort) }
+    val a = Multimodal.decodeWavSamples(
+      Multimodal.wavBytes(2, 8000, payload.array())).get
+    val n = a.samples.length / a.channels
+    val s0 = (0 until n).map(i => a.samples(i * a.channels).toLong)
+    assert(s0 == Seq(10L, 0L, 10L, 0L, 10L))
+    val mean = s0.sum / n                       // 30/5 = 6
+    assert(mean == 6L)
+    val energy = s0.map(v => v * v).sum         // 3*100 = 300
+    assert(energy == 300L)
+    val zc = s0.sliding(2).count(p =>
+      (p(0) - mean) * (p(1) - mean) < 0)        // every adjacent pair flips
+    assert(zc == 4L)
+    val tv = s0.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+    assert(tv == 40L)
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)
