@@ -32,14 +32,16 @@ case class MediaFeature(
   * resize/frame-sample dataflow — and REAL decoders: header metadata for
   * BMP/PNG/JPEG/GIF/WAV (pure byte arithmetic: DIB header, IHDR, SOFn
   * marker walk, logical screen descriptor, RIFF layout), plus FULL
-  * payload decode for four formats: PNG ([[decodePngPixels]]: chunk
+  * payload decode for five formats: PNG ([[decodePngPixels]]: chunk
   * CRCs, zlib IDAT via `java.util.zip.Inflater`, all five scanline
   * filters reversed), GIF ([[decodeGifPixels]]: variable-width LZW),
   * baseline JPEG ([[decodeJpegPixels]]: canonical Huffman entropy
-  * decode, DC prediction, dequant, IDCT), and PCM WAV
-  * ([[decodeWavSamples]]: RIFF chunk walk, 16-bit samples) — each with
-  * its matching encoder. For audio the generic feature triple maps as
-  * width = sample rate, height = channels, n_frames = PCM sample frames.
+  * decode, DC prediction, dequant, IDCT), PCM WAV
+  * ([[decodeWavSamples]]: RIFF chunk walk, 16-bit samples), and Y4M
+  * video ([[decodeY4m]]: YUV4MPEG2 stream header + FRAME-marker walk,
+  * one luma plane per frame) — each with its matching encoder. For
+  * audio the generic feature triple maps as width = sample rate,
+  * height = channels, n_frames = PCM sample frames.
   *
   * STUBBED — clearly and deliberately: blobs in formats whose PAYLOAD
   * needs a codec stack this runtime cannot carry (MP4/video — no media
@@ -1011,7 +1013,7 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, false)
     else decodeBmp(bytes).orElse(decodePng(bytes))
         .orElse(decodeJpeg(bytes)).orElse(decodeGif(bytes))
-        .orElse(decodeWav(bytes)) match {
+        .orElse(decodeWav(bytes)).orElse(decodeY4mMeta(bytes)) match {
       case Some((w, h, f)) => (w, h, f, true)
       case None => decodeStub(mediaType, bytes)
     }
@@ -1165,7 +1167,25 @@ object Multimodal {
     * malformed FRAME marker, or a truncated final plane is a decode
     * failure, not a guess.
     */
-  def decodeY4m(b: Array[Byte]): Option[Y4mVideo] = {
+  def decodeY4m(b: Array[Byte]): Option[Y4mVideo] =
+    y4mWalk(b) { (w, h, offsets) =>
+      Y4mVideo(w, h, offsets.map(o =>
+        java.util.Arrays.copyOfRange(b, o, o + w * h)))
+    }
+
+  /** Metadata-only Y4M decode — (width, height, n_frames) from the same
+    * strict walk as [[decodeY4m]] without copying any plane. The cheap
+    * form the feature-extraction dispatch wants: a 100 MB video blob
+    * yields three ints, not a frame copy. */
+  def decodeY4mMeta(b: Array[Byte]): Option[(Int, Int, Int)] =
+    y4mWalk(b)((w, h, offsets) => (w, h, offsets.length))
+
+  /** Shared strict Y4M walk: header parse + frame-marker scan, then
+    * `build(width, height, planeOffsets)` on success. Every structural
+    * defect (bad magic, non-`Cmono` colorspace, malformed FRAME marker,
+    * truncated plane) is a `None`, never a guess. */
+  private def y4mWalk[A](b: Array[Byte])(
+      build: (Int, Int, Array[Int]) => A): Option[A] = {
     val magic = "YUV4MPEG2"
     def lineEnd(from: Int): Int = {
       var i = from
@@ -1195,7 +1215,7 @@ object Multimodal {
         if (w <= 0 || h <= 0 || cs != "mono") None
         else {
           val plane = w * h
-          val fs = Array.newBuilder[Array[Byte]]
+          val offsets = Array.newBuilder[Int]
           var i = hEnd + 1
           var bad = false
           while (!bad && i < b.length) {
@@ -1207,13 +1227,12 @@ object Multimodal {
               val fEnd = lineEnd(i + 5) // frame-local params, skipped
               if (fEnd >= b.length || fEnd + 1 + plane > b.length) bad = true
               else {
-                fs += java.util.Arrays.copyOfRange(b, fEnd + 1,
-                  fEnd + 1 + plane)
+                offsets += fEnd + 1
                 i = fEnd + 1 + plane
               }
             }
           }
-          if (bad) None else Some(Y4mVideo(w, h, fs.result()))
+          if (bad) None else Some(build(w, h, offsets.result()))
         }
       }
     }
@@ -1222,8 +1241,9 @@ object Multimodal {
   /** Deterministic synthetic media table derived from `documents` — the
     * test corpus has no real media. Image rows are VALID BMP blobs and
     * audio rows VALID canonical WAV blobs (dimensions/rates derived from
-    * the doc), so the real header decoders run end-to-end; video rows stay
-    * opaque payloads on the documented stub path. Lets every multimodal
+    * the doc), so the real header decoders run end-to-end; video rows are
+    * VALID YUV4MPEG2 streams the real frame parser decodes. Lets every
+    * multimodal
     * stage run at any scale factor.
     */
   def syntheticFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -1264,7 +1284,19 @@ object Multimodal {
               ((i % w + 5 * (i / w) + 7 * id) % 256).toByte
             }
             MediaRow(id, "image", gifIndexed(w, h, idx), src)
-          case _ => MediaRow(id, "video", payload, src)
+          case _ =>
+            // a REAL YUV4MPEG2 stream, frame planes and all (ASCII
+            // stream header, FRAME markers): video now decodes for real
+            // too — the stub path remains only for formats that need a
+            // true compressed-codec library (e.g. MP4/H.264)
+            val w = 1 + (text.length % 48)
+            val h = 1 + (id % 32).toInt
+            val frames = Array.tabulate(2 + (id % 5).toInt) { f =>
+              Array.tabulate(w * h) { i =>
+                ((i % w + 3 * (i / w) + 11 * f + id) % 256).toByte
+              }
+            }
+            MediaRow(id, "video", y4mBytes(w, h, frames), src)
         }
       }
   }

@@ -4,8 +4,10 @@ import graft.multimodal.{MediaRow, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary schema, partition-parallel decode batches,
-  * chunk sampling. The decode itself is a documented deterministic stub
-  * (no media libs in this runtime) — the dataflow around it is real.
+  * chunk sampling — plus the REAL codecs (BMP/PNG/JPEG/GIF header +
+  * payload, PCM WAV, Y4M video): round-trips, strict refusals, and the
+  * synthetic corpus decoding end-to-end. Only true compressed-video
+  * codecs (MP4/H.264) remain on the documented deterministic stub.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -30,12 +32,12 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq) // partitioning must not change results
     assert(f1.forall(_.ok))
     assert(f1.forall(f => f.n_bytes > 0 && f.fingerprint.length == 16))
-    // stub dimensions are a pure function of bytes
+    // video decodes for real now: frame count from the Y4M walk
     val video = f1.filter(_.media_type == "video")
-    assert(video.forall(f => f.n_frames == 1 + f.n_bytes / 4096))
+    assert(video.forall(f => f.n_frames == 2 + (f.media_id % 5).toInt))
   }
 
-  test("BMP, PNG, JPEG, GIF and WAV headers decode for real; video stubs") {
+  test("BMP, PNG, JPEG, GIF, WAV and Y4M all decode for real") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", length($"text").as("len"))
       .as[(Long, Int)].collect().toMap
@@ -58,6 +60,12 @@ class MultimodalSpec extends SparkSpec {
           assert(r.height == 1 + (r.media_id % 40).toInt, s"gif height: $r")
       }
       assert(r.n_frames == 1 && r.ok)
+    }
+    f.filter(_.media_type == "video").foreach { r =>
+      assert(r.width == 1 + (docs(r.media_id) % 48), s"y4m width: $r")
+      assert(r.height == 1 + (r.media_id % 32).toInt, s"y4m height: $r")
+      assert(r.n_frames == 2 + (r.media_id % 5).toInt, s"y4m frames: $r")
+      assert(r.ok)
     }
     f.filter(_.media_type == "audio").foreach { r =>
       val channels = 1 + (r.media_id % 2).toInt
