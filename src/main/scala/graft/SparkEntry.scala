@@ -140,6 +140,7 @@ object SparkEntry {
     "multimodal_video_frames" -> Seq("doc_id", "frame_idx"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
+    "q_cms_heavy" -> Seq("value_cents"),
     "corpus_weighted_sample" -> Seq("doc_id"),
     "multimodal_jpeg_pixels" -> Seq("doc_id"),
     "multimodal_resize" -> Seq("doc_id"),

@@ -27,6 +27,23 @@ object ScaleOpQueries {
     "CAST(conv(substring(sha2(CAST(user_id AS STRING), 256), 1, 12)," +
       " 16, 10) AS BIGINT)"
 
+  /** Count-Min geometry: 4 hash rows × 1024 buckets — small enough that
+    * collisions (and thus a non-trivial overestimate column) appear at
+    * every test scale, large enough that min-over-rows keeps estimates
+    * within a few × of truth. */
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  /** DuckDB rendering of [[graft.operators.CountMin.bucket]]: the 48-bit
+    * sha-prefix of `"j:key"` as a hex-digit place-value sum, mod w. Keep
+    * in lockstep with the Scala side. */
+  private def cmsBucketSql(j: String, k: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 12), i ->
+       |    (strpos('0123456789abcdef',
+       |      substr(sha256(CAST($j AS VARCHAR) || ':' ||
+       |        CAST($k AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1)
+       |    * power(16, 11 - i))) AS BIGINT) % $CmsW""".stripMargin
+
   /** Per-event-type KMV sketch (ascending ≤ k minima) plus the exact
     * distinct count for auditability — persisted once and shared by the
     * distinct-estimate and Jaccard queries. */
@@ -691,6 +708,49 @@ object ScaleOpQueries {
         |  CAST(n_match AS BIGINT) AS n_match,
         |  CAST(100 * n_match // n_union AS BIGINT) AS jaccard_pct
         |FROM m""".stripMargin)),
+
+    // Count-Min sketch point queries — the frequency-estimation member of
+    // the mergeable-sketch family (HLL → cardinality, KMV → cardinality +
+    // intersection, Space-Saving → the heavy keys themselves, GK →
+    // quantiles; CMS → ANY key's approximate count without storing keys).
+    // The sketch is built as a RELATION (graft.operators.CountMin): one
+    // explode×d + groupBy pass whose shuffle is capped at d·w cells per
+    // partition by partial aggregation — bounded state at any input
+    // scale, and two sketches merge by union+sum. Here: d=4 rows × 1024
+    // buckets over the ~17.8k distinct cents values of events.value
+    // (sf0.1), then the 10 highest-true-count values are point-estimated
+    // back from the sketch. The overestimate column makes the CMS
+    // guarantee auditable: always ≥ 0, bounded by the row-collision load.
+    // Both engines replay the 48-bit sha-prefix bucket hash digit-exact.
+    QueryDef("q_cms_heavy",
+      (s, d) => {
+        import graft.operators.CountMin
+        val ev = table(s, d, "events").select(cents(col("value")).as("kv"))
+        val sk = CountMin.sketch(ev, col("kv"), CmsD, CmsW)
+        val top = ev.groupBy("kv").agg(count(lit(1)).as("n_true"))
+          .orderBy(col("n_true").desc, col("kv")).limit(10)
+        CountMin.estimate(sk, top, "kv", CmsD, CmsW)
+          .select(col("kv").as("value_cents"), col("n_true"),
+            col("cms_est"),
+            (col("cms_est") - col("n_true")).as("overestimate"))
+      },
+      Some(s"""WITH k AS (SELECT CAST(round(value*100) AS BIGINT) AS kv
+        |  FROM events),
+        |sk AS (SELECT j, ${cmsBucketSql("j", "kv")} AS bucket,
+        |    count(*) AS cnt
+        |  FROM k CROSS JOIN range(0, $CmsD) t(j)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT kv, count(*) AS n_true FROM k GROUP BY 1
+        |  ORDER BY n_true DESC, kv LIMIT 10),
+        |e AS (SELECT t.kv, t.n_true, min(coalesce(s.cnt, 0)) AS cms_est
+        |  FROM top t CROSS JOIN range(0, $CmsD) r(j)
+        |  LEFT JOIN sk s ON s.j = r.j
+        |    AND s.bucket = ${cmsBucketSql("r.j", "t.kv")}
+        |  GROUP BY 1, 2)
+        |SELECT kv AS value_cents, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - n_true AS BIGINT) AS overestimate
+        |FROM e""".stripMargin)),
 
     // Incremental QUANTILE maintenance — the percentile companion of
     // q_incr_agg/q_hll_distinct_union: per (type, day) partial state is a
