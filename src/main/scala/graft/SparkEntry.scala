@@ -141,6 +141,7 @@ object SparkEntry {
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),
+    "q_bloom_join_prune" -> Seq("p_brand"),
     "corpus_weighted_sample" -> Seq("doc_id"),
     "multimodal_jpeg_pixels" -> Seq("doc_id"),
     "multimodal_resize" -> Seq("doc_id"),

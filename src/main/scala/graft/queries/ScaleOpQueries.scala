@@ -752,6 +752,73 @@ object ScaleOpQueries {
         |  CAST(cms_est - n_true AS BIGINT) AS overestimate
         |FROM e""".stripMargin)),
 
+    // Bloom-filter runtime join pruning — the semi-join reduction every
+    // 100 TB fact⋈dim join wants: build a deterministic Bloom filter
+    // (k=3 md5-prefix hash rows, 20-bit positions) from the FILTERED dim
+    // keys, and apply it to the fact side as THREE BROADCAST SEMI-JOINS
+    // — scalar map-side filters, no explode, no row-id re-group, no
+    // extra shuffle — before the exact join. Bloom filters have no false
+    // negatives, so the final aggregate provably equals the plain join
+    // (that is what the oracle's exact arithmetic checks); false
+    // positives are removed by the exact broadcast join that follows.
+    // The n_bloom_pass / n_exact audit columns expose the pruning rate
+    // and the FP overshoot (here 60k lineitem rows → ~2% survive the
+    // bloom). This is the explicit, engine-portable form of what
+    // spark.sql.optimizer.runtime.bloomFilter.enabled injects
+    // automatically; PlanQualitySpec asserts the semi-join/broadcast
+    // shape and the measured pruning.
+    QueryDef("q_bloom_join_prune",
+      (s, d) => {
+        val dim = table(s, d, "part").filter(col("p_size") === 1)
+          .select(col("p_partkey"), col("p_brand"))
+        def pos(j: Int, key: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          substring(md5(concat(lit(s"$j|"), key.cast("string"))), 1, 5)
+        val fact = table(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"))
+        val cand = (0 until 3).foldLeft(fact) { (df, j) =>
+          val fb = dim
+            .select(pos(j, col("p_partkey")).as(s"pos$j")).distinct()
+          df.withColumn(s"pos$j", pos(j, col("l_partkey")))
+            .join(broadcast(fb), Seq(s"pos$j"), "left_semi")
+        }
+        val nBloom = cand.agg(count(lit(1)).as("n_bloom_pass"))
+        val joined = cand
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        val nExact = joined.agg(count(lit(1)).as("n_exact"))
+        joined.groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("revenue_c"))
+          .crossJoin(broadcast(nBloom))
+          .crossJoin(broadcast(nExact))
+      },
+      Some("""WITH dim AS (SELECT p_partkey, p_brand FROM part
+        |  WHERE p_size = 1),
+        |cand AS (SELECT l_partkey, l_extendedprice FROM lineitem WHERE
+        |  substr(md5('0|' || CAST(l_partkey AS VARCHAR)), 1, 5) IN
+        |    (SELECT DISTINCT
+        |      substr(md5('0|' || CAST(p_partkey AS VARCHAR)), 1, 5)
+        |     FROM dim)
+        |  AND substr(md5('1|' || CAST(l_partkey AS VARCHAR)), 1, 5) IN
+        |    (SELECT DISTINCT
+        |      substr(md5('1|' || CAST(p_partkey AS VARCHAR)), 1, 5)
+        |     FROM dim)
+        |  AND substr(md5('2|' || CAST(l_partkey AS VARCHAR)), 1, 5) IN
+        |    (SELECT DISTINCT
+        |      substr(md5('2|' || CAST(p_partkey AS VARCHAR)), 1, 5)
+        |     FROM dim)),
+        |nb AS (SELECT count(*) AS n_bloom_pass FROM cand),
+        |j AS (SELECT d.p_brand, c.l_extendedprice FROM cand c
+        |  JOIN dim d ON c.l_partkey = d.p_partkey),
+        |ne AS (SELECT count(*) AS n_exact FROM j)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c,
+        |  n_bloom_pass, n_exact
+        |FROM j CROSS JOIN nb CROSS JOIN ne
+        |GROUP BY p_brand, n_bloom_pass, n_exact""".stripMargin)),
+
     // Incremental QUANTILE maintenance — the percentile companion of
     // q_incr_agg/q_hll_distinct_union: per (type, day) partial state is a
     // bounded-width HISTOGRAM (value-cents DIV 50 buckets — mergeable by

@@ -339,4 +339,25 @@ class PlanQualitySpec extends SparkSpec {
       s"beam search joins must broadcast the frontier side:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bloom join pruning: three broadcast semi-joins, then prunes rows") {
+    val p = plan("q_bloom_join_prune")
+    // the bloom probe must be map-side: broadcast LeftSemi per hash row,
+    // never a shuffle of the fact table against the filter side
+    val semis = "BroadcastHashJoin LeftSemi BuildRight".r.findAllIn(p).size
+    assert(semis >= 3,
+      s"expected 3 broadcast semi-join bloom probes, found $semis:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoop"),
+      s"no real cartesian allowed:\n$p")
+    // and the bloom genuinely prunes: candidates << fact rows, with the
+    // audit columns proving no false negatives (n_exact rows all joined)
+    val row = SparkEntry.queries("q_bloom_join_prune")(spark, dir)
+      .select("n_bloom_pass", "n_exact").head()
+    val factRows = spark.read
+      .parquet(s"$dir/lineitem.parquet").count()
+    assert(row.getLong(0) < factRows / 5,
+      s"bloom should prune most of $factRows rows, kept ${row.getLong(0)}")
+    assert(row.getLong(1) <= row.getLong(0),
+      "exact matches can never exceed bloom candidates")
+  }
 }
