@@ -41,10 +41,12 @@ object Bench {
     // a set, release that set's shared persisted intermediates
     // (graft.queries.Q.release) so they don't sit in executor storage for
     // the remaining ~100 queries. The release is untimed (it is sweep
-    // bookkeeping, not query cost); a later set that reuses an earlier
-    // set's intermediate rebuilds it once inside its own timing — the
-    // first payer records the materialization, same policy as within-set.
-    val bySet = SparkEntry.sets.map { case (setName, defs) =>
+    // bookkeeping, not query cost). Cross-set intermediates
+    // (SparkEntry.crossSetTags) are KEPT until their last consuming set
+    // has run — releasing them early forced the later consumer to
+    // re-materialize inside its own timing (round-5:
+    // text_winnow_fingerprint 31 s vs 0.19 s).
+    val bySet = SparkEntry.sets.zipWithIndex.map { case ((setName, defs), i) =>
       val rs = defs.filter(q => only.forall(_.contains(q.name))).map { q =>
         val t0 = System.nanoTime()
         val ok =
@@ -55,7 +57,7 @@ object Bench {
           }
         (q.name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      graft.queries.Q.release(spark)
+      graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
       setName -> rs
     }
     val results = bySet.flatMap(_._2)

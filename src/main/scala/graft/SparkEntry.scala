@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator from SURVEY.md §2 plus the LLM-data-pipeline extension
   * surface (dedup / similarity / text) is registered here as a named query
   * over the driver's parquet tables, with a matching DuckDB oracle where
-  * ANSI SQL can express it. Sessions that run these queries must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (events.ts is parquet
-  * TIMESTAMP(NANOS)); Verify/Bench/tests all do.
+  * ANSI SQL can express it. `events.ts` is schema-adaptive: the engine
+  * normalizes it to an epoch-nanos LONG at the scan boundary whatever the
+  * fixture's physical parquet type — TIMESTAMP(MICROS) (current driver
+  * testdata), TIMESTAMP(NANOS)-as-long (legacy fixtures under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, still set by
+  * Verify/Bench/tests and harmless on micros data). See `Q.normalizeEventsTs`.
   */
 object SparkEntry {
 
@@ -31,6 +34,28 @@ object SparkEntry {
     "ir" -> IrQueries.defs)
 
   val all: Seq[QueryDef] = sets.flatMap(_._2)
+
+  /** Tags of `Q.cached` intermediates consumed by MORE THAN ONE query set,
+    * mapped to the LAST consuming set in [[sets]] sweep order. At a set
+    * boundary Bench/Verify release everything EXCEPT tags whose last
+    * consumer is still ahead — one materialization per sweep, no
+    * pay-twice rebuild inside a later query's timing, and the blocks are
+    * still freed the moment their last reader has run. All other tags are
+    * set-local and released at their own set's boundary as before.
+    */
+  val crossSetTags: Map[String, String] = Map(
+    // built by dedup (dedup_winnow_pairs), read again by text
+    // (text_winnow_fingerprint)
+    "winnow_fps" -> "text")
+
+  /** Tags to keep alive when leaving set `i` of [[sets]]: a cross-set tag
+    * survives while its last consumer is still ahead of the sweep. */
+  def keepTagsAfter(i: Int): Set[String] = {
+    val later = sets.drop(i + 1).map(_._1).toSet
+    crossSetTags.collect {
+      case (tag, lastSet) if later.contains(lastSet) => tag
+    }.toSet
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

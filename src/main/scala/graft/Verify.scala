@@ -15,8 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it only as a
-      // Long of nanos under this flag (queries convert via `ts DIV 1000`).
+      // Legacy-fixture compat: old events.ts was TIMESTAMP(NANOS), read as
+      // a nanos LONG under this flag. Current testdata is TIMESTAMP(MICROS)
+      // (flag is then a no-op) and Q.normalizeEventsTs adapts per schema.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -35,8 +36,9 @@ object Verify {
     out.mkdirs()
     // Walk in set order (not Map order) and release each set's shared
     // persisted intermediates at the boundary — same storage hygiene as
-    // Bench: a 127-query dump would otherwise carry every set's blocks.
-    SparkEntry.sets.foreach { case (_, defs) =>
+    // Bench: a 147-query dump would otherwise carry every set's blocks.
+    // Cross-set tags survive until their last consuming set has run.
+    SparkEntry.sets.zipWithIndex.foreach { case ((_, defs), i) =>
       defs.map(_.name)
         .filter(name => only.forall(_.contains(name)))
         .foreach { name =>
@@ -47,7 +49,7 @@ object Verify {
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
-      graft.queries.Q.release(spark)
+      graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

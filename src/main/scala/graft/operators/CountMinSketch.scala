@@ -27,30 +27,49 @@ import org.apache.spark.sql.functions._
   * point-query piece: O(d) lookup of ANY key's approximate frequency
   * without storing keys at all.
   *
-  * Determinism (the oracle contract): `h_j(key) = sha256("j:key")`'s
-  * first 12 hex digits as a 48-bit integer, mod w — replayed digit-exact
-  * in DuckDB, no engine-native hash involved. 48 bits stays inside the
+  * Determinism (the oracle contract): the key is hashed ONCE —
+  * `sha256(key)`'s first 12 hex digits as a 48-bit integer — and the d
+  * row-buckets derive arithmetically by double hashing:
+  * `h_j = (h1 + j·(2·h2+1)) mod w` with `h1 = hv >> 24`,
+  * `h2 = hv & 0xFFFFFF` (Kirsch & Mitzenmacher 2006: two hash functions
+  * simulate d pairwise-independent ones with no loss in the CMS bound;
+  * the `2·h2+1` keeps the stride odd, i.e. coprime with the
+  * power-of-two w). One SHA-256 per input row instead of d — the hot
+  * loop of the build — and the whole derivation is replayed digit-exact
+  * in DuckDB with integer arithmetic. 48 bits stays inside the
   * double-exact range (< 2^53) for the oracle's `power(16, i)` sum.
   */
 object CountMin {
 
-  /** Row-j bucket of a key: 48-bit sha-prefix hash of `"j:key"`, mod w.
-    * Key is hashed via its canonical decimal/string form so both engines
-    * agree on the bytes. */
+  /** 48-bit hash of a key: first 12 hex digits of sha256 of the key's
+    * canonical decimal/string form (both engines agree on the bytes).
+    * Computed ONCE per row; every row-bucket derives from it. */
+  def hash48(key: Column): Column =
+    conv(substring(sha2(key.cast("string"), 256), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Row-j bucket from the 48-bit hash, by odd-stride double hashing:
+    * `(h1 + j·(2·h2+1)) mod w`. Pure integer arithmetic — no per-row
+    * re-hash for each of the d rows. */
+  def bucketOf(h48: Column, j: Column, w: Int): Column =
+    (shiftright(h48, 24) +
+      j.cast("long") * (pmod(h48, lit(1L << 24)) * 2 + 1)) % w
+
+  /** Row-j bucket of a key (convenience composition — callers that touch
+    * many rows should hash once via [[hash48]] and use [[bucketOf]]). */
   def bucket(key: Column, j: Column, w: Int): Column =
-    conv(substring(sha2(
-        concat(j.cast("string"), lit(":"), key.cast("string")), 256),
-      1, 12), 16, 10).cast("long") % w
+    bucketOf(hash48(key), j, w)
 
   /** Build the sketch relation `(j, bucket, cnt)` over one pass of `df`.
-    * The explode multiplies rows by d BEFORE the aggregate, but partial
-    * aggregation collapses each partition to ≤ d·w cells, so the shuffle
-    * is sketch-sized, not data-sized. */
+    * The key is SHA-hashed once per input row, THEN exploded ×d with
+    * arithmetic-only bucket derivation; partial aggregation collapses
+    * each partition to ≤ d·w cells, so the shuffle is sketch-sized, not
+    * data-sized. */
   def sketch(df: DataFrame, key: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
-    df.select(key.cast("string").as("k"))
-      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("k"))
-      .groupBy(col("j"), bucket(col("k"), col("j"), w).as("bucket"))
+    df.select(hash48(key).as("h48"))
+      .select(col("h48"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), bucketOf(col("h48"), col("j"), w).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -63,9 +82,10 @@ object CountMin {
       d: Int, w: Int): DataFrame = {
     val keep = keys.columns.toSeq
     keys
-      .select(keep.map(col) :+
+      .withColumn("__h48", hash48(col(keyCol)))
+      .select(keep.map(col) :+ col("__h48") :+
         explode(sequence(lit(0), lit(d - 1))).as("j"): _*)
-      .withColumn("bucket", bucket(col(keyCol), col("j"), w))
+      .withColumn("bucket", bucketOf(col("__h48"), col("j"), w))
       .join(broadcast(sk), Seq("j", "bucket"), "left")
       .groupBy(keep.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

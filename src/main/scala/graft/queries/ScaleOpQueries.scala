@@ -34,15 +34,21 @@ object ScaleOpQueries {
   private val CmsD = 4
   private val CmsW = 1024
 
-  /** DuckDB rendering of [[graft.operators.CountMin.bucket]]: the 48-bit
-    * sha-prefix of `"j:key"` as a hex-digit place-value sum, mod w. Keep
-    * in lockstep with the Scala side. */
-  private def cmsBucketSql(j: String, k: String): String =
+  /** DuckDB rendering of [[graft.operators.CountMin.hash48]]: the 48-bit
+    * sha-prefix of the key as a hex-digit place-value sum. Keep in
+    * lockstep with the Scala side. */
+  private def cmsHash48Sql(k: String): String =
     s"""CAST(list_sum(list_transform(range(0, 12), i ->
        |    (strpos('0123456789abcdef',
-       |      substr(sha256(CAST($j AS VARCHAR) || ':' ||
-       |        CAST($k AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1)
-       |    * power(16, 11 - i))) AS BIGINT) % $CmsW""".stripMargin
+       |      substr(sha256(CAST($k AS VARCHAR)),
+       |        CAST(i + 1 AS INTEGER), 1)) - 1)
+       |    * power(16, 11 - i))) AS BIGINT)""".stripMargin
+
+  /** DuckDB rendering of [[graft.operators.CountMin.bucketOf]]: odd-stride
+    * double hashing `(h1 + j·(2·h2+1)) mod w` from the once-computed
+    * 48-bit hash `hv`. Pure integer arithmetic — keep in lockstep. */
+  private def cmsBucketOfSql(j: String, hv: String): String =
+    s"(($hv // 16777216) + $j * (2 * ($hv % 16777216) + 1)) % $CmsW"
 
   /** Per-event-type KMV sketch (ascending ≤ k minima) plus the exact
     * distinct count for auditability — persisted once and shared by the
@@ -736,16 +742,18 @@ object ScaleOpQueries {
       },
       Some(s"""WITH k AS (SELECT CAST(round(value*100) AS BIGINT) AS kv
         |  FROM events),
-        |sk AS (SELECT j, ${cmsBucketSql("j", "kv")} AS bucket,
+        |kh AS (SELECT kv, ${cmsHash48Sql("kv")} AS hv FROM k),
+        |sk AS (SELECT j, ${cmsBucketOfSql("j", "hv")} AS bucket,
         |    count(*) AS cnt
-        |  FROM k CROSS JOIN range(0, $CmsD) t(j)
+        |  FROM kh CROSS JOIN range(0, $CmsD) t(j)
         |  GROUP BY 1, 2),
         |top AS (SELECT kv, count(*) AS n_true FROM k GROUP BY 1
         |  ORDER BY n_true DESC, kv LIMIT 10),
+        |toph AS (SELECT kv, n_true, ${cmsHash48Sql("kv")} AS hv FROM top),
         |e AS (SELECT t.kv, t.n_true, min(coalesce(s.cnt, 0)) AS cms_est
-        |  FROM top t CROSS JOIN range(0, $CmsD) r(j)
+        |  FROM toph t CROSS JOIN range(0, $CmsD) r(j)
         |  LEFT JOIN sk s ON s.j = r.j
-        |    AND s.bucket = ${cmsBucketSql("r.j", "t.kv")}
+        |    AND s.bucket = ${cmsBucketOfSql("r.j", "t.hv")}
         |  GROUP BY 1, 2)
         |SELECT kv AS value_cents, CAST(n_true AS BIGINT) AS n_true,
         |  CAST(cms_est AS BIGINT) AS cms_est,

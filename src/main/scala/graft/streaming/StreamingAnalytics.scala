@@ -16,12 +16,15 @@ import org.apache.spark.sql.types._
   */
 object StreamingAnalytics {
 
-  /** The events schema as stored (ts read as epoch-nanos long — see
-    * SparkEntry scaladoc on TIMESTAMP(NANOS)).
+  /** The events schema as stored. `ts` is parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) in the driver's testdata → TIMESTAMP_NTZ here;
+    * every consumer goes through [[graft.queries.Q.tsMicrosOf]], which also
+    * accepts the legacy nanos-LONG encoding, so a fixture of either
+    * vintage streams correctly.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -52,7 +55,7 @@ object StreamingAnalytics {
   def runningUserTotals(events: DataFrame): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
     val typed = events.select(
-      col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      col("user_id"), graft.queries.Q.tsMicrosOf(events).as("ts_us"),
       round(col("value") * 100).cast("long").as("value_c"))
       .as[(Long, Long, Long)]
     typed.groupByKey(_._1)
@@ -154,7 +157,7 @@ object StreamingAnalytics {
       val t = df.select(
         col("event_id").as(s"${side}_id"),
         col("user_id").as(s"${side}_user"),
-        timestamp_micros(expr("ts DIV 1000")).as(s"${side}_time"),
+        timestamp_micros(graft.queries.Q.tsMicrosOf(df)).as(s"${side}_time"),
         round(col("value") * 100).cast("long").as(s"${side}_value_c"))
       if (t.isStreaming) t.withWatermark(s"${side}_time", watermark) else t
     }
@@ -180,7 +183,7 @@ object StreamingAnalytics {
     */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", timestamp_micros(graft.queries.Q.tsMicrosOf(events)))
     val timed =
       if (withTime.isStreaming) withTime.withWatermark("event_time", watermark)
       else withTime

@@ -303,7 +303,7 @@ class OperatorsSpec extends SparkSpec {
     }
     // the intervals cover every event: each event's type matches its
     // enclosing version's type (spot-check via as-of semantics)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.queries.Q.table(spark, dir, "events")
       .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
         $"event_type").as[(Long, Long, Long, String)].collect()
     val byUser = out.map { case (u, rs) => u -> rs.sortBy(_._3) }

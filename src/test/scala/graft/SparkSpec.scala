@@ -10,7 +10,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries TIMESTAMP(NANOS) — same flag Verify/Bench set
+    // Legacy-fixture compat (old nanos events.parquet); no-op on current
+    // TIMESTAMP(MICROS) testdata — Q.normalizeEventsTs adapts per schema
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

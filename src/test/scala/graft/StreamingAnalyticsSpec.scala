@@ -49,9 +49,11 @@ class StreamingAnalyticsSpec extends SparkSpec {
     // redelivery) plus a fresh tail — the dedup state must survive the
     // micro-batch boundary and absorb the duplicates
     src.filter($"event_id" < 100).write.parquet(s"$dir/b1")
-    val deduped = spark.readStream
+    val rawStream = spark.readStream
       .schema(StreamingAnalytics.eventsSchema).parquet(s"$dir/*")
-      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = rawStream
+      .withColumn("ts_ts",
+        timestamp_micros(graft.queries.Q.tsMicrosOf(rawStream)))
       .withWatermark("ts_ts", "10 days")
       .dropDuplicatesWithinWatermark("event_id")
     val q = deduped.writeStream.format("memory").queryName("sdedup")
@@ -78,7 +80,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
 
     def sessions(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_ts", timestamp_micros(graft.queries.Q.tsMicrosOf(df)))
       .withWatermark("ts_ts", "10 days")
       .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -147,11 +149,12 @@ class StreamingAnalyticsSpec extends SparkSpec {
 
     // waves split by TIME, not id: late-past-watermark input would be
     // dropped by the streaming join and diverge from the batch plan
-    val Array(lo, hi) = src.agg(min($"ts"), max($"ts")).as[(Long, Long)]
+    val tsUs = graft.queries.Q.tsMicrosOf(src)
+    val Array(lo, hi) = src.agg(min(tsUs), max(tsUs)).as[(Long, Long)]
       .collect().map { case (a, b) => Array(a, b) }.head
     val mid = lo + (hi - lo) / 2
-    views.filter($"ts" < mid).write.parquet(s"$vDir/w1")
-    purchases.filter($"ts" < mid).write.parquet(s"$pDir/w1")
+    views.filter(tsUs < mid).write.parquet(s"$vDir/w1")
+    purchases.filter(tsUs < mid).write.parquet(s"$pDir/w1")
 
     val joined = StreamingAnalytics.attributionJoin(
       spark.readStream.schema(StreamingAnalytics.eventsSchema)
@@ -162,8 +165,8 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .option("checkpointLocation", cp).outputMode("append").start()
     try {
       q.processAllAvailable()
-      views.filter($"ts" >= mid).write.parquet(s"$vDir/w2")
-      purchases.filter($"ts" >= mid).write.parquet(s"$pDir/w2")
+      views.filter(tsUs >= mid).write.parquet(s"$vDir/w2")
+      purchases.filter(tsUs >= mid).write.parquet(s"$pDir/w2")
       q.processAllAvailable()
 
       // the streaming plan is the symmetric hash join, and its buffered
@@ -213,7 +216,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val truth = src.groupBy("user_id").agg(
         count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("long")).as("value_c"),
-        max(expr("ts DIV 1000")).as("last_us"))
+        max(graft.queries.Q.tsMicrosOf(src)).as("last_us"))
       .orderBy("user_id").collect()
     assert(latest.length == truth.length)
     assert(latest.toSeq == truth.toSeq)
@@ -224,12 +227,17 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val dir = tmpDir("soj-events")
     val cp = tmpDir("soj-cp")
     def ev(id: Long, min: Long, user: Long, typ: String) =
-      (id, min * 60L * 1000000000L, user, typ, 1.0, "")
+      (id, min * 60L * 1000000L, user, typ, 1.0, "") // ts in epoch MICROS
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // waves are written in the events-table physical shape the streaming
+    // schema expects: ts as TIMESTAMP_NTZ (micros), like driver testdata
+    def waveDf(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+      rows.toDF(cols: _*)
+        .withColumn("ts", timestamp_micros($"ts").cast("timestamp_ntz"))
     // wave 1: two views; user 1's purchase lands inside the 1h horizon,
     // user 2 never purchases
-    Seq(ev(1, 1, 1L, "view"), ev(2, 2, 2L, "view"),
-      ev(3, 30, 1L, "purchase")).toDF(cols: _*).write.parquet(s"$dir/b1")
+    waveDf(Seq(ev(1, 1, 1L, "view"), ev(2, 2, 2L, "view"),
+      ev(3, 30, 1L, "purchase"))).write.parquet(s"$dir/b1")
     val views = spark.readStream.schema(StreamingAnalytics.eventsSchema)
       .parquet(s"$dir/*").filter($"event_type" === "view")
     val purchases = spark.readStream.schema(StreamingAnalytics.eventsSchema)
@@ -250,8 +258,8 @@ class StreamingAnalyticsSpec extends SparkSpec {
       // purchase side would leave the view-side watermark at 2min and
       // nothing would ever close. The far-future view itself stays open
       // (its own horizon is beyond the new watermark) and must NOT emit.
-      Seq(ev(4, 600, 98L, "view"), ev(5, 601, 99L, "purchase"))
-        .toDF(cols: _*).write.mode("append").parquet(s"$dir/b2")
+      waveDf(Seq(ev(4, 600, 98L, "view"), ev(5, 601, 99L, "purchase")))
+        .write.mode("append").parquet(s"$dir/b2")
       q.processAllAvailable()
     } finally q.stop()
     val out = spark.table("soj")
