@@ -1238,6 +1238,329 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // MP4 (ISO BMFF) container: frame INDEXING without codec decode — the
+  // real first step of any video training pipeline: locate every sample
+  // (frame) in a 100 GB .mp4 by parsing the moov sample tables
+  // (stts/stsc/stsz/stco/stss), so frame extraction can seek straight
+  // to the bytes it wants instead of scanning the file. Parsing is pure
+  // box arithmetic, dependency-free; only the CODEC payload (H.264 etc.)
+  // stays out of scope for this runtime.
+  // ------------------------------------------------------------------
+
+  /** One indexed MP4 sample: 0-based index, file-absolute byte offset,
+    * size in bytes, presentation time in track-timescale units, and
+    * whether stss marks it a sync (seekable/key) sample. */
+  final case class Mp4Sample(idx: Int, offset: Long, size: Int, pts: Long,
+      sync: Boolean)
+
+  /** The parsed sample index of one video track. */
+  final case class Mp4Index(width: Int, height: Int, timescale: Long,
+      samples: Array[Mp4Sample])
+
+  private def be16w(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def be32w(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def mp4Box(tag: String, payloads: Array[Byte]*): Array[Byte] = {
+    val n = payloads.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(n + 8)
+    be32w(out, n + 8)
+    out.write(tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    payloads.foreach(out.write)
+    out.toByteArray
+  }
+  /** The 36-byte unity transform matrix mvhd/tkhd carry. */
+  private def mp4UnityMatrix(out: java.io.ByteArrayOutputStream): Unit = {
+    val m = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    m.foreach(be32w(out, _))
+  }
+
+  /** Minimal VALID progressive-unfriendly MP4: `ftyp` (24 bytes), then
+    * `mdat` holding the frame payloads back to back, then `moov` with one
+    * video track whose sample tables index the mdat — samples grouped TWO
+    * per chunk (so stsc/stco expansion is non-trivial), constant stts
+    * delta, every third sample a sync sample in stss. mdat precedes moov
+    * so sample offsets are independent of the moov's own size (frame 0
+    * always lands at byte 32 = ftyp 24 + mdat header 8) — which is what
+    * lets an arithmetic oracle replay the offsets exactly.
+    */
+  def mp4Bytes(width: Int, height: Int, timescale: Int, sampleDelta: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0)
+    val nf = frames.length
+    val nChunks = (nf + 1) / 2
+    val duration = nf * sampleDelta
+
+    val ftyp = {
+      val p = new java.io.ByteArrayOutputStream(16)
+      p.write("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      be32w(p, 0)
+      p.write("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      p.write("iso2".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      mp4Box("ftyp", p.toByteArray)
+    }
+    val mdat = mp4Box("mdat", frames: _*)
+    // file-absolute chunk offsets: mdat payload starts at ftyp + 8
+    val chunkOffsets = new Array[Int](nChunks)
+    var off = ftyp.length + 8
+    var c = 0
+    var f = 0
+    while (f < nf) {
+      if (f % 2 == 0) { chunkOffsets(c) = off; c += 1 }
+      off += frames(f).length
+      f += 1
+    }
+
+    def fullBox(tag: String, version: Int, flags: Int,
+        body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val p = new java.io.ByteArrayOutputStream()
+      be32w(p, (version << 24) | (flags & 0xffffff))
+      body(p)
+      mp4Box(tag, p.toByteArray)
+    }
+
+    val mvhd = fullBox("mvhd", 0, 0, { p =>
+      be32w(p, 0); be32w(p, 0)          // creation / modification time
+      be32w(p, timescale); be32w(p, duration)
+      be32w(p, 0x00010000)              // rate 1.0
+      be16w(p, 0x0100)                  // volume 1.0
+      be16w(p, 0); be32w(p, 0); be32w(p, 0) // reserved
+      mp4UnityMatrix(p)
+      (0 until 6).foreach(_ => be32w(p, 0)) // pre_defined
+      be32w(p, 2)                       // next_track_ID
+    })
+    val tkhd = fullBox("tkhd", 0, 0x7, { p => // enabled | in movie | in preview
+      be32w(p, 0); be32w(p, 0)
+      be32w(p, 1)                       // track_ID
+      be32w(p, 0)                       // reserved
+      be32w(p, duration)
+      be32w(p, 0); be32w(p, 0)          // reserved
+      be16w(p, 0); be16w(p, 0)          // layer, alternate_group
+      be16w(p, 0); be16w(p, 0)          // volume (video: 0), reserved
+      mp4UnityMatrix(p)
+      be32w(p, width << 16); be32w(p, height << 16) // 16.16 fixed point
+    })
+    val mdhd = fullBox("mdhd", 0, 0, { p =>
+      be32w(p, 0); be32w(p, 0)
+      be32w(p, timescale); be32w(p, duration)
+      be16w(p, 0x55c4)                  // packed ISO-639 "und"
+      be16w(p, 0)
+    })
+    val hdlr = fullBox("hdlr", 0, 0, { p =>
+      be32w(p, 0)
+      p.write("vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      be32w(p, 0); be32w(p, 0); be32w(p, 0) // reserved
+      p.write(0)                        // empty NUL-terminated name
+    })
+    val vmhd = fullBox("vmhd", 0, 1, { p =>
+      be16w(p, 0)                       // graphicsmode copy
+      be16w(p, 0); be16w(p, 0); be16w(p, 0) // opcolor
+    })
+    val dinf = mp4Box("dinf", fullBox("dref", 0, 0, { p =>
+      be32w(p, 1)                       // entry_count
+      // self-contained url entry
+      be32w(p, 12)
+      p.write("url ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      be32w(p, 1)                       // flag: data in this file
+    }))
+    val stsd = fullBox("stsd", 0, 0, { p =>
+      be32w(p, 1)                       // entry_count
+      // 86-byte VisualSampleEntry, fourcc "raw " (uncompressed)
+      be32w(p, 86)
+      p.write("raw ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      be16w(p, 0); be16w(p, 0); be16w(p, 0) // reserved6
+      be16w(p, 1)                       // data_reference_index
+      be16w(p, 0); be16w(p, 0)          // pre_defined, reserved
+      be32w(p, 0); be32w(p, 0); be32w(p, 0) // pre_defined
+      be16w(p, width); be16w(p, height)
+      be32w(p, 0x00480000); be32w(p, 0x00480000) // 72 dpi
+      be32w(p, 0)                       // reserved
+      be16w(p, 1)                       // frame_count per sample
+      (0 until 32).foreach(_ => p.write(0)) // compressorname
+      be16w(p, 0x0018)                  // depth
+      be16w(p, 0xffff)                  // pre_defined -1
+    })
+    val stts = fullBox("stts", 0, 0, { p =>
+      be32w(p, 1); be32w(p, nf); be32w(p, sampleDelta)
+    })
+    val syncs = (0 until nf).filter(_ % 3 == 0)
+    val stss = fullBox("stss", 0, 0, { p =>
+      be32w(p, syncs.length)
+      syncs.foreach(sIdx => be32w(p, sIdx + 1)) // 1-based sample numbers
+    })
+    val stsc = fullBox("stsc", 0, 0, { p =>
+      if (nf <= 2) { be32w(p, 1); be32w(p, 1); be32w(p, nf); be32w(p, 1) }
+      else if (nf % 2 == 0) { be32w(p, 1); be32w(p, 1); be32w(p, 2); be32w(p, 1) }
+      else {
+        be32w(p, 2)
+        be32w(p, 1); be32w(p, 2); be32w(p, 1)
+        be32w(p, nChunks); be32w(p, 1); be32w(p, 1) // odd tail chunk
+      }
+    })
+    val stsz = fullBox("stsz", 0, 0, { p =>
+      be32w(p, 0)                       // non-uniform sizes
+      be32w(p, nf)
+      frames.foreach(fr => be32w(p, fr.length))
+    })
+    val stco = fullBox("stco", 0, 0, { p =>
+      be32w(p, nChunks)
+      chunkOffsets.foreach(be32w(p, _))
+    })
+    val stbl = mp4Box("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val minf = mp4Box("minf", vmhd, dinf, stbl)
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+
+    val out = new java.io.ByteArrayOutputStream(
+      ftyp.length + mdat.length + moov.length)
+    out.write(ftyp); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+
+  /** REAL ISO BMFF sample-table walk: find `moov → trak → mdia → minf →
+    * stbl`, parse stsd (track dimensions), mdhd (timescale), stts
+    * (per-sample durations → pts), stsz (sizes), stsc + stco (chunk map →
+    * file-absolute offsets), stss (sync set; absent = all sync, per
+    * spec). Strict: malformed box lengths, a non-video handler-less
+    * layout, sample-count disagreement between stts/stsz/stsc-expansion,
+    * or an offset past EOF is a `None`, never a guess. 64-bit `co64` and
+    * compressed/versioned variants this writer never emits are rejected,
+    * not mis-read.
+    */
+  def indexMp4(b: Array[Byte]): Option[Mp4Index] = {
+    if (b == null || b.length < 16) return None
+    @inline def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    @inline def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    /** First child box with `tag` inside [from, until); (payloadStart,
+      * payloadEnd) or None. Walks sequentially, strict on lengths. */
+    def find(tag: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = u32(i)
+        val t = new String(b, i + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (size < 8 || i + size > until) return None // 0/1 ext sizes: reject
+        if (t == tag) return Some((i + 8, i + size.toInt))
+        i += size.toInt
+      }
+      None
+    }
+    try {
+      for {
+        (moovS, moovE) <- find("moov", 0, b.length)
+        (trakS, trakE) <- find("trak", moovS, moovE)
+        (mdiaS, mdiaE) <- find("mdia", trakS, trakE)
+        (mdhdS, _) <- find("mdhd", mdiaS, mdiaE)
+        (minfS, minfE) <- find("minf", mdiaS, mdiaE)
+        (stblS, stblE) <- find("stbl", minfS, minfE)
+        (stsdS, stsdE) <- find("stsd", stblS, stblE)
+        (sttsS, sttsE) <- find("stts", stblS, stblE)
+        (stscS, stscE) <- find("stsc", stblS, stblE)
+        (stszS, stszE) <- find("stsz", stblS, stblE)
+        (stcoS, stcoE) <- find("stco", stblS, stblE)
+        idx <- {
+          val timescale = u32(mdhdS + 12) // v0: vf, ctime, mtime, timescale
+          // stsd: vf(4) count(4) then the first 86-byte sample entry;
+          // width/height sit 32/34 bytes into the entry
+          val entry = stsdS + 8
+          // every table's declared entry count must FIT ITS BOX — a lying
+          // count is a reject, never an allocation sized by attacker bytes
+          val nStts = u32(sttsS + 4).toInt
+          val nStsc = u32(stscS + 4).toInt
+          val uniform = u32(stszS + 4)
+          val nSamples = u32(stszS + 8).toInt
+          val nChunks = u32(stcoS + 4).toInt
+          val tablesFit =
+            nStts >= 0 && sttsS + 8 + nStts.toLong * 8 <= sttsE &&
+            nStsc >= 0 && stscS + 8 + nStsc.toLong * 12 <= stscE &&
+            nSamples >= 0 && (uniform != 0L ||
+              stszS + 12 + nSamples.toLong * 4 <= stszE) &&
+            nChunks >= 0 && stcoS + 8 + nChunks.toLong * 4 <= stcoE
+          if (stsdE < entry + 36 || !tablesFit) None
+          else {
+            val width = u16(entry + 32)
+            val height = u16(entry + 34)
+            // stts → per-sample pts (cumulative deltas from 0); total
+            // sample count capped by the stsz count so a lying stts
+            // cannot balloon the builder
+            val ptsB = Array.newBuilder[Long]
+            var t = 0L
+            var e = 0
+            var nPts = 0
+            while (e < nStts && nPts <= nSamples) {
+              val cnt = u32(sttsS + 8 + e * 8).toInt
+              val delta = u32(sttsS + 12 + e * 8)
+              var k = 0
+              while (k < cnt && nPts <= nSamples) {
+                ptsB += t; t += delta; k += 1; nPts += 1
+              }
+              e += 1
+            }
+            val pts = ptsB.result()
+            // stsz → sizes
+            val sizes =
+              if (uniform != 0L) Array.fill(nSamples)(uniform.toInt)
+              else Array.tabulate(nSamples)(i => u32(stszS + 12 + i * 4).toInt)
+            // stsc entries + stco offsets → file-absolute sample offsets
+            val stscEntries = Array.tabulate(nStsc) { i =>
+              (u32(stscS + 8 + i * 12).toInt,      // first_chunk (1-based)
+                u32(stscS + 12 + i * 12).toInt)    // samples_per_chunk
+            }
+            val chunkOff = Array.tabulate(nChunks)(i => u32(stcoS + 8 + i * 4))
+            val sync: Int => Boolean =
+              find("stss", stblS, stblE) match {
+                case Some((st, stE)) =>
+                  val n = u32(st + 4).toInt
+                  if (n < 0 || st + 8 + n.toLong * 4 > stE)
+                    (_: Int) => false // lying stss: no sample claims sync
+                  else {
+                    val set =
+                      (0 until n).map(i => u32(st + 8 + i * 4).toInt).toSet
+                    (s: Int) => set.contains(s + 1)
+                  }
+                case None => (_: Int) => true // no stss = every sample sync
+              }
+            if (pts.length != nSamples || nStsc == 0 || nChunks == 0) None
+            else {
+              val samples = new Array[Mp4Sample](nSamples)
+              var s = 0
+              var ci = 0 // chunk index, 0-based
+              var ok = true
+              while (ok && ci < nChunks && s < nSamples) {
+                // samples_per_chunk of the LAST stsc entry whose
+                // first_chunk <= this chunk
+                var spc = stscEntries(0)._2
+                var j = 0
+                while (j < nStsc && stscEntries(j)._1 <= ci + 1) {
+                  spc = stscEntries(j)._2; j += 1
+                }
+                var within = 0
+                var o = chunkOff(ci)
+                while (ok && within < spc && s < nSamples) {
+                  if (o + sizes(s) > b.length) ok = false
+                  else {
+                    samples(s) = Mp4Sample(s, o, sizes(s), pts(s), sync(s))
+                    o += sizes(s); s += 1; within += 1
+                  }
+                }
+                ci += 1
+              }
+              if (!ok || s != nSamples) None
+              else Some(Mp4Index(width, height, timescale, samples))
+            }
+          }
+        }
+      } yield idx
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
   /** Deterministic synthetic media table derived from `documents` — the
     * test corpus has no real media. Image rows are VALID BMP blobs and
     * audio rows VALID canonical WAV blobs (dimensions/rates derived from

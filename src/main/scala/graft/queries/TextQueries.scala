@@ -624,6 +624,79 @@ object TextQueries {
         |    AS f_crc
         |FROM v""".stripMargin)),
 
+    // REAL MP4 (ISO BMFF) container indexing — the other half of video
+    // plumbing: before any codec runs, a training pipeline must LOCATE
+    // frames inside the container, and that is a pure sample-table parse
+    // (moov → trak → mdia → minf → stbl: stts/stsc/stsz/stco/stss). The
+    // query writes a genuine MP4 per doc (Multimodal.mp4Bytes: ftyp,
+    // mdat-before-moov, samples packed two per chunk, every 3rd a sync
+    // sample) with formula-deterministic frame payloads, then
+    // Multimodal.indexMp4 walks the box tree and expands the chunk map
+    // into file-absolute (offset, size, pts, sync) per sample; payload
+    // stats are computed from bytes SLICED AT THE PARSED OFFSETS. The
+    // oracle replays offsets arithmetically (ftyp 24 + mdat header 8 +
+    // running size sum), so any drift in writer or parser — a wrong box
+    // length, a mis-expanded stsc entry, an off-by-one chunk offset —
+    // hash-mismatches. Per-row and partition-local, the 100 TB shape.
+    QueryDef("multimodal_mp4_index",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 6 === 3)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              val nBytes =
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val w = 1 + nBytes % 32
+              val h = 1 + (id % 24).toInt
+              val nf = 1 + (id % 6).toInt
+              val frames = Array.tabulate(nf) { f =>
+                val sz = 20 + ((id + 7 * f) % 50).toInt
+                Array.tabulate(sz)(i =>
+                  ((i * 13 + 11 * f + id) % 256).toByte)
+              }
+              val mp4 = Multimodal.mp4Bytes(w, h, 1000, 40, frames)
+              val ix = Multimodal.indexMp4(mp4).get
+              ix.samples.map { sm =>
+                var sum = 0L; var crc = 0L; var i = 0
+                while (i < sm.size) {
+                  val x = mp4(sm.offset.toInt + i) & 0xff
+                  sum += x; crc += x.toLong * (i % 89 + 1); i += 1
+                }
+                (id, sm.idx.toLong, sm.offset, sm.size.toLong, sm.pts,
+                  sm.sync, ix.width, ix.height, sum, crc)
+              }
+            }
+          }
+          .toDF("doc_id", "sample_idx", "byte_off", "n_bytes", "pts",
+            "is_sync", "width", "height", "f_sum", "f_crc")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    1 + (octet_length(encode(text)) % 32) AS w,
+        |    1 + (doc_id % 24) AS h,
+        |    1 + (doc_id % 6) AS nf
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM m),
+        |s AS (SELECT doc_id, w, h, fi,
+        |    20 + ((doc_id + 7 * fi) % 50) AS sz FROM f),
+        |o AS (SELECT doc_id, w, h, fi, sz,
+        |    32 + coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY fi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS sample_idx,
+        |  CAST(off AS BIGINT) AS byte_off, CAST(sz AS BIGINT) AS n_bytes,
+        |  CAST(fi * 40 AS BIGINT) AS pts, (fi % 3 = 0) AS is_sync,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(0, sz), i ->
+        |    (i * 13 + 11 * fi + doc_id) % 256)) AS BIGINT) AS f_sum,
+        |  CAST(list_sum(list_transform(range(0, sz), i ->
+        |    ((i * 13 + 11 * fi + doc_id) % 256) * ((i % 89) + 1)))
+        |    AS BIGINT) AS f_crc
+        |FROM o""".stripMargin)),
+
     // Intra-document repetition — the "repeated phrases" quality rule
     // (high duplicate-3-gram ratio marks boilerplate/spam): per document,
     // total vs distinct word-3-grams and their ratio. Computed on ARRAYS

@@ -366,6 +366,69 @@ class MultimodalSpec extends SparkSpec {
     assert(tv == 40L)
   }
 
+  test("mp4 index round-trips the sample tables exactly") {
+    // 5 frames (odd → 2-sample chunks + a 1-sample tail chunk), distinct
+    // sizes, so stsc expansion and intra-chunk offset accumulation are
+    // both exercised
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(10 + 3 * f)(i => ((i + 7 * f) % 256).toByte))
+    val mp4 = Multimodal.mp4Bytes(32, 24, 1000, 40, frames)
+    val ix = Multimodal.indexMp4(mp4).get
+    assert(ix.width == 32 && ix.height == 24 && ix.timescale == 1000L)
+    assert(ix.samples.length == 5)
+    // offsets: mdat payload starts at 32 (ftyp 24 + header 8), frames
+    // back to back
+    val expOff = frames.scanLeft(32L)((o, f) => o + f.length).init
+    assert(ix.samples.map(_.offset).toSeq == expOff.toSeq)
+    assert(ix.samples.map(_.size).toSeq == frames.map(_.length).toSeq)
+    assert(ix.samples.map(_.pts).toSeq == Seq(0L, 40L, 80L, 120L, 160L))
+    assert(ix.samples.map(_.sync).toSeq ==
+      Seq(true, false, false, true, false)) // every 3rd sample
+    // the parsed offsets slice back the original payload bytes
+    ix.samples.foreach { s =>
+      val got = java.util.Arrays.copyOfRange(
+        mp4, s.offset.toInt, s.offset.toInt + s.size)
+      assert(got.toSeq == frames(s.idx).toSeq)
+    }
+  }
+
+  test("mp4 single-frame and even-frame chunk layouts both index") {
+    for (nf <- Seq(1, 2, 4, 6)) {
+      val frames = Array.tabulate(nf)(f => Array.fill(20 + f)(f.toByte))
+      val mp4 = Multimodal.mp4Bytes(8, 8, 600, 25, frames)
+      val ix = Multimodal.indexMp4(mp4).get
+      assert(ix.samples.length == nf, s"nf=$nf")
+      assert(ix.samples.map(_.size).toSeq == frames.map(_.length).toSeq)
+      // sizes differ per sample, so a mis-expanded chunk map would slice
+      // the wrong bytes
+      ix.samples.foreach { s =>
+        val got = java.util.Arrays.copyOfRange(
+          mp4, s.offset.toInt, s.offset.toInt + s.size)
+        assert(got.toSeq == frames(s.idx).toSeq, s"nf=$nf idx=${s.idx}")
+      }
+    }
+  }
+
+  test("mp4 parser is strict on malformed input") {
+    val frames = Array(Array.fill(30)(1.toByte))
+    val good = Multimodal.mp4Bytes(8, 8, 1000, 40, frames)
+    assert(Multimodal.indexMp4(good).isDefined)
+    // truncation that cuts into moov: box walk must fail, not guess
+    assert(Multimodal.indexMp4(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 20)).isEmpty)
+    // garbage
+    assert(Multimodal.indexMp4(Array.fill(64)(0x41.toByte)).isEmpty)
+    assert(Multimodal.indexMp4(Array.emptyByteArray).isEmpty)
+    // a corrupted stco offset pointing past EOF must be rejected
+    val bad = good.clone()
+    // find stco and stomp its first offset to a huge value
+    val i = (0 until bad.length - 4).find(j =>
+      bad(j) == 's' && bad(j + 1) == 't' && bad(j + 2) == 'c' &&
+        bad(j + 3) == 'o').get
+    bad(i + 8) = 0x7f.toByte // first offset's high byte → far past EOF
+    assert(Multimodal.indexMp4(bad).isEmpty)
+  }
+
   test("chunk sampling explodes strided fixed-size binary chunks") {
     val m = corpus().toDF()
     val chunks = Multimodal.sampleChunks(m, chunkBytes = 100, stride = 2)
