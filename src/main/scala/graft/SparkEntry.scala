@@ -164,6 +164,8 @@ object SparkEntry {
     "multimodal_audio_features" -> Seq("doc_id"),
     "multimodal_video_frames" -> Seq("doc_id", "frame_idx"),
     "multimodal_mp4_index" -> Seq("doc_id", "sample_idx"),
+    "corpus_contrastive_pairs" -> Seq("anchor_id", "role", "rank"),
+    "corpus_quality_prune" -> Seq("doc_id"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),

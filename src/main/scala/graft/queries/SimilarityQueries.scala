@@ -709,6 +709,63 @@ object SimilarityQueries {
         |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM assign a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id""".stripMargin)),
 
+    // Contrastive pair MINING — the training-data step for embedding
+    // models (SimCLR/SBERT-style): for each anchor, the top positives
+    // (nearest SAME-cluster vectors — semantically aligned under the
+    // shared trained IVF partition) and the top HARD negatives (nearest
+    // DIFFERENT-cluster vectors — the near-boundary examples that carry
+    // the gradient signal; random negatives are trivially separable).
+    // Composes the shared corpus assignment with the exact
+    // integer-quantized cosine, so the whole mining run is bit-
+    // deterministic and the oracle replays it. Scale shape: the anchor
+    // mini-batch BROADCASTS against the corpus — O(|anchors|·n) scored
+    // per batch, embarrassingly parallel, rank truncation per (anchor,
+    // role) window; at 100 TB the same plan runs per training batch with
+    // the IVF lists optionally pruning the negative scan.
+    QueryDef("corpus_contrastive_pairs",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val va = corpusAssignment(s, d).join(v, "vec_id")
+        val anchors = va.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("list_id").as("list_a"),
+            col("embedding").as("ea"))
+        val cand = va.select(col("vec_id").as("pair_id"),
+          col("list_id").as("list_b"), col("embedding").as("eb"))
+        val scored = broadcast(anchors)
+          .join(cand, col("anchor_id") =!= col("pair_id"))
+          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+          .withColumn("role",
+            when(col("list_a") === col("list_b"), lit("pos"))
+              .otherwise(lit("neg")))
+        val w = Window.partitionBy("anchor_id", "role")
+          .orderBy(col("cosine").desc, col("pair_id"))
+        scored.select(col("anchor_id"), col("pair_id"), col("role"),
+            col("cosine"), row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 2)
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |sc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pair_id,
+        |  CASE WHEN sa.list_id = sb.list_id THEN 'pos' ELSE 'neg' END AS role,
+        |  CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |  a.n2 AS n2a, b.n2 AS n2b
+        |  FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+        |  JOIN assign sa ON sa.vec_id = a.vec_id
+        |  JOIN assign sb ON sb.vec_id = b.vec_id),
+        |r AS (SELECT anchor_id, pair_id, role,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+        |  FROM sc)
+        |SELECT * FROM (SELECT anchor_id, pair_id, role, cosine,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id, role
+        |    ORDER BY cosine DESC, pair_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 2""".stripMargin)),
+
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a
     // bucket are each other's ANN candidates.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline over `documents`: token
@@ -122,6 +123,56 @@ object TextQueries {
         |  CASE WHEN n_words >= 30 AND stop_hits >= 1 THEN 'good'
         |       WHEN n_words >= 10 THEN 'ok' ELSE 'low' END AS quality
         |FROM q""".stripMargin)),
+
+    // Quantile-based quality PRUNING — the FineWeb/Gopher-style corpus
+    // gate: drop each language's lowest-quality quartile, where quality
+    // is an integer fluency proxy (word count + weighted stopword hits).
+    // The per-language threshold is an EXACT order statistic, computed
+    // scale-cleanly: per-doc scores collapse to a bounded (lang, score)
+    // HISTOGRAM first (map-side partial agg — the only thing shuffled),
+    // the cumulative walk runs on histogram cells, and the thresholds
+    // broadcast back onto the corpus as a map-side flag. A per-document
+    // row_number window partitioned by language would make each language
+    // ONE partition — a straggler at 100 TB; the histogram form shuffles
+    // O(|langs|·|distinct scores|) rows regardless of corpus size. The
+    // gate is value-based (kept = score strictly above the quartile
+    // value), so no per-doc tiebreak is needed and both engines agree
+    // exactly.
+    QueryDef("corpus_quality_prune",
+      (s, d) => {
+        val scored = table(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          (size(split(col("text"), " ")).cast("long") +
+            lit(10L) * (expr(occurrences("text", " the ")) +
+              expr(occurrences("text", " a "))).cast("long")).as("score"))
+        val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("lang").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy("lang")
+        val thr = hist
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wN))
+          .filter(col("cum") >= expr("(n + 3) DIV 4")) // ceil(n/4) exactly
+          .groupBy("lang").agg(min("score").as("thr"))
+        scored.join(broadcast(thr), "lang")
+          .select(col("doc_id"), col("lang"), col("score"),
+            (col("score") > col("thr")).cast("long").as("kept"))
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |  10 * CAST(${occurrencesSql("text", " the ")} +
+        |            ${occurrencesSql("text", " a ")} AS BIGINT) AS score
+        |  FROM documents),
+        |h AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+        |cum AS (SELECT lang, score,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |thr AS (SELECT lang, min(score) AS thr FROM cum
+        |  WHERE cum >= (n + 3) // 4 GROUP BY 1)
+        |SELECT doc_id, sc.lang, score,
+        |  CAST(CASE WHEN score > thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM sc JOIN thr ON sc.lang = thr.lang""".stripMargin)),
 
     // Language ID: stopword-marker scoring with an 'en' prior. (The corpus
     // text is synthetic; the operator's dataflow is what's exercised.)

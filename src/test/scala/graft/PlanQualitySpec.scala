@@ -18,6 +18,35 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("count-min build hashes each key once (single sha2 in the plan)") {
+    // the d row-buckets derive arithmetically from ONE 48-bit sha prefix
+    // (double hashing); a regression back to per-row sha2("j:key") would
+    // show d=4 sha2 calls in the sketch-build projection
+    val p = plan("q_cms_heavy")
+    val shaCalls = p.split("sha2\\(").length - 1
+    // one in the sketch build + one in the (10-row) estimate probe side
+    assert(shaCalls <= 2, s"expected at most 2 sha2 sites, found $shaCalls:\n$p")
+  }
+
+  test("mp4 indexing is pure partition-local work (no body exchange)") {
+    // write → box-walk → slice happens inside one mapPartitions; the only
+    // acceptable Exchange is the driver-contract output sort (one node,
+    // which formatted explain prints twice: tree + detail). Any third
+    // occurrence means the indexing itself started shuffling.
+    val p = plan("multimodal_mp4_index")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2,
+      s"mp4 indexing must not shuffle beyond the contract sort:\n$p")
+  }
+
+  test("contrastive mining broadcasts the anchor batch, never the corpus") {
+    val p = plan("corpus_contrastive_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor batch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in contrastive mining:\n$p")
+  }
+
   test("filters reach the parquet scan (predicate pushdown)") {
     val q1 = plan("q1_pricing_summary")
     assert(q1.contains("LessThanOrEqual(l_shipdate"), "q1 shipdate filter must push down")
