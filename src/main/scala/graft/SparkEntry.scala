@@ -46,7 +46,11 @@ object SparkEntry {
   val crossSetTags: Map[String, String] = Map(
     // built by dedup (dedup_winnow_pairs), read again by text
     // (text_winnow_fingerprint)
-    "winnow_fps" -> "text")
+    "winnow_fps" -> "text",
+    // first built by pipeline (st_dedup_admission_semantic's offline
+    // coarse quantizer), read again throughout the similarity set
+    "ivf_codebook" -> "similarity",
+    "ivf_assign" -> "similarity")
 
   /** Tags to keep alive when leaving set `i` of [[sets]]: a cross-set tag
     * survives while its last consumer is still ahead of the sweep. */
@@ -166,6 +170,7 @@ object SparkEntry {
     "multimodal_mp4_index" -> Seq("doc_id", "sample_idx"),
     "corpus_contrastive_pairs" -> Seq("anchor_id", "role", "rank"),
     "corpus_quality_prune" -> Seq("doc_id"),
+    "st_dedup_admission_semantic" -> Seq("vec_id"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),

@@ -43,11 +43,18 @@ case class MediaFeature(
   * audio the generic feature triple maps as width = sample rate,
   * height = channels, n_frames = PCM sample frames.
   *
-  * STUBBED — clearly and deliberately: blobs in formats whose PAYLOAD
-  * needs a codec stack this runtime cannot carry (MP4/video — no media
-  * libraries ship in this environment) fall back to `decodeStub`, a
-  * deterministic function of the bytes, so tests stay exact; swapping in
-  * a real codec changes ONE dispatch arm and nothing about the dataflow.
+  * MP4 (ISO BMFF) is handled at the CONTAINER level for real:
+  * [[mp4Bytes]] writes valid ftyp/mdat/moov files and [[indexMp4]]
+  * walks the sample tables (stts/stsc/stsz/stco/stss) into
+  * file-absolute per-frame offsets — the locate-frames step a video
+  * pipeline runs before any codec.
+  *
+  * STUBBED — clearly and deliberately: blobs whose PAYLOAD needs a
+  * compressed-video codec stack this runtime cannot carry (H.264/VP9
+  * etc. — no media libraries ship in this environment) fall back to
+  * `decodeStub`, a deterministic function of the bytes, so tests stay
+  * exact; swapping in a real codec changes ONE dispatch arm and nothing
+  * about the dataflow.
   *
   * Scale notes: decode is embarrassingly parallel and pipelined per
   * partition (no shuffle); feature output is tiny vs input, so the stage is

@@ -214,6 +214,79 @@ object PipelineQueries {
         |      WHERE bb.doc_id = r2.doc_id))
         |SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM a0
         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM a1
-        |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin))
+        |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin)),
+
+    // SEMANTIC streaming admission (StreamingDedup.processBatchSemantic):
+    // the embedding form of the two admissions above — vectors arrive in
+    // batches and are admitted unless semantically redundant: rejected if
+    // a lower-id SAME-batch vector in the same coarse IVF list is within
+    // cosine 0.4 (the one-pass rule `dedup_semantic` uses — a pure
+    // function of the batch), or if any already-admitted earlier-batch
+    // vector in the list is. The list assignment comes from the
+    // offline-trained shared codebook (the production shape: streaming
+    // ANN admits against a pretrained index), so similarity is evaluated
+    // list-bounded, never corpus-wide. Same exactly-once discipline: all
+    // outputs partitioned by ingest_batch, dynamic overwrite, own batch
+    // excluded as evidence — the 3-batch replay plus a full middle-batch
+    // redelivery converges because an admitted later vector is by
+    // construction dissimilar from every earlier admitted one, so the
+    // oracle can unroll the batches sequentially.
+    QueryDef("st_dedup_admission_semantic",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft-sds-").toString
+        val vecs = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .join(SimilarityQueries.sharedAssignment(s, d), "vec_id")
+        val wave = (b: Long) => vecs.filter(col("vec_id") % 3 === b)
+        (0L to 2L).foreach(b =>
+          graft.streaming.StreamingDedup.processBatchSemantic(
+            s, wave(b), b, s"$tmp/vindex", s"$tmp/out", 0.4))
+        graft.streaming.StreamingDedup.processBatchSemantic(
+          s, wave(1L), 1L, s"$tmp/vindex", s"$tmp/out", 0.4) // redelivery
+        cleanupAfter(tmp) {
+          s.read.parquet(s"$tmp/out").select(col("vec_id"),
+            col("list_id").cast("long").as("list_id"),
+            col("ingest_batch").cast("long").as("ingest_batch"))
+        }
+      },
+      Some(s"""WITH ${SimilarityQueries.AssignCtesSql},
+        |qv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+        |tv AS (SELECT qn.vec_id, assign.list_id, qn.qe, qn.n2,
+        |    qn.vec_id % 3 AS bt
+        |  FROM qn JOIN assign ON qn.vec_id = assign.vec_id),
+        |sim AS (SELECT x.vec_id AS va, x.bt AS ba, y.vec_id AS vb,
+        |    y.bt AS bb,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(x.qe) + 1),
+        |      i -> x.qe[i] * y.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sm
+        |  FROM tv x JOIN tv y
+        |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
+        |wd AS (SELECT DISTINCT vb AS vec_id FROM sim
+        |  WHERE ba = bb AND va < vb AND sm >= 0.4),
+        |aa0 AS (SELECT vec_id FROM tv WHERE bt = 0
+        |  AND vec_id NOT IN (SELECT vec_id FROM wd)),
+        |h1 AS (SELECT DISTINCT vb AS vec_id FROM sim JOIN aa0
+        |    ON sim.va = aa0.vec_id
+        |  WHERE bb = 1 AND sm >= 0.4),
+        |aa1 AS (SELECT vec_id FROM tv WHERE bt = 1
+        |  AND vec_id NOT IN (SELECT vec_id FROM wd)
+        |  AND vec_id NOT IN (SELECT vec_id FROM h1)),
+        |h2 AS (SELECT DISTINCT vb AS vec_id FROM sim
+        |  WHERE bb = 2 AND sm >= 0.4
+        |    AND va IN (SELECT vec_id FROM aa0
+        |               UNION ALL SELECT vec_id FROM aa1)),
+        |aa2 AS (SELECT vec_id FROM tv WHERE bt = 2
+        |  AND vec_id NOT IN (SELECT vec_id FROM wd)
+        |  AND vec_id NOT IN (SELECT vec_id FROM h2)),
+        |adm AS (SELECT vec_id FROM aa0
+        |  UNION ALL SELECT vec_id FROM aa1
+        |  UNION ALL SELECT vec_id FROM aa2)
+        |SELECT t.vec_id, CAST(t.list_id AS BIGINT) AS list_id,
+        |  CAST(t.bt AS BIGINT) AS ingest_batch
+        |FROM tv t JOIN adm ON t.vec_id = adm.vec_id""".stripMargin))
   )
 }

@@ -78,6 +78,21 @@ object SimilarityQueries {
   private[graft] def corpusAssignmentForTest(s: SparkSession, d: String): DataFrame =
     corpusAssignment(s, d)
 
+  /** The shared (vec_id, list_id) assignment for cross-file consumers —
+    * the streaming semantic admission in [[PipelineQueries]] treats it as
+    * the OFFLINE-trained coarse quantizer a production streaming ANN
+    * admits against. Same memoized table every in-file consumer reads. */
+  private[queries] def sharedAssignment(s: SparkSession, d: String): DataFrame =
+    corpusAssignment(s, d)
+
+  /** DuckDB CTE prefix ending in `assign(vec_id, list_id)` — the oracle
+    * form of [[sharedAssignment]], exposed for cross-file oracles. Keep
+    * in lockstep with the Lloyd parameters above (k=16, 2 iters, 1-in-4
+    * sample). */
+  private[queries] lazy val AssignCtesSql: String =
+    s"""${lloydCtes(16, 2, 4)},
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1)""".stripMargin
+
   /** Product-quantization codebooks: the 64-dim space split into 4
     * subspaces of 16 dims, each with its own 16-centroid codebook trained
     * by the SAME deterministic integer Lloyd as the IVF coarse quantizer

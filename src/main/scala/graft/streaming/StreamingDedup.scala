@@ -184,4 +184,87 @@ object StreamingDedup {
         processBatchNearDup(spark, batch, id, indexDir, bandIndexDir, outDir)
       }
       .start()
+
+  val vecIndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("list_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("ingest_batch", LongType)))
+
+  private def readVecIndex(spark: SparkSession, dir: String): DataFrame =
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+      spark.read.schema(vecIndexSchema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecIndexSchema)
+
+  /** SEMANTIC streaming admission: the embedding form of
+    * [[processBatchNearDup]] — a growing corpus where each arriving batch
+    * of vectors is admitted unless it is semantically redundant. A batch
+    * vector is rejected if
+    *
+    *  (a) a LOWER-ID vector of the same batch in the same coarse list is
+    *      similar (the one-pass lower-id rule `dedup_semantic` uses — a
+    *      pure function of the batch, no recursive greedy), or
+    *  (b) any ALREADY-ADMITTED vector of an earlier batch in its list is
+    *      similar.
+    *
+    * Callers supply `list_id` from an OFFLINE-trained coarse quantizer
+    * (the realistic production shape: streaming ANN admits against a
+    * pretrained index) — so similarity is only ever evaluated within one
+    * IVF list, never corpus-wide, and the evidence index is read
+    * list-pruned. Exactly-once effect under redelivery exactly as in
+    * [[processBatch]]: output + vector index are partitioned by
+    * `ingest_batch` with dynamic overwrite and the batch's own
+    * partitions are excluded as evidence. The fixed point is stable for
+    * the same reason as the near-dup form: an admitted later-batch
+    * vector is by construction dissimilar from every earlier admitted
+    * vector (else it would have been rejected), so redelivered earlier
+    * batches see no new rejecting evidence.
+    */
+  def processBatchSemantic(spark: SparkSession, batch: DataFrame,
+      batchId: Long, vecIndexDir: String, outDir: String,
+      simThreshold: Double): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val a = batch.select(col("vec_id").as("id_a"), col("list_id"),
+      col("embedding").as("ea"))
+    val b = batch.select(col("vec_id").as("id_b"), col("list_id").as("lb"),
+      col("embedding").as("eb"))
+    val inBatchDrop = a
+      .join(b, col("list_id") === col("lb") && col("id_a") < col("id_b"))
+      .filter(expr(s"quant_cosine_sim(ea, eb) >= $simThreshold"))
+      .select(col("id_b").as("vec_id")).distinct()
+    val evidence = readVecIndex(spark, vecIndexDir)
+      .filter(col("ingest_batch") =!= batchId)
+      .select(col("list_id"), col("embedding").as("ev"))
+    val evHit = batch.join(evidence, Seq("list_id"))
+      .filter(expr(s"quant_cosine_sim(embedding, ev) >= $simThreshold"))
+      .select("vec_id").distinct()
+    val admitted = batch
+      .join(inBatchDrop, Seq("vec_id"), "left_anti")
+      .join(evHit, Seq("vec_id"), "left_anti")
+      .withColumn("ingest_batch", lit(batchId))
+      .localCheckpoint(true)
+    admitted.select("vec_id", "list_id", "ingest_batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir)
+    admitted.select("vec_id", "list_id", "embedding", "ingest_batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(vecIndexDir)
+  }
+
+  /** Wire the semantic admission into a stream of
+    * (vec_id, list_id, embedding) rows. */
+  def startSemantic(spark: SparkSession, vecs: DataFrame, vecIndexDir: String,
+      outDir: String, checkpointDir: String, simThreshold: Double = 0.4,
+      trigger: Trigger = Trigger.AvailableNow): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatchSemantic(spark, batch, id, vecIndexDir, outDir,
+          simThreshold)
+      }
+      .start()
 }

@@ -98,6 +98,60 @@ class StreamingDedupSpec extends SparkSpec {
     assert(admittedIds(s"$root/out") == Set(1L, 2L))
   }
 
+  test("semantic admission rejects similar same-list vectors, batch and stream") {
+    val root = tmpDir("ssem")
+    val vidx = s"$root/vidx"; val out = s"$root/out"
+    def vec(xs: Float*): Array[Float] = xs.toArray
+    // list 0: v1 and v2 nearly parallel (cos ~1), v3 orthogonal;
+    // list 1: v10 alone — different list, so even a parallel vector
+    // there is NOT evidence against list 0
+    val b0 = Seq(
+      (1L, 0L, vec(1f, 0f, 0f, 0f)),
+      (2L, 0L, vec(0.99f, 0.1f, 0f, 0f)), // similar to v1, higher id → drop
+      (3L, 0L, vec(0f, 1f, 0f, 0f)),      // orthogonal → admit
+      (10L, 1L, vec(1f, 0f, 0f, 0f)))     // other list → admit
+      .toDF("vec_id", "list_id", "embedding")
+    StreamingDedup.processBatchSemantic(spark, b0, 0L, vidx, out, 0.8)
+    def admitted(): Set[Long] =
+      spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+    assert(admitted() == Set(1L, 3L, 10L))
+
+    // batch 1: similar to ADMITTED v1 → reject; similar only to the
+    // REJECTED v2's direction... is still similar to v1 (symmetric) →
+    // also reject; genuinely novel direction → admit
+    val b1 = Seq(
+      (20L, 0L, vec(0.98f, 0.15f, 0f, 0f)), // near v1 → reject
+      (21L, 0L, vec(0f, 0f, 1f, 0f)))       // novel → admit
+      .toDF("vec_id", "list_id", "embedding")
+    StreamingDedup.processBatchSemantic(spark, b1, 1L, vidx, out, 0.8)
+    assert(admitted() == Set(1L, 3L, 10L, 21L))
+
+    // full redelivery of batch 1 converges (later-batch evidence cannot
+    // reject earlier admitted vectors — fixed-point argument)
+    StreamingDedup.processBatchSemantic(spark, b1, 1L, vidx, out, 0.8)
+    assert(admitted() == Set(1L, 3L, 10L, 21L))
+
+    // the vector index holds admitted vectors only, with their lists
+    val idxIds = spark.read.parquet(vidx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(idxIds == Set(1L, 3L, 10L, 21L))
+
+    // and the same machinery wires into a checkpointed stream
+    val sroot = tmpDir("ssem-stream")
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("list_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    b0.write.parquet(s"$sroot/src/w1")
+    val q = StreamingDedup.startSemantic(spark,
+      spark.readStream.schema(vecSchema).parquet(s"$sroot/src/*"),
+      s"$sroot/vidx", s"$sroot/out", s"$sroot/cp", simThreshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$sroot/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 3L, 10L))
+  }
+
   test("re-running a micro-batch converges (retry idempotence)") {
     val idx = tmpDir("sdd-idx2") + "/index"
     val out = tmpDir("sdd-out2") + "/out"
