@@ -171,6 +171,7 @@ object SparkEntry {
     "corpus_contrastive_pairs" -> Seq("anchor_id", "role", "rank"),
     "corpus_quality_prune" -> Seq("doc_id"),
     "st_dedup_admission_semantic" -> Seq("vec_id"),
+    "text_bpe_train" -> Seq("merge_rank"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),
