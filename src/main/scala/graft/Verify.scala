@@ -36,8 +36,9 @@ object Verify {
     out.mkdirs()
     // Walk in set order (not Map order) and release each set's shared
     // persisted intermediates at the boundary — same storage hygiene as
-    // Bench: a 147-query dump would otherwise carry every set's blocks.
-    // Cross-set tags survive until their last consuming set has run.
+    // Bench: a full-surface dump would otherwise carry every set's
+    // blocks. Cross-set tags survive until their last consuming set has
+    // run.
     SparkEntry.sets.zipWithIndex.foreach { case ((_, defs), i) =>
       defs.map(_.name)
         .filter(name => only.forall(_.contains(name)))
@@ -51,18 +52,10 @@ object Verify {
         }
       graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Shared JSON string escape (graft.JsonEscape) — a tab or CR in
+    // builder-authored SQL would otherwise make the driver's json.load
+    // fail and silently zero the round's correctness.
+    def q(s: String): String = JsonEscape(s)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

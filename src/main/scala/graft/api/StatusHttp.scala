@@ -44,7 +44,10 @@ class StatusHttp(queries: StatusQueries, maxLimit: Int = 1000) {
     s.createContext("/list-uploads", handler { params =>
       val limit = params.get("limit") match {
         case None => Right(10)
-        case Some(n) if n.forall(_.isDigit) && n.nonEmpty =>
+        // toInt is safe only once the digit count bounds the magnitude —
+        // a 12-digit "limit" must be a 400, not a NumberFormatException
+        // surfacing as a 500
+        case Some(n) if n.nonEmpty && n.length <= 9 && n.forall(_.isDigit) =>
           Right(math.min(n.toInt, maxLimit))
         case Some(_) =>
           Left(400 -> """{"error":"limit must be a non-negative integer"}""")
@@ -80,6 +83,11 @@ class StatusHttp(queries: StatusQueries, maxLimit: Int = 1000) {
                 200 -> df.toJSON.collect().mkString("[", ",", "]")
             }
           } catch {
+            // malformed percent-encoding in the query string is the
+            // CLIENT's error (URLDecoder throws IllegalArgumentException)
+            case e: IllegalArgumentException =>
+              400 -> s"""{"error":${jsonString(
+                "bad query string: " + e.getMessage)}}"""
             case e: Throwable =>
               500 -> s"""{"error":${jsonString(e.toString)}}"""
           }
@@ -104,14 +112,5 @@ class StatusHttp(queries: StatusQueries, maxLimit: Int = 1000) {
     }.toMap
   }
 
-  private def jsonString(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonString(s: String): String = graft.JsonEscape(s)
 }

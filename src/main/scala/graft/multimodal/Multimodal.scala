@@ -1464,7 +1464,8 @@ object Multimodal {
         (moovS, moovE) <- find("moov", 0, b.length)
         (trakS, trakE) <- find("trak", moovS, moovE)
         (mdiaS, mdiaE) <- find("mdia", trakS, trakE)
-        (mdhdS, _) <- find("mdhd", mdiaS, mdiaE)
+        (mdhdS, mdhdE) <- find("mdhd", mdiaS, mdiaE)
+        (hdlrS, hdlrE) <- find("hdlr", mdiaS, mdiaE)
         (minfS, minfE) <- find("minf", mdiaS, mdiaE)
         (stblS, stblE) <- find("stbl", minfS, minfE)
         (stsdS, stsdE) <- find("stsd", stblS, stblE)
@@ -1490,7 +1491,16 @@ object Multimodal {
             nSamples >= 0 && (uniform != 0L ||
               stszS + 12 + nSamples.toLong * 4 <= stszE) &&
             nChunks >= 0 && stcoS + 8 + nChunks.toLong * 4 <= stcoE
-          if (stsdE < entry + 36 || !tablesFit) None
+          // this walk only understands VIDEO sample entries: the handler
+          // must say "vide" (the common in-the-wild first trak is audio —
+          // parsing its SoundSampleEntry as width/height would be a
+          // silent wrong answer, not strictness); mdhd must actually hold
+          // the timescale it claims
+          val isVideo = hdlrE >= hdlrS + 12 &&
+            new String(b, hdlrS + 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+          val mdhdFits = mdhdE >= mdhdS + 16
+          if (stsdE < entry + 36 || !tablesFit || !isVideo || !mdhdFits) None
           else {
             val width = u16(entry + 32)
             val height = u16(entry + 34)
@@ -1511,10 +1521,13 @@ object Multimodal {
               e += 1
             }
             val pts = ptsB.result()
-            // stsz → sizes
+            // stsz → sizes; a size with bit 31 set would truncate to a
+            // NEGATIVE Int and walk offsets backwards — reject, per the
+            // strictness contract
             val sizes =
               if (uniform != 0L) Array.fill(nSamples)(uniform.toInt)
               else Array.tabulate(nSamples)(i => u32(stszS + 12 + i * 4).toInt)
+            val sizesSane = sizes.forall(_ >= 0)
             // stsc entries + stco offsets → file-absolute sample offsets
             val stscEntries = Array.tabulate(nStsc) { i =>
               (u32(stscS + 8 + i * 12).toInt,      // first_chunk (1-based)
@@ -1534,7 +1547,8 @@ object Multimodal {
                   }
                 case None => (_: Int) => true // no stss = every sample sync
               }
-            if (pts.length != nSamples || nStsc == 0 || nChunks == 0) None
+            if (pts.length != nSamples || nStsc == 0 || nChunks == 0 ||
+                !sizesSane) None
             else {
               val samples = new Array[Mp4Sample](nSamples)
               var s = 0

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingAnalytics {
 
-  /** The events schema as stored. `ts` is parquet TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) in the driver's testdata → TIMESTAMP_NTZ here;
-    * every consumer goes through [[graft.queries.Q.tsMicrosOf]], which also
-    * accepts the legacy nanos-LONG encoding, so a fixture of either
-    * vintage streams correctly.
+  /** The events schema as stored by the CURRENT driver testdata: `ts` is
+    * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ.
+    * Streaming readers require a declared schema, so this one is pinned
+    * to that vintage; to stream a legacy TIMESTAMP(NANOS) fixture, pass
+    * your own schema with `ts: LongType` (under nanosAsLong=true) — every
+    * consumer derives time via [[graft.queries.Q.tsMicrosOf]], which
+    * adapts to whichever `ts` type the DECLARED schema carries.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

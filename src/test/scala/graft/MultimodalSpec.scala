@@ -427,6 +427,29 @@ class MultimodalSpec extends SparkSpec {
         bad(j + 3) == 'o').get
     bad(i + 8) = 0x7f.toByte // first offset's high byte → far past EOF
     assert(Multimodal.indexMp4(bad).isEmpty)
+
+    // a 32-bit stsz size with bit 31 set truncates to a negative Int —
+    // must be rejected, never walked backwards
+    val negSz = good.clone()
+    val iz = (0 until negSz.length - 4).find(j =>
+      negSz(j) == 's' && negSz(j + 1) == 't' && negSz(j + 2) == 's' &&
+        negSz(j + 3) == 'z').get
+    // stsz payload: vf(4) uniform(4) count(4) sizes — first size's high
+    // byte sits at tag+16
+    negSz(iz + 16) = 0x80.toByte
+    assert(Multimodal.indexMp4(negSz).isEmpty)
+
+    // a non-video handler (first trak audio, the common in-the-wild
+    // layout) must be rejected, not parsed as a VisualSampleEntry
+    val soun = good.clone()
+    val ih = (0 until soun.length - 4).find(j =>
+      soun(j) == 'h' && soun(j + 1) == 'd' && soun(j + 2) == 'l' &&
+        soun(j + 3) == 'r').get
+    // handler_type sits at tag(4) + vf(4) + pre_defined(4)
+    "soun".getBytes.zipWithIndex.foreach { case (c, k) =>
+      soun(ih + 12 + k) = c
+    }
+    assert(Multimodal.indexMp4(soun).isEmpty)
   }
 
   test("chunk sampling explodes strided fixed-size binary chunks") {

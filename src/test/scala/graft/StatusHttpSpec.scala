@@ -71,6 +71,32 @@ class StatusHttpSpec extends SparkSpec {
       assert(c3 == 200 && nObjects(b3) == 1 && b3.contains("u1"))
       val (c4, b4) = get(port, "/list-uploads?limit=abc")
       assert(c4 == 400 && b4.contains("limit"))
+      // an Int-overflowing limit is still the CLIENT's error: 400, not a
+      // NumberFormatException surfacing as 500
+      val (c5, b5) = get(port, "/list-uploads?limit=99999999999")
+      assert(c5 == 400 && b5.contains("limit"))
+    }
+  }
+
+  test("malformed percent-encoding is a 400, not a 500") {
+    withServer { port =>
+      // java.net.URI refuses to even build this URL, so speak raw HTTP —
+      // which is exactly what a hostile client does
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /get-upload-status?upload_id=%zz HTTP/1.1\r\n" +
+          s"Host: 127.0.0.1:$port\r\nConnection: close\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // the JDK server layer itself 400s a malformed request URI before
+        // the handler runs; the handler's own IllegalArgumentException →
+        // 400 mapping covers decode failures that get past it. Either
+        // way the wire contract is: client error, never a 500.
+        assert(resp.startsWith("HTTP/1.1 400"), s"got: ${resp.take(120)}")
+      } finally sock.close()
     }
   }
 
