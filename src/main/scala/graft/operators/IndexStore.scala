@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Disk-backed store for TRAINED index artifacts — IVF/PQ codebooks, code
+  * tables, kNN-graph adjacency — persisted as parquet keyed by a content
+  * digest of the fixture they were derived from.
+  *
+  * The production shape this models: index construction is "build once,
+  * query many". An ANN corpus is quantized / graph-linked when it is
+  * ingested, and every later query session READS the index — it does not
+  * retrain per session. The in-JVM memo (`graft.queries.Q.cached`) already
+  * dedupes training within one sweep; this store extends that across
+  * JVMs, so a benchmark/verify sweep pays index TRAINING only the first
+  * time it ever sees a fixture, and a plain parquet read afterwards.
+  *
+  * Invalidation is by CONTENT, not by path or mtime: the cache key is an
+  * order-independent digest of the source table (count + sum of per-row
+  * 64-bit hashes), so a regenerated fixture with identical content (same
+  * scale, same seed) still hits, while any change of scale, seed, or
+  * schema misses and retrains. Writing a new key removes the artifact's
+  * stale keys — the store never accumulates dead indexes.
+  *
+  * Artifacts stored here MUST be deterministic functions of their source
+  * fixture (every trainer in this repo is — integer Lloyd with lowest-id
+  * seeding, hash-derived LSH planes), otherwise a disk hit and a rebuild
+  * could disagree. Parquet round-trips long/double columns bit-exactly,
+  * so a read-back artifact is value-identical to the frame that built it;
+  * only row ORDER differs, which no consumer depends on (the oracle
+  * contract already forbids order-sensitive results).
+  */
+object IndexStore {
+
+  /** Default store root: under the JVM temp dir, shared by every sweep on
+    * the host. Override per-process with -Dgraft.index.dir=… (specs pass
+    * an explicit root instead). */
+  def root: File = new File(
+    sys.props.getOrElse("graft.index.dir",
+      sys.props("java.io.tmpdir") + File.separator + "graft-index-cache"))
+
+  /** Order-independent content digest of a source table: row count + sum
+    * of per-row xxhash64 over all columns (sorted by name, so projection
+    * order can't change the digest). The sum runs in decimal — a long
+    * accumulator overflows under ANSI mode after ~2 rows of extreme
+    * hashes. One scan, one tiny row to the driver.
+    */
+  def digestOf(df: DataFrame): String = {
+    val r = df.select(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(df.columns.sorted.map(col): _*)
+        .cast("decimal(20,0)")), lit(0).cast("decimal(20,0)")).as("h"))
+      .first()
+    // the sign of the decimal sum is part of the digest; encode it as a
+    // filename-safe 'm' so keys stay [A-Za-z0-9_-]
+    val h = r.getDecimal(1).toBigInteger.toString(16).replace("-", "m")
+    java.lang.Long.toHexString(r.getLong(0)) + "-" + h
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Read artifact `name` for fixture `key` from the store, building and
+    * persisting it first on a miss. A miss also deletes the artifact's
+    * entries under every OTHER key (stale: the fixture changed).
+    */
+  def cached(s: SparkSession, name: String, key: String,
+      rootDir: File = root)(build: => DataFrame): DataFrame = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"unsafe artifact name: $name")
+    require(key.matches("[A-Za-z0-9_-]+"), s"unsafe artifact key: $key")
+    val dir = new File(rootDir, s"$name-$key")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      Option(rootDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(name + "-") &&
+          f.getName != dir.getName)
+        .foreach(deleteRec)
+      build.write.mode("overwrite").parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString)
+  }
+}

@@ -23,6 +23,27 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Q._
 
+  /** Content digest of the embeddings fixture, memoized per (session,
+    * dataset) — the [[graft.operators.IndexStore]] cache key for every
+    * trained artifact below. One embeddings scan per sweep buys cross-JVM
+    * reuse of all five index artifacts; a regenerated fixture (new scale
+    * or seed) digests differently and retrains.
+    */
+  private val fixtureKeys = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def embKey(s: SparkSession, d: String): String =
+    fixtureKeys.getOrElseUpdate((s, d), graft.operators.IndexStore.digestOf(
+      table(s, d, "embeddings").select(col("vec_id"), col("embedding"))))
+
+  /** In-JVM memo (one materialization per sweep) over the disk store (one
+    * TRAINING per fixture ever) — the layering every trained artifact in
+    * this file uses. */
+  private def trainedArtifact(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    cached(s, d, tag) {
+      graft.operators.IndexStore.cached(s, tag, embKey(s, d))(build)
+    }
+
   /** Trained IVF codebook (16 lists, 2 Lloyd iterations on a 1-in-4
     * sample), persisted once per (session, dataset) and SHARED by
     * `ann_ivf_topk` and `corpus_embedding_clusters` — training is the
@@ -30,7 +51,7 @@ object SimilarityQueries {
     * k·dims-row result.
     */
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "ivf_codebook") {
+    trainedArtifact(s, d, "ivf_codebook") {
       graft.operators.IvfCodebook.train(s,
         table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         k = 16, iters = 2, sampleEvery = 4)
@@ -43,7 +64,7 @@ object SimilarityQueries {
     * (vec_id, list_id) table instead of re-running the assignment scan.
     */
   private def corpusAssignment(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "ivf_assign") {
+    trainedArtifact(s, d, "ivf_assign") {
       import graft.operators.IvfCodebook
       val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val cm = IvfCodebook.comps(v)
@@ -122,7 +143,7 @@ object SimilarityQueries {
       |  FROM (SELECT unnest(range(0, 16)) AS j),
       |       (SELECT unnest(range(1, 65)) AS dim))""".stripMargin
   private def pqCodebooks(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "pq_codebooks") {
+    trainedArtifact(s, d, "pq_codebooks") {
       // all 4 subspace codebooks train in ONE grouped Lloyd pipeline
       // (grp = subspace): one corpus pass per iteration total, instead of
       // 4 separate scan+shuffle pipelines per iteration. Bit-identical
@@ -146,7 +167,7 @@ object SimilarityQueries {
     * (session, dataset).
     */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "pq_codes") {
+    trainedArtifact(s, d, "pq_codes") {
       val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val comps = v
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
@@ -260,7 +281,7 @@ object SimilarityQueries {
     * every LSH construction here exposes.
     */
   private def nswAdjacency(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "nsw_adj") {
+    trainedArtifact(s, d, "nsw_adj") {
       graft.functions.LshBits.register(s)
       graft.functions.VectorFunctions.register(s)
       val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.IndexStore
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The disk-backed trained-index store: artifacts persist across "JVMs"
+  * (modeled as fresh cache roots vs reused ones), hit without rebuilding,
+  * and are invalidated — stale files removed — when the fixture content
+  * (scale or seed) changes.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private def tmpRoot(): File =
+    Files.createTempDirectory("graft-ixs-").toFile
+
+  test("digest is content-defined: stable across row order and projection order, changed by content") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "v")
+      .repartition(3)
+    val reordered = shuffled.select(col("v"), col("id"))
+    val changed = Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "v")
+    val grown = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "q"))
+      .toDF("id", "v")
+    val da = IndexStore.digestOf(a)
+    assert(da == IndexStore.digestOf(shuffled),
+      "row order must not change the digest")
+    assert(da == IndexStore.digestOf(reordered),
+      "column order must not change the digest")
+    assert(da != IndexStore.digestOf(changed),
+      "a changed value (new seed) must change the digest")
+    assert(da != IndexStore.digestOf(grown),
+      "a changed row count (new scale) must change the digest")
+  }
+
+  test("hit reads from disk without rebuilding; key change rebuilds and removes the stale entry") {
+    import spark.implicits._
+    val root = tmpRoot()
+    var builds = 0
+    def build(tag: String) = {
+      builds += 1
+      Seq((1L, tag), (2L, tag)).toDF("id", "src")
+    }
+    val first = IndexStore.cached(spark, "ix", "k1", root)(build("v1"))
+    assert(builds == 1 && first.count() == 2)
+    // same key: disk hit, the builder must NOT run again
+    val again = IndexStore.cached(spark, "ix", "k1", root)(build("v2"))
+    assert(builds == 1, "a hit must not rebuild")
+    assert(again.select("src").distinct().as[String].collect()
+      .toSeq == Seq("v1"), "the hit must serve the ORIGINAL artifact")
+    // fixture changed (new digest): rebuild under the new key, drop stale
+    val rebuilt = IndexStore.cached(spark, "ix", "k2", root)(build("v3"))
+    assert(builds == 2, "a key change must rebuild")
+    assert(rebuilt.select("src").distinct().as[String].collect()
+      .toSeq == Seq("v3"))
+    val names = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq
+    assert(names.contains("ix-k2") && !names.contains("ix-k1"),
+      s"stale key must be removed on miss (saw $names)")
+    // other artifacts under the same root are untouched by ix's turnover
+    IndexStore.cached(spark, "other", "k9", root)(build("o1"))
+    IndexStore.cached(spark, "ix", "k3", root)(build("v4"))
+    val after = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq
+    assert(after.contains("other-k9"),
+      "unrelated artifacts must survive another artifact's invalidation")
+  }
+
+  test("round-trip is value-exact for long and double columns") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val src = Seq((1L, 0.1, Long.MaxValue), (2L, -3.25e-17, Long.MinValue))
+      .toDF("id", "x", "big")
+    val back = IndexStore.cached(spark, "rt", "k", root)(src)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+  }
+}
