@@ -234,9 +234,14 @@ object PipelineQueries {
     QueryDef("st_dedup_admission_semantic",
       (s, d) => {
         val tmp = Files.createTempDirectory("graft-sds-").toString
-        val vecs = table(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .join(SimilarityQueries.sharedAssignment(s, d), "vec_id")
+        // materialized ONCE: the four admission passes (3 batches + the
+        // redelivery) each filter this frame, and without the memo every
+        // pass re-scanned embeddings and re-ran the assignment join
+        val vecs = cached(s, d, "sds_vecs") {
+          table(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+            .join(SimilarityQueries.sharedAssignment(s, d), "vec_id")
+        }
         val wave = (b: Long) => vecs.filter(col("vec_id") % 3 === b)
         (0L to 2L).foreach(b =>
           graft.streaming.StreamingDedup.processBatchSemantic(

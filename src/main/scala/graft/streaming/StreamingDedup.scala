@@ -45,12 +45,24 @@ object StreamingDedup {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
 
+  /** Output-file dial for one micro-batch's writes: a micro-batch is
+    * bounded (one trigger's worth of data), so its admitted survivors fit
+    * a handful of files — but the admission joins inherit the session's
+    * shuffle parallelism, and writing THAT many near-empty files per
+    * batch partition (32 tasks + 32 files + 32 footer reads on every
+    * later index scan) is pure overhead, compounding each batch because
+    * the evidence read lists every file the previous batches wrote.
+    * Callers with genuinely large triggers pass a larger value.
+    */
+  val DefaultOutputPartitions = 1
+
   /** Admit one micro-batch. Idempotent per (batch contents, batchId):
     * re-running overwrites batch N's own output/index partitions and
     * ignores them as dedup evidence while re-deciding.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      indexDir: String, outDir: String): Unit = {
+      indexDir: String, outDir: String,
+      outputPartitions: Int = DefaultOutputPartitions): Unit = {
     val sigs = batch
       .withColumn("content_hash", sha2(col("text"), 256))
     // within-batch dedup: deterministic representative = min doc_id
@@ -67,6 +79,7 @@ object StreamingDedup {
     val admitted = novel.join(sigs.select("doc_id", "text", "content_hash")
         .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
       .withColumn("ingest_batch", lit(batchId))
+      .coalesce(outputPartitions)
       .localCheckpoint(true)
     admitted.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -138,7 +151,8 @@ object StreamingDedup {
     */
   def processBatchNearDup(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexDir: String, bandIndexDir: String,
-      outDir: String): Unit = {
+      outDir: String,
+      outputPartitions: Int = DefaultOutputPartitions): Unit = {
     val sigs = batch.withColumn("content_hash", sha2(col("text"), 256))
     val reps = sigs.groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"))
@@ -158,6 +172,7 @@ object StreamingDedup {
       .join(exactEvidence, Seq("content_hash"), "left_anti")
       .join(nearHit, Seq("doc_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
+      .coalesce(outputPartitions)
       .localCheckpoint(true)
     admitted.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -223,7 +238,8 @@ object StreamingDedup {
     */
   def processBatchSemantic(spark: SparkSession, batch: DataFrame,
       batchId: Long, vecIndexDir: String, outDir: String,
-      simThreshold: Double): Unit = {
+      simThreshold: Double,
+      outputPartitions: Int = DefaultOutputPartitions): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val a = batch.select(col("vec_id").as("id_a"), col("list_id"),
       col("embedding").as("ea"))
@@ -243,6 +259,7 @@ object StreamingDedup {
       .join(inBatchDrop, Seq("vec_id"), "left_anti")
       .join(evHit, Seq("vec_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
+      .coalesce(outputPartitions)
       .localCheckpoint(true)
     admitted.select("vec_id", "list_id", "ingest_batch")
       .write.mode(SaveMode.Overwrite)
