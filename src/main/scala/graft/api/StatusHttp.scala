@@ -29,10 +29,14 @@ class StatusHttp(queries: StatusQueries, maxLimit: Int = 1000) {
 
   private var server: Option[HttpServer] = None
 
-  /** Start on `port` (0 = ephemeral); returns the bound port. */
-  def start(port: Int = 0): Int = synchronized {
+  /** Start on `port` (0 = ephemeral); returns the bound port. Binds
+    * loopback by default — a status surface over ingest metadata has no
+    * business on every interface; callers that really want a wide bind
+    * pass the address explicitly. */
+  def start(port: Int = 0, bindAddress: String = "127.0.0.1"): Int =
+      synchronized {
     require(server.isEmpty, "already started")
-    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    val s = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     s.createContext("/get-upload-status", handler { params =>
       params.get("upload_id") match {
         case None | Some("") =>
@@ -89,7 +93,11 @@ class StatusHttp(queries: StatusQueries, maxLimit: Int = 1000) {
               400 -> s"""{"error":${jsonString(
                 "bad query string: " + e.getMessage)}}"""
             case e: Throwable =>
-              500 -> s"""{"error":${jsonString(e.toString)}}"""
+              // server-side detail stays server-side: exception class,
+              // message, and any filesystem paths Spark embeds would leak
+              // internals to the client on an HTTP surface
+              System.err.println(s"[status-http] 500: $e")
+              500 -> """{"error":"internal error"}"""
           }
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set(

@@ -1488,8 +1488,15 @@ object Multimodal {
           val tablesFit =
             nStts >= 0 && sttsS + 8 + nStts.toLong * 8 <= sttsE &&
             nStsc >= 0 && stscS + 8 + nStsc.toLong * 12 <= stscE &&
-            nSamples >= 0 && (uniform != 0L ||
-              stszS + 12 + nSamples.toLong * 4 <= stszE) &&
+            nSamples >= 0 && (
+              if (uniform == 0L) stszS + 12 + nSamples.toLong * 4 <= stszE
+              // uniform stsz has no per-sample table to fit, but the
+              // count must still be a size the FILE can justify — every
+              // sample's payload lives in b, so nSamples × uniform can't
+              // exceed the file length (nSamples ≤ b.length first keeps
+              // the product under 2^63: ≤ 2^31 × (2^32−1))
+              else nSamples <= b.length &&
+                nSamples.toLong * uniform <= b.length) &&
             nChunks >= 0 && stcoS + 8 + nChunks.toLong * 4 <= stcoE
           // this walk only understands VIDEO sample entries: the handler
           // must say "vide" (the common in-the-wild first trak is audio —

@@ -67,6 +67,11 @@ object CountMin {
     * data-sized. */
   def sketch(df: DataFrame, key: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    // the odd stride is coprime with w ONLY when w is a power of two; an
+    // odd w can share a factor with the stride and fold row-buckets
+    // together (the CMS overestimate bound would still hold, but the
+    // rows would stop being independent — silently worse accuracy)
+    require((w & (w - 1)) == 0, s"w must be a power of two; got w=$w")
     df.select(hash48(key).as("h48"))
       .select(col("h48"), explode(sequence(lit(0), lit(d - 1))).as("j"))
       .groupBy(col("j"), bucketOf(col("h48"), col("j"), w).as("bucket"))
@@ -80,6 +85,7 @@ object CountMin {
     * bucket, count 0). Output adds `cms_est`. */
   def estimate(sk: DataFrame, keys: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
+    require((w & (w - 1)) == 0, s"w must be a power of two; got w=$w")
     val keep = keys.columns.toSeq
     keys
       .withColumn("__h48", hash48(col(keyCol)))

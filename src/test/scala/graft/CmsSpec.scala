@@ -66,4 +66,15 @@ class CmsSpec extends SparkSpec {
     val sk = CountMin.sketch(big, col("k"), d, w)
     assert(sk.count() <= d.toLong * w)
   }
+
+  test("non-power-of-two width is rejected: the odd stride is only coprime with 2^k") {
+    val df = Seq(1L, 2L).toDF("k")
+    intercept[IllegalArgumentException] {
+      CountMin.sketch(df, col("k"), d, 100)
+    }
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(CountMin.sketch(df, col("k"), d, w),
+        df, "k", d, 100)
+    }
+  }
 }

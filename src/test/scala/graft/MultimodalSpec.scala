@@ -450,6 +450,30 @@ class MultimodalSpec extends SparkSpec {
       soun(ih + 12 + k) = c
     }
     assert(Multimodal.indexMp4(soun).isEmpty)
+
+    // uniform stsz (sample_size != 0) has no per-entry table to bound the
+    // declared count — a crafted count of 0x7FFFFFFF must be rejected by
+    // the file-can-justify-it check BEFORE sizing any allocation, not
+    // OOM the parser
+    val huge = good.clone()
+    // stsz payload: vf(4) uniform(4) count(4) — uniform at tag+8,
+    // count at tag+12
+    huge(iz + 11) = 30.toByte        // uniform = 30 (the real frame size)
+    huge(iz + 12) = 0x7f.toByte      // count = 0x7FFFFFFF
+    huge(iz + 13) = 0xff.toByte
+    huge(iz + 14) = 0xff.toByte
+    huge(iz + 15) = 0xff.toByte
+    assert(Multimodal.indexMp4(huge).isEmpty)
+
+    // …while a LEGITIMATE uniform stsz (count unchanged, uniform = the
+    // true constant size) must still index identically to the per-entry
+    // form — the guard bounds, it doesn't over-reject
+    val unif = good.clone()
+    unif(iz + 11) = 30.toByte        // uniform = 30, count stays 1
+    val ui = Multimodal.indexMp4(unif).get
+    val gi = Multimodal.indexMp4(good).get
+    assert(ui.samples.map(s => (s.offset, s.size, s.pts)).toSeq ==
+      gi.samples.map(s => (s.offset, s.size, s.pts)).toSeq)
   }
 
   test("chunk sampling explodes strided fixed-size binary chunks") {
