@@ -369,6 +369,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bpe training returns the bounded merge table — no corpus in the result plan") {
+    // each round's corpus work happens in its own bounded job (one
+    // map-side-combined pair aggregation + a 1-row argmax collect); the
+    // REGISTERED result must be the ≤8-row merge table the driver built
+    // from those single rows, never a plan that re-reads the corpus
+    val p = plan("text_bpe_train")
+    assert(p.contains("LocalTableScan"),
+      s"bpe result must be the driver-held merge rows:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"bpe result plan must not re-read the corpus:\n$p")
+  }
+
+  test("quality pruning: histogram rollup feeds the windows, thresholds broadcast back") {
+    val p = plan("corpus_quality_prune")
+    // the quantile windows run over the bounded (lang, score) HISTOGRAM —
+    // the histogram aggregate must map-side combine below them, and the
+    // per-language thresholds must come back onto the corpus as a
+    // broadcast join, never a shuffle of the scored corpus
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"histogram must partial-aggregate before the quantile walk:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast back onto the corpus:\n$p")
+    // exactly one corpus-side hash exchange (the histogram rollup):
+    // a second one would mean the scored corpus itself is shuffling
+    val hashParts = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashParts <= 2,
+      s"expected only the histogram (+ window) exchanges, got $hashParts:\n$p")
+  }
+
+  test("packing and sharding read the one shared prefix-sum table") {
+    // both queries derive bins from the memoized (doc_id, n_tokens, cum)
+    // packing table: their plans must consume the in-memory relation, and
+    // only corpus_shard_text may add a text-side scan for the re-attach
+    val pack = plan("corpus_pack_bins")
+    assert(pack.contains("InMemoryTableScan") ||
+      pack.contains("Scan In-memory"),
+      s"pack must read the shared packing table:\n$pack")
+    assert(!pack.contains("Scan parquet"),
+      s"pack needs no parquet beyond the cached table:\n$pack")
+    val shard = plan("corpus_shard_text")
+    assert(shard.contains("InMemoryTableScan") ||
+      shard.contains("Scan In-memory"),
+      s"shard must read the shared packing table:\n$shard")
+  }
+
   test("bloom join pruning: three broadcast semi-joins, then prunes rows") {
     val p = plan("q_bloom_join_prune")
     // the bloom probe must be map-side: broadcast LeftSemi per hash row,

@@ -130,4 +130,73 @@ class PropertiesSpec extends SparkSpec {
       .collect().toSet
     assert(got == model)
   }
+
+  /** Sequential reference BPE: word counts → per-round pair argmax
+    * (support desc, l asc, r asc) → `String.replace` merge — the exact
+    * semantics the distributed rounds and the unrolled oracle share,
+    * including the early stop when the pair inventory runs dry. */
+  private def refBpe(words: Map[String, Long],
+      rounds: Int): List[(Long, String, String, String, Long)] = {
+    var dict = words.toList.map { case (w, c) =>
+      ("|" + w.map(_.toString).mkString("|") + "|", c)
+    }
+    val out = List.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (sym, wc) =>
+        val ps = sym.split("\\|").filter(_.nonEmpty)
+        var i = 0
+        while (i < ps.length - 1) {
+          val k = (ps(i), ps(i + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, rr), sup) = pairs.toList
+          .minBy { case ((pl, pr), s) => (-s, pl, pr) }
+        out += ((r.toLong, l, rr, l + rr, sup))
+        dict = dict.map { case (sym, wc) =>
+          (sym.replace(s"|$l|$rr|", s"|$l$rr|"), wc)
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  test("property: BPE training matches the sequential model when the pair inventory exhausts at any k < 8") {
+    // tiny {a,b} vocabularies run dry after a few merges: every case must
+    // produce IDENTICAL merge tables from the distributed rounds and the
+    // sequential reference — same argmax, same tiebreak, same early stop
+    // at whatever round k the pairs are gone
+    val wordGen = Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(wordGen, Gen.chooseNum(1, 3))))
+    val cases = samples(corpusGen, 8)
+    var exhaustionRounds = Set.empty[Int]
+    cases.zipWithIndex.foreach { case (corpus, i) =>
+      val text = corpus.flatMap { case (w, c) => List.fill(c)(w) }
+        .mkString(" ")
+      val dir = tmpDir(s"prop-bpe-$i")
+      Seq((0L, text)).toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("text_bpe_train")(spark, dir)
+        .select("merge_rank", "lhs", "rhs", "merged", "support")
+        .as[(Long, String, String, String, Long)].collect().toList
+      val want = refBpe(
+        text.split(" ").filter(_.matches("^[a-z]{2,}$"))
+          .groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+        rounds = 8)
+      assert(got == want, s"case $i corpus=$corpus got=$got want=$want")
+      if (want.size < 8) exhaustionRounds += want.size
+      graft.queries.Q.release(spark, dir)
+    }
+    assert(exhaustionRounds.nonEmpty,
+      "generator must cover at least one early-exhaustion corpus")
+  }
 }
