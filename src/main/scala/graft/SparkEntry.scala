@@ -172,6 +172,12 @@ object SparkEntry {
     "corpus_quality_prune" -> Seq("doc_id"),
     "st_dedup_admission_semantic" -> Seq("vec_id"),
     "text_bpe_train" -> Seq("merge_rank"),
+    "text_bpe_encode" -> Seq("doc_id"),
+    "dedup_exact_substring" -> Seq("doc_id"),
+    "corpus_quality_classifier" -> Seq("feature_id"),
+    "corpus_dsir_sample" -> Seq("doc_id"),
+    "corpus_source_profile" -> Seq("source"),
+    "embedding_pca_power" -> Seq("component"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),

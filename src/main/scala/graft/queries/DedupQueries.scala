@@ -230,6 +230,78 @@ object DedupQueries {
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // EXACT-SUBSTRING dedup — the sequence-level complement of the
+    // document-level families: find every maximal run of word positions
+    // whose 8-gram occurs MORE THAN ONCE anywhere in the corpus (the
+    // duplicated-span shape of suffix-array training-data dedup, detected
+    // here at 8-gram granularity). The distributed analogue of the
+    // suffix-array sort is ONE shuffle of (gram-hash, position) rows
+    // grouped by gram hash; positions of repeated grams come back to
+    // their documents and collapse into maximal spans with a per-document
+    // gaps-and-islands window (partitioned by doc_id — parallel, bounded
+    // by document length, never corpus-wide). Grams shuffle as xxhash64
+    // LONGS, not strings — 8 bytes per gram regardless of gram text; at
+    // ~10^5 grams the 64-bit collision odds are ~10^-9 (the oracle joins
+    // the gram strings themselves and agrees; a 100 TB run would widen to
+    // two seeds = 128 bits, same plan). Spans whose gap >= 8 words are
+    // disjoint in word coverage, so the per-doc word totals are exact.
+    QueryDef("dedup_exact_substring",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 8,
+                sequence(lit(1), size(col("ws")) - 7))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), col("i"),
+            xxhash64(expr((1 to 7)
+              .map(o => s"element_at(ws, i + $o)")
+              .mkString("element_at(ws, i) || ' ' || ",
+                " || ' ' || ", ""))).as("gh"))
+        val dup = g.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > 1)
+        val wLag = Window.partitionBy("doc_id").orderBy("i")
+        g.join(dup, "gh")
+          .withColumn("brk",
+            when(col("i") - lag(col("i"), 1, -999).over(wLag) >= 8, 1)
+              .otherwise(0))
+          .withColumn("span_id", sum("brk").over(wLag))
+          .groupBy("doc_id", "span_id")
+          .agg(count(lit(1)).as("span_grams"),
+            (max(col("i")) + 7 - min(col("i")) + 1).cast("long")
+              .as("span_words"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("span_grams").as("n_dup_grams"),
+            sum("span_words").as("n_dup_words"),
+            max("span_words").as("max_span_words"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |    ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM w)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |h AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |b AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i, 1, -999) OVER (PARTITION BY doc_id ORDER BY i) >= 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM h),
+        |sp AS (SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        |  FROM b),
+        |runs AS (SELECT doc_id, span_id,
+        |    CAST(count(*) AS BIGINT) AS span_grams,
+        |    CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS span_words
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_grams) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(span_words) AS BIGINT) AS n_dup_words,
+        |  max(span_words) AS max_span_words
+        |FROM runs GROUP BY 1""".stripMargin)),
+
     // MinHash + LSH banding: char-5-gram shingles sampled at stride 2 over
     // the first 200 chars; 16 minhash values as the 6-hex-digit pieces of
     // ONE sha256||md5 per shingle (2 hash calls instead of 16 — the pieces

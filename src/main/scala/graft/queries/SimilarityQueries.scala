@@ -124,6 +124,48 @@ object SimilarityQueries {
   private val PqM = 4
   private val PqSubDims = 16
 
+  private val PcaDims = 64
+  private val PcaRounds = 8
+
+  /** DuckDB replay of `embedding_pca_power`: the [[PcaRounds]] power
+    * iterations unrolled as MATERIALIZED CTEs (pv{r-1} weights → pp{r}
+    * quantized contribution sums → pnm{r} fixed-order norm → pv{r}),
+    * mirroring the Spark side's arithmetic operand-for-operand: the same
+    * left-associative 64-term dot product, the same ((x_j·s)·(10⁶/N))
+    * quantization, the same left-associative s_j² norm chain. Generated
+    * by a loop so the round structure cannot drift.
+    */
+  private lazy val pcaOracleSql: String = {
+    val dims = 1 to PcaDims
+    val sb = new StringBuilder
+    sb.append(s"""WITH pcn AS (SELECT CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings),
+      |pv0 AS (SELECT ${dims.map(j => s"1.0 AS v$j").mkString(", ")})"""
+      .stripMargin)
+    for (r <- 1 to PcaRounds) {
+      val dot = dims.map(j =>
+        s"CAST(embedding[$j] AS DOUBLE) * v.v$j").mkString(" + ")
+      sb.append(s""",
+        |pp$r AS MATERIALIZED (SELECT
+        |    ${dims.map(j =>
+               s"sum(CAST(round(CAST(embedding[$j] AS DOUBLE) * s * kf) " +
+               s"AS BIGINT)) AS s$j").mkString(",\n    ")}
+        |  FROM (SELECT embedding, ($dot) AS s, 1000000.0 / pcn.n AS kf
+        |        FROM embeddings, pv${r - 1} v, pcn)),
+        |pnm$r AS (SELECT sqrt(${dims.map(j =>
+               s"CAST(s$j AS DOUBLE) * s$j").mkString(" + ")}) AS nrm
+        |  FROM pp$r),
+        |pv$r AS (SELECT ${dims.map(j =>
+               s"CAST(s$j AS DOUBLE) / nrm AS v$j").mkString(", ")}
+        |  FROM pp$r, pnm$r)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append(dims.map(j =>
+      s"SELECT CAST($j AS BIGINT) AS component, v$j AS loading " +
+        s"FROM pv$PcaRounds").mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   /** The matrix-free JL sign "matrix": ±1 for (output row j 0-15, input
     * dim 1-64) from the parity of md5's first hex character — a fixed
     * pseudo-random pattern any engine regenerates bit-identically. */
@@ -1210,6 +1252,50 @@ object SimilarityQueries {
         |  FROM embeddings)
         |SELECT vec_id, j, CAST(sum(sg * qx) AS BIGINT) AS p
         |FROM c JOIN sg USING (dim) GROUP BY 1, 2""".stripMargin)),
+
+    // Distributed PCA by POWER ITERATION — the top principal direction of
+    // the (uncentered) embedding matrix, the classic preprocessing step
+    // before whitening/OPQ/dimension-cut. Each round is textbook
+    // distributed linear algebra: v ← Xᵀ(Xv)/‖·‖ computed as ONE
+    // map-side-combined aggregation producing 64 longs (per row: the dot
+    // product s = x·v, then 64 quantized contributions x_j·s), so at
+    // 100 TB every round is a single pass with a 64-cell mergeable
+    // partial state and the driver holds 64 longs — the same bounded-
+    // collect discipline as BPE/IvfCodebook/the classifier. Determinism
+    // is engineered, not assumed: per-row contributions quantize to
+    // integer MICROS scaled by 1/N (long sums are order-free AND the
+    // scale bound is independent of corpus size), the norm accumulates
+    // s_j² in a FIXED left-associative double chain mirrored
+    // operand-for-operand by the oracle, and sqrt/division are
+    // IEEE-exactly-rounded in both engines. v₀ = all-ones; 8 rounds
+    // (enough for the fixture's eigengap — TrainingDataOpsSpec measures
+    // alignment with a long-horizon reference iteration).
+    QueryDef("embedding_pca_power",
+      (s, d) => {
+        val emb = table(s, d, "embeddings").select(col("embedding"))
+        val n = emb.count()
+        val k = 1000000.0 / n
+        var v = Array.fill(PcaDims)(1.0)
+        for (_ <- 1 to PcaRounds) {
+          val sExpr = (1 to PcaDims).map(j =>
+            expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") * lit(v(j - 1)))
+            .reduce(_ + _)
+          val aggs = (1 to PcaDims).map(j =>
+            sum(round(expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") *
+              col("s") * lit(k)).cast("long")).as(s"s$j"))
+          val row = emb.select(col("embedding"), sExpr.as("s"))
+            .agg(aggs.head, aggs.tail: _*).collect()(0)
+          val sums = (0 until PcaDims).map(row.getLong)
+          var norm2 = 0.0
+          sums.foreach(sj => norm2 = norm2 + sj.toDouble * sj.toDouble)
+          val norm = math.sqrt(norm2)
+          v = sums.map(sj => sj.toDouble / norm).toArray
+        }
+        import s.implicits._
+        v.toSeq.zipWithIndex.map { case (vj, i) => ((i + 1).toLong, vj) }
+          .toDF("component", "loading")
+      },
+      Some(pcaOracleSql)),
 
     // The JL guarantee, MEASURED (the recall-audit discipline applied to
     // dimension reduction): for every pair in a bounded 50-vector sample,

@@ -434,4 +434,75 @@ class PlanQualitySpec extends SparkSpec {
     assert(row.getLong(1) <= row.getLong(0),
       "exact matches can never exceed bloom candidates")
   }
+
+  test("substring dedup shuffles gram hashes, windows stay doc-partitioned") {
+    val p = plan("dedup_exact_substring")
+    // the dup-gram shuffle key is the xxhash64 LONG, never the gram text
+    assert(p.contains("xxhash64"),
+      s"grams must shuffle as 64-bit hashes:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in substring dedup:\n$p")
+    // the gaps-and-islands window is partitioned by doc_id — a global
+    // (SinglePartition) window would serialize the corpus on one core
+    assert(!p.contains("SinglePartition"),
+      s"span windows must partition by doc_id:\n$p")
+  }
+
+  test("bpe encode: merges apply to the dictionary, corpus joins broadcast") {
+    val p = plan("text_bpe_encode")
+    // the encoded dictionary (vocab-bounded) broadcasts; the corpus is
+    // read once and never shuffles for the dictionary lookup
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded dictionary must broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"dictionary side must come from the cached vocab table:\n$p")
+    // at most one parquet scan in the OUTER plan — the formatted explain
+    // also prints the cached relation's one-time build plan, so count
+    // only above the first InMemoryRelation marker
+    val outer = p.substring(0, p.indexOf("InMemoryRelation"))
+    val scans = "Scan parquet".r.findAllIn(outer).size
+    assert(scans <= 1,
+      s"corpus must be read at most once (dictionary side is cached):\n$p")
+  }
+
+  test("quality classifier returns the bounded weight table — no corpus in the result plan") {
+    // each gradient round is its own bounded job (one map-side-combined
+    // aggregation + a 1-row collect); the REGISTERED result must be the
+    // 17 driver-held weight rows, same discipline as bpe training
+    val p = plan("corpus_quality_classifier")
+    assert(p.contains("LocalTableScan"),
+      s"classifier result must be the driver-held weight rows:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"classifier result plan must not re-read the corpus:\n$p")
+  }
+
+  test("pca power iteration returns the bounded loading table — no corpus in the result plan") {
+    // each round's corpus pass is its own bounded job (one map-side-
+    // combined 64-column aggregation + a 1-row collect); the REGISTERED
+    // result must be the 64 driver-held loading rows
+    val p = plan("embedding_pca_power")
+    assert(p.contains("LocalTableScan"),
+      s"pca result must be the driver-held loadings:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"pca result plan must not re-read the corpus:\n$p")
+  }
+
+  test("source profile: ONE corpus scan; the total windows the reduced aggregate") {
+    val p = plan("corpus_source_profile")
+    // formatted explain prints each node in the tree AND a detail
+    // section, so one physical scan appears twice
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"profile must scan the corpus exactly once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the total attach:\n$p")
+  }
+
+  test("dsir sampling broadcasts the bucket table and takes top-k without a global sort") {
+    val p = plan("corpus_dsir_sample")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 256-row bucket-score table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be per-partition heaps, not a global sort:\n$p")
+  }
 }
