@@ -131,6 +131,45 @@ class PropertiesSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("property: substring dedup matches the brute-force span model") {
+    // small-vocabulary corpora force repeated 8-grams; the model computes
+    // duplicated positions and maximal spans (gap >= 8 breaks) directly
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 6).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val dir = tmpDir(s"prop-substr-$ci")
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("dedup_exact_substring")(spark, dir)
+        .select("doc_id", "n_spans", "n_dup_grams", "n_dup_words",
+          "max_span_words")
+        .as[(Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+      // model
+      val grams = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - 8).map(i => (id, i + 1, ws.slice(i, i + 8).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = grams.filter(g => counts(g._3) > 1).groupBy(_._1)
+        .map { case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer
+            .empty[scala.collection.mutable.ListBuffer[Int]]
+          ps.foreach { i =>
+            if (spans.nonEmpty && i - spans.last.last < 8) spans.last += i
+            else spans += scala.collection.mutable.ListBuffer(i)
+          }
+          val words = spans.map(s => (s.last + 7 - s.head + 1).toLong)
+          (id, spans.size.toLong, ps.size.toLong, words.sum, words.max)
+        }.toList.sortBy(_._1)
+      assert(got == want, s"case $ci corpus=$docs got=$got want=$want")
+      graft.queries.Q.release(spark, dir)
+    }
+  }
+
   /** Sequential reference BPE: word counts → per-round pair argmax
     * (support desc, l asc, r asc) → `String.replace` merge — the exact
     * semantics the distributed rounds and the unrolled oracle share,
