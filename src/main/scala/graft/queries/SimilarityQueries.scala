@@ -1272,18 +1272,37 @@ object SimilarityQueries {
     // alignment with a long-horizon reference iteration).
     QueryDef("embedding_pca_power",
       (s, d) => {
-        val emb = table(s, d, "embeddings").select(col("embedding"))
+        val emb = cached(s, d, "pca_emb") {
+          table(s, d, "embeddings").select(col("embedding"))
+        }
         val n = emb.count()
         val k = 1000000.0 / n
         var v = Array.fill(PcaDims)(1.0)
+        // Per round, ONE aggregation job (like the BPE rounds): the dot
+        // product is an aggregate() fold over a LITERAL weight array —
+        // ascending j, the identical left-associative chain the oracle
+        // writes out, seeded 0.0 which adds exactly — and the 64
+        // dimension sums are one wide aggregation. The ~0.6 s/round on
+        // local[32] is fixed driver-loop cost (plan + Janino compile of
+        // the 64-agg stage + agg exchange + collect), NOT data volume —
+        // measured: broadcast-single-row weights (extra broadcast stage)
+        // and per-dimension explode+groupBy (extra shuffle stage) were
+        // both slower, and codegen-off only saves the compile slice. At
+        // real scale the per-round pass dominates and this is the right
+        // plan: mergeable 64-long partials, driver holds 64 longs.
         for (_ <- 1 to PcaRounds) {
-          val sExpr = (1 to PcaDims).map(j =>
-            expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") * lit(v(j - 1)))
-            .reduce(_ + _)
+          // Double.toString round-trips exactly, so the literal array
+          // reproduces v bit-for-bit in the parsed plan
+          val vLit = v.map(x => s"CAST(${x}D AS DOUBLE)")
+            .mkString("array(", ", ", ")")
+          val sHof = expr(s"""aggregate(sequence(1, $PcaDims),
+            |CAST(0.0 AS DOUBLE),
+            |(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE)
+            |  * element_at($vLit, j))""".stripMargin)
           val aggs = (1 to PcaDims).map(j =>
             sum(round(expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") *
               col("s") * lit(k)).cast("long")).as(s"s$j"))
-          val row = emb.select(col("embedding"), sExpr.as("s"))
+          val row = emb.select(col("embedding"), sHof.as("s"))
             .agg(aggs.head, aggs.tail: _*).collect()(0)
           val sums = (0 until PcaDims).map(row.getLong)
           var norm2 = 0.0
