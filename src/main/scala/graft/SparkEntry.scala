@@ -178,6 +178,8 @@ object SparkEntry {
     "corpus_dsir_sample" -> Seq("doc_id"),
     "corpus_source_profile" -> Seq("source"),
     "embedding_pca_power" -> Seq("component"),
+    "embedding_pca_project" -> Seq("vec_id"),
+    "ir_query_expansion" -> Seq("rnk"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),

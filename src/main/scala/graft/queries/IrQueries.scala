@@ -228,6 +228,109 @@ object IrQueries {
         |SELECT term, df, n_total, postings
         |FROM st LEFT JOIN sm USING (term)""".stripMargin)),
 
+    // PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query expansion), the
+    // classic two-pass retrieval composition: BM25 with the fixed seed
+    // query → top-10 feedback docs → top-3 expansion terms by TF-IDF
+    // weight inside the feedback set (seeds excluded; no df stop-guard
+    // is needed here — the candidate pool is bounded by |feedback| x
+    // terms-per-doc regardless, and the idf factor already down-weights
+    // corpus-common terms in the ranking) →
+    // re-retrieve with the expanded query. Everything is ONE declarative
+    // plan — no driver loop: the per-(doc, term) BM25 score quantizes to
+    // integer MILLI before any cross-term sum, so the dynamic-term
+    // totals are order-free LONG sums (the fixed-operand pivot trick
+    // text_bm25_search uses cannot work here — the expansion terms are
+    // data-dependent). The scored (doc, term) table is persisted once
+    // and read by all three stages; feedback/expansion sets are ≤10/≤3
+    // rows and broadcast; both top-k's are TakeOrdered.
+    QueryDef("ir_query_expansion",
+      (s, d) => {
+        import s.implicits._
+        val bm = cached(s, d, "ir_bm25_milli") {
+          val tok = tokens(s, d)
+          val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          val stats = dl.agg(sum("dl").as("sum_dl"),
+            count(lit(1)).as("n_docs"))
+          val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          val dfT = tf.filter(col("tf") >= 1)
+            .groupBy("term").agg(count(lit(1)).as("df"))
+          tf.join(dfT, "term")
+            .join(dl, "doc_id")
+            .crossJoin(broadcast(stats))
+            .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              col("n_docs"),
+              expr("""CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                |((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+                |  (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                |* 1000) AS BIGINT)""".stripMargin).as("milli"))
+        }
+        val fb = bm.filter(col("term").isin(BmTerms: _*))
+          .groupBy("doc_id").agg(sum("milli").as("s1"))
+          .orderBy(col("s1").desc, col("doc_id")).limit(10)
+          .select("doc_id")
+        val cand = bm.join(broadcast(fb), "doc_id")
+          .filter(!col("term").isin(BmTerms: _*))
+          .groupBy("term")
+          .agg(sum(expr(
+            "CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000) AS BIGINT)"))
+            .as("w"))
+        val wR = Window.orderBy(col("w").desc, col("term"))
+        val exp3 = cand.orderBy(col("w").desc, col("term")).limit(3)
+          .withColumn("rnk", row_number().over(wR).cast("long"))
+        val es = exp3.agg(concat_ws(",",
+          max(when(col("rnk") === 1, col("term"))),
+          max(when(col("rnk") === 2, col("term"))),
+          max(when(col("rnk") === 3, col("term")))).as("expansion"))
+        val finalTerms = BmTerms.toDF("term").union(exp3.select("term"))
+        val wF = Window.orderBy(col("score_milli").desc, col("doc_id"))
+        bm.join(broadcast(finalTerms), "term")
+          .groupBy("doc_id").agg(sum("milli").as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+          .withColumn("rnk", row_number().over(wF).cast("long"))
+          .crossJoin(broadcast(es))
+          .select("doc_id", "score_milli", "rnk", "expansion")
+      },
+      Some(s"""WITH $TokSql,
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT doc_id, term, tf, df, n_docs,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+        |      (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    * 1000) AS BIGINT) AS milli
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |fb AS (SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(sum(milli) AS BIGINT) AS s1 FROM bm
+        |    WHERE term IN ('merge', 'scan', 'filter') GROUP BY 1
+        |    ORDER BY s1 DESC, doc_id LIMIT 10)),
+        |cand AS (SELECT term, CAST(sum(
+        |      CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000) AS BIGINT)
+        |    ) AS BIGINT) AS w
+        |  FROM bm JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('merge', 'scan', 'filter')
+        |  GROUP BY 1),
+        |exp3 AS (SELECT term, CAST(row_number() OVER (ORDER BY w DESC, term)
+        |      AS BIGINT) AS rnk
+        |  FROM (SELECT term, w FROM cand ORDER BY w DESC, term LIMIT 3)),
+        |es AS (SELECT concat_ws(',',
+        |    max(CASE WHEN rnk = 1 THEN term END),
+        |    max(CASE WHEN rnk = 2 THEN term END),
+        |    max(CASE WHEN rnk = 3 THEN term END)) AS expansion FROM exp3),
+        |fin AS (SELECT doc_id, CAST(sum(milli) AS BIGINT) AS score_milli
+        |  FROM bm
+        |  WHERE term IN ('merge', 'scan', 'filter')
+        |     OR term IN (SELECT term FROM exp3)
+        |  GROUP BY 1),
+        |top AS (SELECT doc_id, score_milli FROM fin
+        |  ORDER BY score_milli DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score_milli,
+        |  CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+        |    AS BIGINT) AS rnk,
+        |  expansion
+        |FROM top CROSS JOIN es""".stripMargin)),
+
     // Deterministic stratified sample: 5 events per event_type, selected
     // by md5 of the key (a uniform, reproducible pseudo-order — no RNG
     // state, identical on re-run and in the oracle). Runs through the

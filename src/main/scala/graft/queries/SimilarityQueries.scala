@@ -135,7 +135,7 @@ object SimilarityQueries {
     * quantization, the same left-associative s_j² norm chain. Generated
     * by a loop so the round structure cannot drift.
     */
-  private lazy val pcaOracleSql: String = {
+  private lazy val pcaCtes: String = {
     val dims = 1 to PcaDims
     val sb = new StringBuilder
     sb.append(s"""WITH pcn AS (SELECT CAST(count(*) AS BIGINT) AS n
@@ -159,12 +159,76 @@ object SimilarityQueries {
                s"CAST(s$j AS DOUBLE) / nrm AS v$j").mkString(", ")}
         |  FROM pp$r, pnm$r)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append(dims.map(j =>
-      s"SELECT CAST($j AS BIGINT) AS component, v$j AS loading " +
-        s"FROM pv$PcaRounds").mkString("\nUNION ALL\n"))
     sb.toString
   }
+
+  private lazy val pcaOracleSql: String =
+    pcaCtes + "\n" + (1 to PcaDims).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS component, v$j AS loading " +
+        s"FROM pv$PcaRounds").mkString("\nUNION ALL\n")
+
+  /** DuckDB replay of `embedding_pca_project`: the training chain's
+    * final weights applied through the same fixed-order dot chain. */
+  private lazy val pcaProjectOracleSql: String = {
+    val dot = (1 to PcaDims).map(j =>
+      s"CAST(embedding[$j] AS DOUBLE) * v.v$j").mkString(" + ")
+    s"""$pcaCtes
+       |SELECT vec_id,
+       |  CAST(round(($dot) * 1000000.0) AS BIGINT) AS proj_micros
+       |FROM embeddings, pv$PcaRounds v""".stripMargin
+  }
+
+  /** The trained top principal direction — the [[PcaRounds]] power-
+    * iteration loop shared by `embedding_pca_power` (which surfaces it)
+    * and `embedding_pca_project` (which applies it). Memoized per
+    * (session, dataset); the driver holds 64 doubles. Per round, ONE
+    * aggregation job (like the BPE rounds): the dot product is an
+    * aggregate() fold over a LITERAL weight array — ascending j, the
+    * identical left-associative chain the oracle writes out, seeded 0.0
+    * which adds exactly — and the 64 dimension sums are one wide
+    * aggregation. The ~0.6 s/round on local[32] is fixed driver-loop
+    * cost (plan + Janino compile of the 64-agg stage + agg exchange +
+    * collect), NOT data volume — measured: broadcast-single-row weights
+    * (extra broadcast stage) and per-dimension explode+groupBy (extra
+    * shuffle stage) were both slower, and codegen-off only saves the
+    * compile slice. At real scale the per-round pass dominates and this
+    * is the right plan: mergeable 64-long partials, driver holds 64
+    * longs.
+    */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Double]]
+
+  private[queries] def pcaLoadings(s: SparkSession,
+      d: String): Array[Double] =
+    pcaMemo.getOrElseUpdate((s, d), {
+      val emb = cached(s, d, "pca_emb") {
+        table(s, d, "embeddings").select(col("embedding"))
+      }
+      val n = emb.count()
+      val k = 1000000.0 / n
+      var v = Array.fill(PcaDims)(1.0)
+      for (_ <- 1 to PcaRounds) {
+        // Double.toString round-trips exactly, so the literal array
+        // reproduces v bit-for-bit in the parsed plan
+        val vLit = v.map(x => s"CAST(${x}D AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        val sHof = expr(s"""aggregate(sequence(1, $PcaDims),
+          |CAST(0.0 AS DOUBLE),
+          |(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE)
+          |  * element_at($vLit, j))""".stripMargin)
+        val aggs = (1 to PcaDims).map(j =>
+          sum(round(expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") *
+            col("s") * lit(k)).cast("long")).as(s"s$j"))
+        val row = emb.select(col("embedding"), sHof.as("s"))
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        val sums = (0 until PcaDims).map(row.getLong)
+        var norm2 = 0.0
+        sums.foreach(sj => norm2 = norm2 + sj.toDouble * sj.toDouble)
+        val norm = math.sqrt(norm2)
+        v = sums.map(sj => sj.toDouble / norm).toArray
+      }
+      v
+    })
 
   /** The matrix-free JL sign "matrix": ±1 for (output row j 0-15, input
     * dim 1-64) from the parity of md5's first hex character — a fixed
@@ -1272,49 +1336,34 @@ object SimilarityQueries {
     // alignment with a long-horizon reference iteration).
     QueryDef("embedding_pca_power",
       (s, d) => {
-        val emb = cached(s, d, "pca_emb") {
-          table(s, d, "embeddings").select(col("embedding"))
-        }
-        val n = emb.count()
-        val k = 1000000.0 / n
-        var v = Array.fill(PcaDims)(1.0)
-        // Per round, ONE aggregation job (like the BPE rounds): the dot
-        // product is an aggregate() fold over a LITERAL weight array —
-        // ascending j, the identical left-associative chain the oracle
-        // writes out, seeded 0.0 which adds exactly — and the 64
-        // dimension sums are one wide aggregation. The ~0.6 s/round on
-        // local[32] is fixed driver-loop cost (plan + Janino compile of
-        // the 64-agg stage + agg exchange + collect), NOT data volume —
-        // measured: broadcast-single-row weights (extra broadcast stage)
-        // and per-dimension explode+groupBy (extra shuffle stage) were
-        // both slower, and codegen-off only saves the compile slice. At
-        // real scale the per-round pass dominates and this is the right
-        // plan: mergeable 64-long partials, driver holds 64 longs.
-        for (_ <- 1 to PcaRounds) {
-          // Double.toString round-trips exactly, so the literal array
-          // reproduces v bit-for-bit in the parsed plan
-          val vLit = v.map(x => s"CAST(${x}D AS DOUBLE)")
-            .mkString("array(", ", ", ")")
-          val sHof = expr(s"""aggregate(sequence(1, $PcaDims),
-            |CAST(0.0 AS DOUBLE),
-            |(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE)
-            |  * element_at($vLit, j))""".stripMargin)
-          val aggs = (1 to PcaDims).map(j =>
-            sum(round(expr(s"CAST(element_at(embedding, $j) AS DOUBLE)") *
-              col("s") * lit(k)).cast("long")).as(s"s$j"))
-          val row = emb.select(col("embedding"), sHof.as("s"))
-            .agg(aggs.head, aggs.tail: _*).collect()(0)
-          val sums = (0 until PcaDims).map(row.getLong)
-          var norm2 = 0.0
-          sums.foreach(sj => norm2 = norm2 + sj.toDouble * sj.toDouble)
-          val norm = math.sqrt(norm2)
-          v = sums.map(sj => sj.toDouble / norm).toArray
-        }
         import s.implicits._
-        v.toSeq.zipWithIndex.map { case (vj, i) => ((i + 1).toLong, vj) }
+        pcaLoadings(s, d).toSeq.zipWithIndex
+          .map { case (vj, i) => ((i + 1).toLong, vj) }
           .toDF("component", "loading")
       },
       Some(pcaOracleSql)),
+
+    // PCA PROJECTION — apply the trained principal direction to every
+    // vector: the score a curation pipeline thresholds/buckets on (and
+    // the first step of an OPQ-style rotation). One corpus pass; the
+    // 64 loadings travel as a literal array (bounded driver state); the
+    // per-row dot product is the SAME fixed left-associative fold the
+    // training rounds and the oracle use, quantized to micros so the
+    // output column is integer-exact.
+    QueryDef("embedding_pca_project",
+      (s, d) => {
+        val v = pcaLoadings(s, d)
+        val vLit = v.map(x => s"CAST(${x}D AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        val sHof = expr(s"""aggregate(sequence(1, $PcaDims),
+          |CAST(0.0 AS DOUBLE),
+          |(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE)
+          |  * element_at($vLit, j))""".stripMargin)
+        table(s, d, "embeddings")
+          .select(col("vec_id"),
+            round(sHof * lit(1000000.0)).cast("long").as("proj_micros"))
+      },
+      Some(pcaProjectOracleSql)),
 
     // The JL guarantee, MEASURED (the recall-audit discipline applied to
     // dimension reduction): for every pair in a bounded 50-vector sample,

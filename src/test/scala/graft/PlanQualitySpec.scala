@@ -497,6 +497,25 @@ class PlanQualitySpec extends SparkSpec {
       s"no cartesian in the total attach:\n$p")
   }
 
+  test("pca projection is a pure map over one scan (loadings are literals)") {
+    val p = plan("embedding_pca_project")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, // tree + detail
+      s"projection must be one corpus pass:\n$p")
+    assert(!p.contains("Join"), s"no join — loadings travel as literals:\n$p")
+  }
+
+  test("query expansion: scored table cached once, feedback sets broadcast, top-k heaps") {
+    val p = plan("ir_query_expansion")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (doc, term) BM25-milli table must be persisted and reused:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-20 must be per-partition heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the expanded term set must broadcast into the scored table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast attaches allowed:\n$p")
+  }
+
   test("dsir sampling broadcasts the bucket table and takes top-k without a global sort") {
     val p = plan("corpus_dsir_sample")
     assert(p.contains("BroadcastHashJoin") ||

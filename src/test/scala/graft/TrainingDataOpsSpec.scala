@@ -206,6 +206,50 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"8 rounds must recover the planted direction: ${cos(pv, u)}")
   }
 
+  test("pca projection applies the learned loadings row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val v = SparkEntry.queries("embedding_pca_power")(spark, dir)
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    val got = SparkEntry.queries("embedding_pca_project")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    assert(got.size == emb.length)
+    emb.take(50).foreach { case (id, x) =>
+      // same fold order as the engine: ((0 + t1) + t2) + ... then *1e6
+      var s = 0.0
+      (0 until 64).foreach(j => s = s + x(j).toDouble * v(j))
+      val want = new java.math.BigDecimal(s * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+  }
+
+  test("query expansion feeds back real feedback-set terms and re-ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ir_query_expansion")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._3)
+    assert(rows.size == 20)
+    assert(rows.map(_._3) == (1L to 20L).toList)
+    // scores are ranked descending with the doc_id tiebreak
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+    val expansion = rows.head._4.split(",").toList
+    assert(expansion.size == 3 && expansion.distinct.size == 3)
+    val seeds = Set("merge", "scan", "filter")
+    assert(expansion.forall(t => !seeds.contains(t)),
+      s"expansion must exclude the seed terms: $expansion")
+    // every expansion term genuinely occurs in the corpus
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).toSet
+    assert(expansion.forall(vocab.contains), s"unknown terms: $expansion")
+    // the winning doc matches the expanded query
+    val topDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === rows.head._1)
+      .select("text").as[String].head().split(" ").toSet
+    assert((seeds ++ expansion).exists(topDoc.contains))
+  }
+
   test("source profile shares are exact ppm fractions that cover the corpus") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("corpus_source_profile")(spark, dir)
