@@ -18,6 +18,26 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("GLOBAL: no cartesian product and no Scala UDF in ANY registered query plan") {
+    // the standing guarantee behind the per-query spot checks: every
+    // cross-shaped join in the engine is a broadcast attach
+    // (BroadcastNestedLoopJoin over a bounded side), never a
+    // CartesianProduct, and every scalar extension is a native codegen
+    // Expression, never a ScalaUDF. Sweeps all registered queries at
+    // sf0.001 — a future query that regresses either invariant fails
+    // here by name.
+    val offenders = SparkEntry.all.map(_.name).flatMap { name =>
+      val p = plan(name)
+      val bad = Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "ScalaUDF" -> p.contains("ScalaUDF"))
+        .collect { case (tag, true) => tag }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"plan invariant violations:\n${offenders.mkString("\n")}")
+  }
+
   test("count-min build hashes each key once (single sha2 in the plan)") {
     // the d row-buckets derive arithmetically from ONE 48-bit sha prefix
     // (double hashing); a regression back to per-row sha2("j:key") would
