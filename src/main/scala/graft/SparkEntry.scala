@@ -180,6 +180,7 @@ object SparkEntry {
     "embedding_pca_power" -> Seq("component"),
     "embedding_pca_project" -> Seq("vec_id"),
     "ir_query_expansion" -> Seq("rnk"),
+    "corpus_curation_funnel" -> Seq("stage_id"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
     "q_cms_heavy" -> Seq("value_cents"),

@@ -326,6 +326,78 @@ object DedupQueries {
       Some(s"""$NearDupSql
         |SELECT doc_a, doc_b, jaccard FROM ndup""".stripMargin)),
 
+    // CURATION FUNNEL — the per-stage attrition report every corpus
+    // build publishes: how many documents survive the quality gate,
+    // exact dedup, near-dup removal, and benchmark decontamination. One
+    // declarative plan (a union of five bounded aggregates — no driver
+    // counts); the expensive stage inputs reuse the set's persisted
+    // near-dup pairs, and the decontamination stage is the same
+    // broadcast 8-gram probe corpus_decontaminate proves. Output is 5
+    // rows regardless of corpus size.
+    QueryDef("corpus_curation_funnel",
+      (s, d) => {
+        def stage(id: Long, name: String,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"))
+        val docs = table(s, d, "documents")
+        val quality = docs.filter(size(split(col("text"), " ")) >= 10)
+        val exact = quality
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val dupB = nearDupPairs(s, d)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val curated = exact.join(dupB, Seq("doc_id"), "left_anti")
+        val g8 = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(when(size(col("ws")) >= 8,
+                sequence(lit(1), size(col("ws")) - 7))
+              .otherwise(array().cast("array<int>"))).as("i"),
+            col("ws"))
+          .select(col("doc_id"), expr((1 to 7)
+            .map(o => s"element_at(ws, i + $o)")
+            .mkString("element_at(ws, i) || ' ' || ",
+              " || ' ' || ", "")).as("gram"))
+          .distinct()
+        val evalG = g8.filter(col("doc_id") < 20).select("gram").distinct()
+        val flagged = g8.filter(col("doc_id") >= 20)
+          .join(broadcast(evalG), "gram")
+          .select("doc_id").distinct()
+        val clean = curated.join(flagged, Seq("doc_id"), "left_anti")
+        stage(1, "raw", docs)
+          .union(stage(2, "quality", quality))
+          .union(stage(3, "exact_dedup", exact))
+          .union(stage(4, "near_dedup", curated))
+          .union(stage(5, "decontaminated", clean))
+      },
+      Some(s"""$NearDupSql,
+        |fdupb AS (SELECT DISTINCT doc_b AS doc_id FROM ndup),
+        |fq AS (SELECT doc_id, sha256(text) AS h FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |fk AS (SELECT min(doc_id) AS doc_id FROM fq GROUP BY h),
+        |fcur AS (SELECT doc_id FROM fk
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM fdupb)),
+        |fg8 AS (SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |    ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |ffl AS (SELECT DISTINCT g.doc_id FROM fg8 g
+        |  JOIN (SELECT DISTINCT gram FROM fg8 WHERE doc_id < 20) e
+        |    USING (gram)
+        |  WHERE g.doc_id >= 20),
+        |fcl AS (SELECT doc_id FROM fcur
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM ffl))
+        |SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT) FROM fq
+        |UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM fk
+        |UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT) FROM fcur
+        |UNION ALL SELECT 5, 'decontaminated', CAST(count(*) AS BIGINT) FROM fcl"""
+        .stripMargin)),
+
     // The full training-data CURATION flow in one plan: quality gate
     // (≥10 words) → exact dedup (keep the lowest doc_id per content hash)
     // → near-dup removal (drop the higher id of every verified J≥0.5

@@ -225,6 +225,10 @@ object SimilarityQueries {
         var norm2 = 0.0
         sums.foreach(sj => norm2 = norm2 + sj.toDouble * sj.toDouble)
         val norm = math.sqrt(norm2)
+        // an all-zero matrix (norm 0) would NaN the loadings in both
+        // engines identically; real fixtures can't produce it, so no
+        // special case — documenting rather than guarding keeps the
+        // driver arithmetic a strict mirror of the oracle's
         v = sums.map(sj => sj.toDouble / norm).toArray
       }
       v

@@ -206,6 +206,22 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"8 rounds must recover the planted direction: ${cos(pv, u)}")
   }
 
+  test("curation funnel counts are monotone and agree with the standalone stages") {
+    val dir = "/root/testdata/sf0.001"
+    val f = SparkEntry.queries("corpus_curation_funnel")(spark, dir)
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    assert(f.map(_._2) == List("raw", "quality", "exact_dedup",
+      "near_dedup", "decontaminated"))
+    val counts = f.map(_._3)
+    assert(counts == counts.sorted.reverse, s"funnel must be monotone: $f")
+    assert(counts.head ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    // stage 4 must equal the standalone corpus_curation survivor count
+    val curated = SparkEntry.queries("corpus_curation")(spark, dir).count()
+    assert(counts(3) == curated)
+    assert(counts.last >= 1)
+  }
+
   test("pca projection applies the learned loadings row-for-row") {
     val dir = "/root/testdata/sf0.001"
     val v = SparkEntry.queries("embedding_pca_power")(spark, dir)
