@@ -154,6 +154,7 @@ object SparkEntry {
     "embedding_project_audit" -> Seq("n_pairs"),
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),
+    "graph_pagerank" -> Seq("rank"),
     "ann_recall_audit" -> Seq("total_true"),
     "dedup_recall_audit" -> Seq("total_true"),
     "q_percentiles_approx" -> Seq("event_type"),
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_bpe_train" -> Seq("merge_rank"),
     "text_bpe_encode" -> Seq("doc_id"),
     "dedup_exact_substring" -> Seq("doc_id"),
+    "dedup_paragraph" -> Seq("doc_id"),
     "corpus_quality_classifier" -> Seq("feature_id"),
     "corpus_dsir_sample" -> Seq("doc_id"),
     "corpus_source_profile" -> Seq("source"),
@@ -201,6 +203,7 @@ object SparkEntry {
     "corpus_train_split" -> Seq("split"),
     "q_global_rank" -> Seq("rnk"),
     "dq_audit" -> Seq("rule"),
+    "dq_k_anonymity" -> Seq("event_type"),
     "text_tfidf_topk" -> Seq("doc_id", "rnk"),
     "text_bm25_search" -> Seq("rnk"),
     "text_inverted_index" -> Seq("term"),
@@ -224,6 +227,7 @@ object SparkEntry {
     "q_gap_fill" -> Seq("event_type", "hour_us"),
     "text_lm_score" -> Seq("doc_id"),
     "q_incr_agg" -> Seq("user_id"),
+    "q_incr_join" -> Seq("user_id"),
     "q_hll_distinct_union" -> Seq("event_type"),
     "q_incr_percentiles" -> Seq("event_type"),
     "corpus_shard_text" -> Seq("bin"),

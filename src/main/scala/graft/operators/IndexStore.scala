@@ -64,9 +64,21 @@ object IndexStore {
     f.delete(); ()
   }
 
+  /** How many fixture keys one artifact name retains. A sweep cycle
+    * touches the SAME artifact under several fixtures (Verify at sf0.01,
+    * Bench at sf0.1, specs at sf0.001 + controlled corpora): evicting
+    * every other key on a miss — the original policy — made those runs
+    * destroy each other's trained indexes, so "training once per fixture
+    * ever" only held while exactly one fixture was in play. Keeping the
+    * 4 most-recently-used keys lets the standard scales coexist while a
+    * REGENERATED fixture (new digest for the same scale) still ages the
+    * dead key out of the store. */
+  val MaxKeysPerName = 4
+
   /** Read artifact `name` for fixture `key` from the store, building and
-    * persisting it first on a miss. A miss also deletes the artifact's
-    * entries under every OTHER key (stale: the fixture changed).
+    * persisting it first on a miss. After a build, the artifact's
+    * least-recently-used keys beyond [[MaxKeysPerName]] are evicted; a
+    * hit refreshes the key's recency.
     */
   def cached(s: SparkSession, name: String, key: String,
       rootDir: File = root)(build: => DataFrame): DataFrame = {
@@ -74,11 +86,16 @@ object IndexStore {
     require(key.matches("[A-Za-z0-9_-]+"), s"unsafe artifact key: $key")
     val dir = new File(rootDir, s"$name-$key")
     if (!new File(dir, "_SUCCESS").exists()) {
+      build.write.mode("overwrite").parquet(dir.toString)
       Option(rootDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(name + "-") &&
           f.getName != dir.getName)
+        .sortBy(_.lastModified())(Ordering[Long].reverse)
+        .drop(MaxKeysPerName - 1)
         .foreach(deleteRec)
-      build.write.mode("overwrite").parquet(dir.toString)
+    } else {
+      dir.setLastModified(System.currentTimeMillis()) // LRU recency
+      ()
     }
     s.read.parquet(dir.toString)
   }

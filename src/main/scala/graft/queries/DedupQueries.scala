@@ -302,6 +302,57 @@ object DedupQueries {
         |  max(span_words) AS max_span_words
         |FROM runs GROUP BY 1""".stripMargin)),
 
+    // PARAGRAPH-level dedup (the CCNet shape): segment every document
+    // into fixed 16-word pieces, hash each piece, and keep only the
+    // GLOBALLY FIRST occurrence of every distinct piece — later copies
+    // anywhere in the corpus are dropped, whatever document they sit in.
+    // This is the unit-of-removal complement of the document-level
+    // families (which drop whole documents) and the span detector above
+    // (which only REPORTS duplicated runs): boilerplate shared across
+    // thousands of pages disappears exactly once per corpus. Scale shape:
+    // one shuffle of (segment-hash, encoded position) rows; the
+    // first-occurrence winner is a hash-keyed min aggregation and the
+    // verdict join rides the SAME hash partitioning (Catalyst reuses the
+    // exchange), so cost is O(segments) with no window and no driver
+    // state. First-occurrence order is the deterministic (doc_id,
+    // seg_idx) encoding — a single BIGINT min, not a struct — so Spark
+    // and DuckDB agree bit-for-bit.
+    QueryDef("dedup_paragraph",
+      (s, d) => {
+        val segs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0),
+              expr("(size(ws) + 15) div 16 - 1"))).as("seg_idx"),
+            col("ws"))
+          .select(col("doc_id"), col("seg_idx"),
+            md5(expr("array_join(slice(ws, seg_idx * 16 + 1, 16), ' ')"))
+              .as("h"),
+            expr("size(slice(ws, seg_idx * 16 + 1, 16))").as("seg_words"))
+          .withColumn("k", col("doc_id") * 100000 + col("seg_idx"))
+        val firstOcc = segs.groupBy("h").agg(min(col("k")).as("first_k"))
+        segs.join(firstOcc, "h")
+          .withColumn("kept", when(col("k") === col("first_k"), 1L)
+            .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(col("kept")).as("n_kept"),
+            sum(lit(1L) - col("kept")).as("n_removed"),
+            sum(col("kept") * col("seg_words")).as("kept_words"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |    md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
+        |    len(ws[i*16+1 : i*16+16]) AS seg_words,
+        |    doc_id * 100000 + i AS k
+        |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS i FROM w)),
+        |fo AS (SELECT h, min(k) AS first_k FROM segs GROUP BY h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN k = first_k THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN k = first_k THEN seg_words ELSE 0 END) AS BIGINT) AS kept_words
+        |FROM segs JOIN fo USING (h) GROUP BY doc_id""".stripMargin)),
+
     // MinHash + LSH banding: char-5-gram shingles sampled at stride 2 over
     // the first 200 chars; 16 minhash values as the 6-hex-digit pieces of
     // ONE sha256||md5 per shingle (2 hash calls instead of 16 — the pieces

@@ -416,6 +416,44 @@ object IngestOpQueries {
         |  CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT),
         |  count(DISTINCT props),
         |  CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR) FROM ev"""
-        .stripMargin))
+        .stripMargin)),
+
+    // K-ANONYMITY audit — the re-identification risk gate a data-release
+    // pipeline runs before publishing: group rows by their
+    // quasi-identifier tuple (event_type, day, value decile) and flag
+    // equivalence classes smaller than k=5 — a row in such a class can be
+    // linked back to an individual by an adversary who knows those three
+    // attributes. Output is one row per event_type (bounded by type
+    // cardinality): class counts, risky-class counts, rows at risk, and
+    // the smallest class. Two hash aggregations, the second over
+    // class-level rows only — no window, no skew sensitivity, scales as a
+    // pure shuffle on the quasi-identifier key.
+    QueryDef("dq_k_anonymity",
+      (s, d) => {
+        val ev = table(s, d, "events").select(
+          col("event_type"),
+          expr("ts DIV 1000 DIV 86400000000").as("day_idx"),
+          expr("CAST(floor(value / 10) AS BIGINT)").as("vbucket"))
+        val combos = ev.groupBy("event_type", "day_idx", "vbucket")
+          .agg(count(lit(1)).as("combo_n"))
+        combos.groupBy("event_type")
+          .agg(count(lit(1)).as("n_combos"),
+            sum(when(col("combo_n") < 5, 1L).otherwise(0L))
+              .as("n_risky_combos"),
+            coalesce(sum(when(col("combo_n") < 5, col("combo_n"))), lit(0L))
+              .as("n_risky_rows"),
+            min(col("combo_n")).as("min_combo_size"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+        |    CAST(floor(value / 10) AS BIGINT) AS vbucket
+        |  FROM events),
+        |combos AS (SELECT event_type, day_idx, vbucket, count(*) AS combo_n
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_combos,
+        |  CAST(count(*) FILTER (WHERE combo_n < 5) AS BIGINT) AS n_risky_combos,
+        |  CAST(coalesce(sum(combo_n) FILTER (WHERE combo_n < 5), 0) AS BIGINT) AS n_risky_rows,
+        |  CAST(min(combo_n) AS BIGINT) AS min_combo_size
+        |FROM combos GROUP BY 1""".stripMargin))
   )
 }

@@ -592,6 +592,60 @@ object ScaleOpQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin)),
 
+    // INCREMENTAL JOIN-VIEW maintenance — the join companion of
+    // q_incr_agg's mergeable aggregate state: a stored join view
+    // J = V ⋈ P refreshes under deltas on BOTH inputs via the
+    // distributive delta algebra
+    //   J' = Vb⋈Pb (the stored view) ∪ Vb⋈ΔP ∪ ΔV⋈Pb ∪ ΔV⋈ΔP —
+    // the three delta terms each carry one |Δ|-sized side, so a daily
+    // refresh joins one day against history instead of re-joining
+    // history against history (at 100 TB: the delta terms shuffle a
+    // day's rows; the base term is the already-materialized view, here
+    // recomputed only because the query is self-contained). The four
+    // terms partition the output pairs by (base/delta × base/delta)
+    // membership — provably disjoint, so unionByName is exact and the
+    // single-pass full join (what the oracle runs) must agree row for
+    // row. Pairs are keyed (user_id, day) to keep per-key fanout
+    // bounded; measures stay integer cents.
+    QueryDef("q_incr_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), tsMicros.as("us"), col("event_type"),
+            cents(col("value")).as("v_c"))
+          .select(col("user_id"), expr("us DIV 86400000000").as("day"),
+            col("event_type"), col("v_c"))
+        val mx = ev.agg(max("day").as("max_day"))
+        val tagged = ev.crossJoin(broadcast(mx))
+        def part(t: String, delta: Boolean) = tagged
+          .filter(col("event_type") === t &&
+            (if (delta) col("day") === col("max_day")
+             else col("day") < col("max_day")))
+          .select(col("user_id"), col("day"), col("v_c"))
+        val (vb, vd) = (part("view", false), part("view", true))
+        val (pb, pd) = (part("purchase", false), part("purchase", true))
+        def term(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+          a.select(col("user_id"), col("day"), col("v_c").as("vv"))
+            .join(b.select(col("user_id"), col("day"), col("v_c").as("pv")),
+              Seq("user_id", "day"))
+        term(vb, pb).unionByName(term(vb, pd))
+          .unionByName(term(vd, pb)).unionByName(term(vd, pd))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("vv") + col("pv")).as("s_vc"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |v AS (SELECT user_id, day, v_c FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, day, v_c FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(v.v_c + p.v_c) AS BIGINT) AS s_vc
+        |FROM v JOIN p ON v.user_id = p.user_id AND v.day = p.day
+        |GROUP BY v.user_id""".stripMargin)),
+
     // The distinct-count companion to q_incr_agg's mergeable state: exact
     // distincts do NOT fold across deltas, so the incremental form keeps
     // a DataSketches HLL sketch per (type, day) partial and UNIONS

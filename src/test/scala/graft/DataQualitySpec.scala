@@ -38,6 +38,27 @@ class DataQualitySpec extends SparkSpec {
       s"4 rules must evaluate over ONE scan of the input, planned ${leaves.length}")
   }
 
+  test("k-anonymity audit flags exactly the small equivalence classes") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // (click, day 0, bucket 0): 6 rows — safe; (click, day 0, bucket 1):
+    // 2 rows — risky; (view, day 1, bucket 0): 1 row — risky
+    val rows =
+      (1 to 6).map(i => (ts(1000L + i), "click", 5.0)) ++
+        Seq((ts(2000L), "click", 15.0), (ts(2001L), "click", 12.0),
+          (ts(86500L), "view", 3.0))
+    val dir = tmpDir("kanon")
+    rows.toDF("ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_k_anonymity")(spark, dir)
+      .select("event_type", "n_combos", "n_risky_combos", "n_risky_rows",
+        "min_combo_size")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      ("click", 2L, 1L, 2L, 2L),
+      ("view", 1L, 1L, 1L, 1L)), s"got $out")
+  }
+
   test("orphan check counts missing referents") {
     val dim = Seq(1L, 2L).toDF("k")
     val fact = Seq(1L, 1L, 2L, 3L, 4L).toDF("fk")

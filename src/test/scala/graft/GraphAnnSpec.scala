@@ -59,4 +59,34 @@ class GraphAnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"graph search plans a cartesian product:\n$plan")
   }
+
+  test("pagerank top-20 equals an in-memory reference on the same graph") {
+    // independent witness: pull the adjacency the query reads, replay the
+    // identical fixed-point arithmetic sequentially on the driver, and
+    // demand exact agreement of the distributed result
+    val adj = graft.queries.SimilarityQueries.nswAdjacency(spark, dir)
+      .select("src", "dst").as[(Long, Long)].collect()
+    val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").as[Long].collect().sorted
+    val S = 1000000000000L
+    val base = S / nodes.length
+    val outdeg = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var pr = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 8) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+      adj.foreach { case (src, dst) =>
+        val c = pr(src) / outdeg(src)
+        inflow(dst) = inflow.getOrElse(dst, 0L) + c
+      }
+      pr = nodes.map(v =>
+        v -> ((15L * base) / 100L + (85L * inflow.getOrElse(v, 0L)) / 100L))
+        .toMap
+    }
+    val want = pr.toSeq.sortBy { case (v, p) => (-p, v) }.take(20)
+      .zipWithIndex.map { case ((v, p), i) => (i + 1L, v, p) }
+    val got = SparkEntry.queries("graph_pagerank")(spark, dir)
+      .select("rank", "vec_id", "pr_scaled")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
+  }
 }

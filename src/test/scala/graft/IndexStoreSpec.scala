@@ -35,7 +35,7 @@ class IndexStoreSpec extends SparkSpec {
       "a changed row count (new scale) must change the digest")
   }
 
-  test("hit reads from disk without rebuilding; key change rebuilds and removes the stale entry") {
+  test("hit reads from disk without rebuilding; keys coexist to the LRU cap, then evict oldest") {
     import spark.implicits._
     val root = tmpRoot()
     var builds = 0
@@ -50,22 +50,37 @@ class IndexStoreSpec extends SparkSpec {
     assert(builds == 1, "a hit must not rebuild")
     assert(again.select("src").distinct().as[String].collect()
       .toSeq == Seq("v1"), "the hit must serve the ORIGINAL artifact")
-    // fixture changed (new digest): rebuild under the new key, drop stale
+    // a second fixture key rebuilds — and COEXISTS with the first (the
+    // multi-scale sweep shape: sf0.001 specs / sf0.01 verify / sf0.1
+    // bench must not destroy each other's trained artifacts)
     val rebuilt = IndexStore.cached(spark, "ix", "k2", root)(build("v3"))
     assert(builds == 2, "a key change must rebuild")
     assert(rebuilt.select("src").distinct().as[String].collect()
       .toSeq == Seq("v3"))
-    val names = Option(root.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).toSeq
-    assert(names.contains("ix-k2") && !names.contains("ix-k1"),
-      s"stale key must be removed on miss (saw $names)")
+    def names() = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(names().contains("ix-k1") && names().contains("ix-k2"),
+      s"keys under the cap must coexist (saw ${names()})")
+    // k1 was used MOST recently of the two older keys after this hit:
+    Thread.sleep(1100) // parquet dir mtime granularity can be 1s
+    IndexStore.cached(spark, "ix", "k1", root)(build("v5"))
+    assert(builds == 2, "recency refresh must be a hit")
+    // push past the cap: k2 is now least recently used and must evict
+    Thread.sleep(1100)
+    IndexStore.cached(spark, "ix", "k3", root)(build("v6"))
+    Thread.sleep(1100)
+    IndexStore.cached(spark, "ix", "k4", root)(build("v7"))
+    Thread.sleep(1100)
+    IndexStore.cached(spark, "ix", "k5", root)(build("v8"))
+    assert(!names().contains("ix-k2"),
+      s"LRU key beyond the cap must evict (saw ${names()})")
+    assert(Seq("k1", "k3", "k4", "k5").forall(k => names().contains(s"ix-$k")),
+      s"the ${IndexStore.MaxKeysPerName} most recent keys must survive (saw ${names()})")
     // other artifacts under the same root are untouched by ix's turnover
     IndexStore.cached(spark, "other", "k9", root)(build("o1"))
-    IndexStore.cached(spark, "ix", "k3", root)(build("v4"))
-    val after = Option(root.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).toSeq
-    assert(after.contains("other-k9"),
-      "unrelated artifacts must survive another artifact's invalidation")
+    IndexStore.cached(spark, "ix", "k6", root)(build("v9"))
+    assert(names().contains("other-k9"),
+      "unrelated artifacts must survive another artifact's eviction")
   }
 
   test("round-trip is value-exact for long and double columns") {

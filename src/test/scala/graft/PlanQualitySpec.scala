@@ -544,4 +544,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must be per-partition heaps, not a global sort:\n$p")
   }
+
+  test("paragraph dedup is one hash-keyed shuffle family — no window") {
+    // first-occurrence selection is a segment-hash min aggregation and the
+    // verdict join rides the same hash key; a window over (hash) or a
+    // corpus-wide row_number would regress the shape
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("Window"),
+      s"paragraph dedup must not plan a window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"first-occurrence winner must be a hash aggregation:\n$p")
+  }
+
+  test("k-anonymity audit is two hash aggregations — no window, no join") {
+    val p = plan("dq_k_anonymity")
+    assert(!p.contains("Window"), s"no window in the k-anonymity plan:\n$p")
+    assert(!p.contains("Join"), s"no join in the k-anonymity plan:\n$p")
+  }
+
+  test("pagerank rounds shuffle contributions; the readout avoids a global window") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("Window, [") && !p.contains("SinglePartition"),
+      s"pagerank must rank through the distributed prefix-sum ranker:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the pagerank rounds:\n$p")
+  }
 }

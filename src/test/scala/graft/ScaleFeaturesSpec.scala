@@ -127,4 +127,26 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(read.nonEmpty && read.sum <= 2,
       s"DPP must read ~1 of 8 day partitions, read ${read.sum}")
   }
+
+  test("incremental join algebra equals the single-pass full join") {
+    // independent witness for q_incr_join: the four-term delta union must
+    // reproduce the plain recompute exactly (same groups, same totals)
+    import graft.queries.Q
+    val dir = "/root/testdata/sf0.001"
+    val ev = Q.table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"),
+        col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("day"), col("v_c"))
+    val full = side("view")
+      .join(side("purchase").withColumnRenamed("v_c", "pv"), Seq("user_id", "day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("v_c") + col("pv")).as("s_vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incr = SparkEntry.queries("q_incr_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == full,
+      s"delta algebra diverged: extra=${(incr -- full).take(3)} missing=${(full -- incr).take(3)}")
+  }
 }

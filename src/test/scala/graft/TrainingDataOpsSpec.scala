@@ -43,6 +43,48 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 2L, 2L, 16L, 8L)), s"got $out")
   }
 
+  test("paragraph dedup keeps exactly the first occurrence of each segment") {
+    // doc 0: 32 words = segments A,B. doc 1: repeats segment A then 16
+    // fresh words C (A must be dropped, C kept). doc 2: exact copy of
+    // doc 0 (both segments dropped). doc 3: 8 words (one short unique
+    // segment, kept whole).
+    val segA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val short = (1 to 8).map(i => s"s$i").mkString(" ")
+    val dir = tmpDir("paradedup")
+    writeDocs(dir, Seq(
+      (0L, segA + " " + segB, "s"),
+      (1L, segA + " " + segC, "s"),
+      (2L, segA + " " + segB, "s"),
+      (3L, short, "s")))
+    val out = SparkEntry.queries("dedup_paragraph")(spark, dir)
+      .select("doc_id", "n_segs", "n_kept", "n_removed", "kept_words")
+      .as[(Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(out == List(
+      (0L, 2L, 2L, 0L, 32L),
+      (1L, 2L, 1L, 1L, 16L),
+      (2L, 2L, 0L, 2L, 0L),
+      (3L, 1L, 1L, 0L, 8L)), s"got $out")
+  }
+
+  test("paragraph dedup invariants hold on the fixture corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_paragraph")(spark, dir)
+    val rows = out.select("doc_id", "n_segs", "n_kept", "n_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 500) // every document reports
+    assert(rows.forall { case (_, s, k, r) => s == k + r && k >= 0 && r >= 0 })
+    // total kept = number of distinct segment hashes in the corpus
+    val distinctSegs = graft.queries.Q.table(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("explode(sequence(0, (size(ws) + 15) div 16 - 1)) AS i",
+        "ws")
+      .selectExpr("md5(array_join(slice(ws, i * 16 + 1, 16), ' ')) AS h")
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctSegs)
+  }
+
   /** Sequential reference BPE trainer — the same semantics as
     * PropertiesSpec.refBpe (argmax by support desc / l asc / r asc,
     * String.replace merge, early stop on exhaustion). */
