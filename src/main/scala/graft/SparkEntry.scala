@@ -155,6 +155,7 @@ object SparkEntry {
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),
     "graph_pagerank" -> Seq("rank"),
+    "graph_triangles" -> Seq("vec_id"),
     "ann_recall_audit" -> Seq("total_true"),
     "dedup_recall_audit" -> Seq("total_true"),
     "q_percentiles_approx" -> Seq("event_type"),

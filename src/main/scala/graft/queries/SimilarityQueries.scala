@@ -1146,6 +1146,45 @@ object SimilarityQueries {
         |WHERE rank <= 20""".stripMargin
       }),
 
+    // TRIANGLE COUNTING over the shared kNN graph — the clustering-
+    // coefficient primitive (a vector in many triangles sits inside a
+    // tight semantic clique; triangle-free vectors are bridges/outliers —
+    // the complementary curation signal to PageRank's hub score). The
+    // classic distributed plan: orient every undirected edge low→high id,
+    // then ordered wedges (a<b)⋈(b<c) close into triangles iff (a,c) is
+    // also an edge — each triangle counted exactly once as a<b<c. Two
+    // equi-joins on the degree-truncated edge set: per-key fanout is
+    // bounded by the graph's max degree (≤12 undirected here), which is
+    // the well-known reason degree-capped graphs make triangle counting
+    // linear-ish at scale — no node explodes a join key. All-integer, so
+    // the per-node participation counts hash-match the oracle's replay.
+    QueryDef("graph_triangles",
+      (s, d) => {
+        val und = nswAdjacency(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") < col("v")).distinct()
+        val e1 = und.select(col("u").as("a"), col("v").as("b"))
+        val e2 = und.select(col("u").as("b"), col("v").as("c"))
+        val e3 = und.select(col("u").as("a"), col("v").as("c"))
+        val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+        tris.select(col("a").as("vec_id"))
+          .unionByName(tris.select(col("b").as("vec_id")))
+          .unionByName(tris.select(col("c").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
+      },
+      Some(s"""WITH $NswAdjSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM adjt WHERE src <> dst),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |parts AS (SELECT a AS vec_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM parts GROUP BY 1""".stripMargin)),
+
     // Product quantization — the fourth ANN architecture, and the one
     // that changes the SCAN, not just the candidate set: each vector is
     // compressed to 4 subspace codes + 4 exact subspace norms (here

@@ -89,4 +89,22 @@ class GraphAnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
   }
+
+  test("triangle counts equal a brute-force enumeration of the same graph") {
+    val edges = graft.queries.SimilarityQueries.nswAdjacency(spark, dir)
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .where("u < v").distinct().as[(Long, Long)].collect().toSet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for ((u, v) <- edges; w <- nbrs(u) & nbrs(v); if v < w) {
+      // (u,v,w) with u<v<w enumerated once per closing vertex w
+      Seq(u, v, w).foreach(x => want(x) = want.getOrElse(x, 0L) + 1L)
+    }
+    val got = SparkEntry.queries("graph_triangles")(spark, dir)
+      .select("vec_id", "n_tri").as[(Long, Long)].collect().toMap
+    assert(got == want.toMap,
+      s"got ${got.size} noded, want ${want.size}; diff=${
+        (got.toSet diff want.toSet).take(3)}")
+  }
 }
