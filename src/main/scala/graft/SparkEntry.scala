@@ -214,6 +214,7 @@ object SparkEntry {
     "q_zorder_buckets" -> Seq("bucket"),
     "dq_skew_profile" -> Seq("n_keys"),
     "st_stream_join_outer" -> Seq("view_id", "purchase_id"),
+    "st_late_data" -> Seq("event_type"),
     "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"),
     "q_funnel" -> Seq("n_view"),
     "q_cohort_retention" -> Seq("cohort_day", "offset_days"),

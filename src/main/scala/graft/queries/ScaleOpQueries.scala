@@ -463,6 +463,64 @@ object ScaleOpQueries {
         |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
         |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin)),
 
+    // WATERMARK LATE-DATA accounting — Structured Streaming's late-row
+    // drop rule, surfaced as data: arrival is a deterministic two-batch
+    // split (even event_ids land first, odd second — arrival order
+    // deliberately decoupled from event time), the watermark after batch
+    // one is max(batch-1 event time, truncated to millis as the engine's
+    // event-time stats are) minus the 10-minute delay, and a batch-two
+    // row is DROPPED iff its hourly window has already closed:
+    // window_end ≤ watermark. Every comparison is exact integer micros,
+    // so the per-type on-time/late ledger hash-matches the oracle —
+    // and StreamingAnalyticsSpec drives the REAL two-batch stream and
+    // asserts Spark's own numRowsDroppedByWatermark metric equals this
+    // query's n_late_windows total. (The engine filters late keys at
+    // the STATE-STORE operator, after map-side partial aggregation — so
+    // its metric counts closed (window, key) GROUPS, measured 481 vs
+    // 499 raw rows on the sf0.001 fixture; the ledger surfaces both
+    // views. The registered plan is the batch-form twin, one scan plus
+    // a broadcast scalar attach; the streaming run is the spec's job,
+    // like the other st_ rows.)
+    QueryDef("st_late_data",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), tsMicros.as("us"),
+            (col("event_id") % 2 === 0).as("b1"))
+        val wm = ev.filter(col("b1"))
+          .agg(expr("(max(us) DIV 1000 - 600000) * 1000").as("wm_us"))
+        ev.crossJoin(broadcast(wm))
+          .withColumn("w_end",
+            expr("(us DIV 3600000000 + 1) * 3600000000"))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("b1"), 1L).otherwise(0L)).as("n_batch1"),
+            sum(when(!col("b1") && col("w_end") > col("wm_us"), 1L)
+              .otherwise(0L)).as("n_batch2_ontime"),
+            sum(when(!col("b1") && col("w_end") <= col("wm_us"), 1L)
+              .otherwise(0L)).as("n_batch2_late"),
+            countDistinct(when(!col("b1") && col("w_end") <= col("wm_us"),
+              col("w_end"))).as("n_late_windows"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id % 2 = 0 AS b1
+        |  FROM events),
+        |wm AS (SELECT (max(us) // 1000 - 600000) * 1000 AS wm_us
+        |  FROM ev WHERE b1)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch1,
+        |  CAST(sum(CASE WHEN NOT b1
+        |    AND (us // 3600000000 + 1) * 3600000000 > wm_us
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_batch2_ontime,
+        |  CAST(sum(CASE WHEN NOT b1
+        |    AND (us // 3600000000 + 1) * 3600000000 <= wm_us
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_batch2_late,
+        |  CAST(count(DISTINCT CASE WHEN NOT b1
+        |    AND (us // 3600000000 + 1) * 3600000000 <= wm_us
+        |    THEN (us // 3600000000 + 1) * 3600000000 END) AS BIGINT)
+        |    AS n_late_windows
+        |FROM ev, wm GROUP BY event_type""".stripMargin)),
+
     // Volume-anomaly detection over hourly event counts: flag hours whose
     // count sits more than 3 population-σ from the per-type mean —
     // entirely in EXACT integer algebra, so the verdict is bit-identical

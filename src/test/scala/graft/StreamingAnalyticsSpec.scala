@@ -329,4 +329,47 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val present = out.map(_.user_id).toSet
     assert(present.contains(1L), "guaranteed heavy key (30 > 60/4) missing")
   }
+
+  test("watermark late-drop ledger matches Spark's own drop metric") {
+    import spark.implicits._
+    // the REAL two-batch stream behind st_late_data: even event_ids
+    // arrive in batch 1, odd in batch 2 — after batch 1 the watermark is
+    // max(batch-1 event time) - 10 min, so batch-2 rows whose hourly
+    // window closed below it are dropped by the stateful aggregation.
+    // The registered query PREDICTS those drops in exact integer micros;
+    // the stream's numRowsDroppedByWatermark metric must agree.
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = tmpDir("late-events")
+    val cp = tmpDir("late-cp")
+    val src = spark.read.schema(StreamingAnalytics.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+    src.filter($"event_id" % 2 === 0).write.parquet(s"$dir/b1")
+    val rawStream = spark.readStream
+      .schema(StreamingAnalytics.eventsSchema).parquet(s"$dir/*")
+    val agg = rawStream
+      .withColumn("ts_ts",
+        timestamp_micros(graft.queries.Q.tsMicrosOf(rawStream)))
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("latewm")
+      .option("checkpointLocation", cp).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      src.filter($"event_id" % 2 === 1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val droppedByEngine = q.recentProgress
+      .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    // the engine filters late keys AFTER map-side partial aggregation,
+    // so its metric counts closed (window, type) GROUPS — the ledger's
+    // n_late_windows view, summed per type over distinct late windows
+    val ledger = SparkEntry.queries("st_late_data")(spark, sfDir)
+      .agg(sum("n_batch2_late"), sum("n_late_windows"))
+      .as[(Long, Long)].head()
+    assert(ledger._1 > 0, "fixture must contain late batch-2 rows")
+    assert(droppedByEngine == ledger._2,
+      s"engine dropped $droppedByEngine groups, ledger predicts ${ledger._2}")
+    assert(ledger._1 >= ledger._2, "late rows can never undercount groups")
+  }
 }
