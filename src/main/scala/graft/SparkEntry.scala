@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_graph_clusters" -> Seq("vec_id"),
     "graph_pagerank" -> Seq("rank"),
     "graph_triangles" -> Seq("vec_id"),
+    "corpus_walk_pairs" -> Seq("anchor_id", "step"),
     "ann_recall_audit" -> Seq("total_true"),
     "dedup_recall_audit" -> Seq("total_true"),
     "q_percentiles_approx" -> Seq("event_type"),

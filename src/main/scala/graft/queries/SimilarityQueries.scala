@@ -1185,6 +1185,76 @@ object SimilarityQueries {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
         |FROM parts GROUP BY 1""".stripMargin)),
 
+    // RANDOM-WALK positive mining (the DeepWalk/node2vec sampling step,
+    // reduced to deterministic integer dataflow): from each of 32 anchor
+    // vectors, walk 3 steps over the shared kNN graph, choosing at every
+    // node the neighbor indexed by a hash of (anchor, step, node) — a
+    // fixed pseudo-random policy any engine replays bit-identically, the
+    // same md5-derived determinism the LSH planes and JL signs use. The
+    // (anchor, walked-to) pairs are the positives a skip-gram embedding
+    // trainer consumes; contrastive mining (corpus_contrastive_pairs)
+    // picks by similarity rank, this picks by graph PROXIMITY — the two
+    // standard positive-pair sources. Scale shape per step: the frontier
+    // (≤ anchors) broadcasts into the rank-indexed adjacency; the corpus
+    // and graph never re-shuffle, and the per-node rank window is bounded
+    // by the truncated degree. Walks from anchors absent from the graph
+    // die silently — matching the oracle's inner joins.
+    QueryDef("corpus_walk_pairs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wRank = Window.partitionBy("src")
+          .orderBy(col("sim").desc, col("dst"))
+        val radj = nswAdjacency(s, d)
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("deg",
+            count(lit(1)).over(Window.partitionBy("src")))
+          .select("src", "dst", "rn", "deg")
+        var frontier = table(s, d, "embeddings")
+          .filter(col("vec_id") < 32)
+          .select(col("vec_id").as("anchor_id"), col("vec_id").as("cur"))
+        var out: Option[org.apache.spark.sql.DataFrame] = None
+        for (t <- 1 to 3) {
+          val pick = expr(
+            s"""conv(substring(md5(concat_ws('_', anchor_id, $t, cur)),
+               |1, 4), 16, 10)""".stripMargin).cast("long")
+          val step = broadcast(frontier.withColumn("h", pick))
+            .join(radj, col("cur") === col("src") &&
+              col("rn") === col("h") % col("deg") + 1)
+            .select(col("anchor_id"), lit(t.toLong).as("step"),
+              col("dst"))
+          out = Some(out.map(_.unionByName(step)).getOrElse(step))
+          frontier = step.select(col("anchor_id"),
+            col("dst").as("cur"))
+        }
+        out.get.select(col("anchor_id"), col("step"),
+          col("dst").as("node_id"))
+      },
+      Some {
+        def hx(k: String, t: Int): String = (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substr(md5(CAST(f$t.anchor_id AS VARCHAR) || '_' || $t || '_' || CAST(f$t.cur AS VARCHAR)), $i, 1)) - 1) * ${Seq(4096, 256, 16, 1)(i - 1)}")
+          .mkString(" + ")
+        val steps = (1 to 3).map { t =>
+          s""",
+          |s$t AS MATERIALIZED (SELECT f$t.anchor_id,
+          |    CAST($t AS BIGINT) AS step, radj.dst
+          |  FROM f$t JOIN radj ON f$t.cur = radj.src
+          |    AND radj.rn = (${hx("", t)}) % radj.deg + 1),
+          |f${t + 1} AS (SELECT anchor_id, dst AS cur FROM s$t)"""
+            .stripMargin
+        }.mkString
+        s"""WITH $NswAdjSql,
+        |radj AS MATERIALIZED (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM adjt),
+        |f1 AS (SELECT vec_id AS anchor_id, vec_id AS cur
+        |  FROM embeddings WHERE vec_id < 32)$steps
+        |SELECT anchor_id, step, dst AS node_id FROM s1
+        |UNION ALL SELECT anchor_id, step, dst FROM s2
+        |UNION ALL SELECT anchor_id, step, dst FROM s3""".stripMargin
+      }),
+
     // Product quantization — the fourth ANN architecture, and the one
     // that changes the SCAN, not just the candidate set: each vector is
     // compressed to 4 subspace codes + 4 exact subspace norms (here

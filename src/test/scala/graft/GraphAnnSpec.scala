@@ -107,4 +107,27 @@ class GraphAnnSpec extends SparkSpec {
       s"got ${got.size} noded, want ${want.size}; diff=${
         (got.toSet diff want.toSet).take(3)}")
   }
+
+  test("walk pairs are valid graph paths from their anchors") {
+    val adj = graft.queries.SimilarityQueries.nswAdjacency(spark, dir)
+      .select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val walks = SparkEntry.queries("corpus_walk_pairs")(spark, dir)
+      .select("anchor_id", "step", "node_id")
+      .as[(Long, Long, Long)].collect()
+    assert(walks.nonEmpty)
+    val byAnchor = walks.groupBy(_._1)
+    byAnchor.foreach { case (a, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      // step counts are a prefix 1..k (a walk that died stays dead)
+      assert(steps.map(_._2).sorted.toSeq == (1 to steps.length).map(_.toLong),
+        s"anchor $a has non-contiguous steps: $steps")
+      var cur = a
+      path.foreach { nxt =>
+        assert(adj(cur).contains(nxt),
+          s"walk from $a uses a non-edge $cur -> $nxt")
+        cur = nxt
+      }
+    }
+  }
 }
