@@ -180,6 +180,7 @@ object SparkEntry {
     "dedup_paragraph" -> Seq("doc_id"),
     "corpus_quality_classifier" -> Seq("feature_id"),
     "corpus_dsir_sample" -> Seq("doc_id"),
+    "corpus_negative_table" -> Seq("p_ppm", "term"),
     "corpus_source_profile" -> Seq("source"),
     "embedding_pca_power" -> Seq("component"),
     "embedding_pca_project" -> Seq("vec_id"),

@@ -85,6 +85,31 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == distinctSegs)
   }
 
+  test("negative-sampling table follows the unigram^0.75 law exactly") {
+    // counts 16 vs 1: mass ratio must be 16^0.75 = 8 (computed via the
+    // same sqrt∘sqrt chain, so the check is exact in milli-units)
+    val dir = tmpDir("negtab")
+    writeDocs(dir, Seq(
+      (0L, Array.fill(16)("aa").mkString(" "), "s"),
+      (1L, "bb", "s")))
+    val out = SparkEntry.queries("corpus_negative_table")(spark, dir)
+      .select("term", "cnt", "p_ppm")
+      .as[(String, Long, Long)].collect().toList.sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)) == List(("aa", 16L), ("bb", 1L)))
+    val Seq(pa, pb) = out.map(_._3)
+    // weights: 8000 and 1000 milli-units → ppm = 888888 and 111111
+    assert(pa == 888888L && pb == 111111L, s"got $pa / $pb")
+    // full-corpus sanity: masses are positive, bounded, monotone in cnt
+    val fix = SparkEntry.queries("corpus_negative_table")(
+        spark, "/root/testdata/sf0.001")
+      .select("cnt", "p_ppm").as[(Long, Long)].collect()
+    assert(fix.forall { case (_, p) => p > 0 && p < 1000000 })
+    assert(fix.map(_._2).sum <= 1000000)
+    val sorted = fix.sortBy(-_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      "sampling mass must be monotone in word count")
+  }
+
   /** Sequential reference BPE trainer — the same semantics as
     * PropertiesSpec.refBpe (argmax by support desc / l asc / r asc,
     * String.replace merge, early stop on exhaustion). */
