@@ -562,6 +562,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join in the k-anonymity plan:\n$p")
   }
 
+  test("incremental join terms all stay equi-joins; the day split is a broadcast attach") {
+    val p = plan("q_incr_join")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the delta-term union:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the max-day scalar must broadcast:\n$p")
+  }
+
+  test("late-data ledger is one scan plus a broadcast watermark attach — no window") {
+    val p = plan("st_late_data")
+    assert(!p.contains("Window"), s"no window in the late-data plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the watermark scalar must broadcast:\n$p")
+  }
+
+  test("walk mining broadcasts frontiers into the rank-indexed adjacency") {
+    val p = plan("corpus_walk_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-step frontiers must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the per-node rank window must stay src-partitioned:\n$p")
+  }
+
+  test("negative table: vocab aggregation, broadcast normalizer, TakeOrdered top-50") {
+    val p = plan("corpus_negative_table")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the normalizer scalar must broadcast:\n$p")
+  }
+
   test("pagerank rounds shuffle contributions; the readout avoids a global window") {
     val p = plan("graph_pagerank")
     assert(!p.contains("Window, [") && !p.contains("SinglePartition"),
