@@ -176,6 +176,7 @@ object SparkEntry {
     "st_dedup_admission_semantic" -> Seq("vec_id"),
     "text_bpe_train" -> Seq("merge_rank"),
     "text_bpe_encode" -> Seq("doc_id"),
+    "text_tokenizer_fertility" -> Seq("lang"),
     "dedup_exact_substring" -> Seq("doc_id"),
     "dedup_paragraph" -> Seq("doc_id"),
     "corpus_quality_classifier" -> Seq("feature_id"),
@@ -185,6 +186,7 @@ object SparkEntry {
     "embedding_pca_power" -> Seq("component"),
     "embedding_pca_project" -> Seq("vec_id"),
     "ir_query_expansion" -> Seq("rnk"),
+    "ir_bm25_eval" -> Seq("n_relevant"),
     "corpus_curation_funnel" -> Seq("stage_id"),
     "q_kmv_distinct" -> Seq("event_type"),
     "q_kmv_jaccard" -> Seq("type_a", "type_b"),
@@ -207,6 +209,7 @@ object SparkEntry {
     "q_global_rank" -> Seq("rnk"),
     "dq_audit" -> Seq("rule"),
     "dq_k_anonymity" -> Seq("event_type"),
+    "dq_freshness" -> Seq("event_type"),
     "text_tfidf_topk" -> Seq("doc_id", "rnk"),
     "text_bm25_search" -> Seq("rnk"),
     "text_inverted_index" -> Seq("term"),

@@ -454,6 +454,34 @@ object IngestOpQueries {
         |  CAST(count(*) FILTER (WHERE combo_n < 5) AS BIGINT) AS n_risky_combos,
         |  CAST(coalesce(sum(combo_n) FILTER (WHERE combo_n < 5), 0) AS BIGINT) AS n_risky_rows,
         |  CAST(min(combo_n) AS BIGINT) AS min_combo_size
-        |FROM combos GROUP BY 1""".stripMargin))
+        |FROM combos GROUP BY 1""".stripMargin)),
+
+    // FRESHNESS audit — the staleness dimension of data quality (the
+    // others: validity/completeness in dq_audit, distribution in
+    // dq_column_profile/dq_skew_profile, re-identification in
+    // dq_k_anonymity): per event type, the latest event time and its lag
+    // behind the corpus-wide maximum. The reference clock is data-derived
+    // (the global max), not the wall clock — a registered query must be a
+    // pure function of its input. One aggregation plus a broadcast
+    // scalar attach.
+    QueryDef("dq_freshness",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), tsMicros.as("us"))
+        val gm = ev.agg(max("us").as("global_max_us"))
+        ev.groupBy("event_type")
+          .agg(max("us").as("latest_us"), count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(gm))
+          .select(col("event_type"), col("latest_us"),
+            (col("global_max_us") - col("latest_us")).as("staleness_us"),
+            col("n_rows"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |gm AS (SELECT max(us) AS global_max_us FROM ev)
+        |SELECT event_type, max(us) AS latest_us,
+        |  global_max_us - max(us) AS staleness_us,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM ev, gm GROUP BY event_type, global_max_us""".stripMargin))
   )
 }

@@ -78,6 +78,31 @@ object IrQueries {
     */
   private val BmTerms = Seq("merge", "scan", "filter")
 
+  /** Per-(doc, term) BM25 partial score quantized to integer milli,
+    * persisted once per (session, dataset) — shared by the query-
+    * expansion pipeline (all three of its stages) and the retrieval
+    * eval. Quantizing BEFORE any cross-term sum keeps every downstream
+    * total an order-free long. */
+  private def bm25Milli(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "ir_bm25_milli") {
+      val tok = tokens(s, d)
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum("dl").as("sum_dl"),
+        count(lit(1)).as("n_docs"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.filter(col("tf") >= 1)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfT, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("n_docs"),
+          expr("""CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            |((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+            |  (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+            |* 1000) AS BIGINT)""".stripMargin).as("milli"))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Top-3 TF-IDF keywords per document. tf is one hash-shuffle of the
@@ -246,24 +271,7 @@ object IrQueries {
     QueryDef("ir_query_expansion",
       (s, d) => {
         import s.implicits._
-        val bm = cached(s, d, "ir_bm25_milli") {
-          val tok = tokens(s, d)
-          val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-          val stats = dl.agg(sum("dl").as("sum_dl"),
-            count(lit(1)).as("n_docs"))
-          val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          val dfT = tf.filter(col("tf") >= 1)
-            .groupBy("term").agg(count(lit(1)).as("df"))
-          tf.join(dfT, "term")
-            .join(dl, "doc_id")
-            .crossJoin(broadcast(stats))
-            .select(col("doc_id"), col("term"), col("tf"), col("df"),
-              col("n_docs"),
-              expr("""CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-                |((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
-                |  (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-                |* 1000) AS BIGINT)""".stripMargin).as("milli"))
-        }
+        val bm = bm25Milli(s, d)
         val fb = bm.filter(col("term").isin(BmTerms: _*))
           .groupBy("doc_id").agg(sum("milli").as("s1"))
           .orderBy(col("s1").desc, col("doc_id")).limit(10)
@@ -357,5 +365,74 @@ object IrQueries {
         |      ORDER BY md5(CAST(event_id AS VARCHAR)) ||
         |        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT) AS rnk
         |  FROM events) z
-        |WHERE rnk <= 5""".stripMargin)))
+        |WHERE rnk <= 5""".stripMargin)),
+
+    // RETRIEVAL-QUALITY EVAL — the IR twin of ann_recall_audit and
+    // dedup_recall_audit (the silent-collapse guard applied to search):
+    // with relevance defined by construction (a document is relevant iff
+    // it contains ALL three seed terms), score the BM25 ranking by
+    // reciprocal rank of the first relevant hit and recall@10/@20, all
+    // in integer ppm. A ranking change that silently tanks retrieval
+    // moves a measured number instead of passing unnoticed. Reuses the
+    // set's persisted per-(doc, term) milli-score table; the relevant
+    // set and the 20 survivors are bounded and broadcast; output is ONE
+    // row regardless of corpus size.
+    QueryDef("ir_bm25_eval",
+      (s, d) => {
+        val bm = bm25Milli(s, d)
+        val rel = bm.filter(col("term").isin(BmTerms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("term")).as("nt"))
+          .filter(col("nt") === BmTerms.length)
+          .select("doc_id")
+        val wF = Window.orderBy(col("score_milli").desc, col("doc_id"))
+        val top = bm.filter(col("term").isin(BmTerms: _*))
+          .groupBy("doc_id").agg(sum("milli").as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+          .withColumn("rnk", row_number().over(wF).cast("long"))
+        val hits = top.join(broadcast(rel), "doc_id")
+        val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+        hits.agg(
+            min(col("rnk")).as("first_rank"),
+            sum(when(col("rnk") <= 10, 1L).otherwise(0L)).as("h10"),
+            count(lit(1)).as("h20"))
+          .crossJoin(broadcast(nRel))
+          .select(col("n_relevant"),
+            coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+            coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_ppm"),
+            expr("coalesce(h10, 0) * 1000000 DIV n_relevant")
+              .as("recall10_ppm"),
+            expr("coalesce(h20, 0) * 1000000 DIV n_relevant")
+              .as("recall20_ppm"))
+      },
+      Some(s"""WITH $TokSql,
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT doc_id, term,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+        |      (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    * 1000) AS BIGINT) AS milli
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |rel AS (SELECT doc_id FROM bm
+        |  WHERE term IN ('merge', 'scan', 'filter')
+        |  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+        |topk AS (SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM (SELECT doc_id, CAST(sum(milli) AS BIGINT) AS score_milli
+        |    FROM bm WHERE term IN ('merge', 'scan', 'filter')
+        |    GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 20)),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+        |h AS (SELECT min(rnk) AS first_rank,
+        |    CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+        |    CAST(count(*) AS BIGINT) AS h20
+        |  FROM topk JOIN rel USING (doc_id))
+        |SELECT n_relevant,
+        |  CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rank,
+        |  CAST(coalesce(1000000 // first_rank, 0) AS BIGINT) AS rr_ppm,
+        |  coalesce(h10, 0) * 1000000 // n_relevant AS recall10_ppm,
+        |  coalesce(h20, 0) * 1000000 // n_relevant AS recall20_ppm
+        |FROM h, nr""".stripMargin)))
 }

@@ -59,6 +59,17 @@ class DataQualitySpec extends SparkSpec {
       ("view", 1L, 1L, 1L, 1L)), s"got $out")
   }
 
+  test("freshness audit: the type holding the global max has zero staleness") {
+    val out = SparkEntry.queries("dq_freshness")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "latest_us", "staleness_us")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 5)
+    assert(out.count(_._3 == 0L) >= 1, "some type must hold the global max")
+    assert(out.forall(_._3 >= 0L), "staleness is a lag, never negative")
+    val globalMax = out.map(_._2).max
+    assert(out.forall { case (_, l, s) => l + s == globalMax })
+  }
+
   test("orphan check counts missing referents") {
     val dim = Seq(1L, 2L).toDF("k")
     val fact = Seq(1L, 1L, 2L, 3L, 4L).toDF("fk")

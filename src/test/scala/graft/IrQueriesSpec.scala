@@ -87,6 +87,33 @@ class IrQueriesSpec extends SparkSpec {
     got.groupBy(_._2).foreach { case (_, g) => assert(g.size <= 5) }
   }
 
+  test("bm25 eval is consistent with the ranking it scores") {
+    import spark.implicits._
+    val Seq((nRel, firstRank, rr, r10, r20)) =
+      run("ir_bm25_eval")
+        .select("n_relevant", "first_rank", "rr_ppm", "recall10_ppm",
+          "recall20_ppm")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nRel > 0, "fixture must contain all-terms-relevant docs")
+    // collapse guard: a working ranking puts SOME relevant doc in top-20
+    assert(firstRank >= 1 && firstRank <= 20 && rr == 1000000L / firstRank)
+    assert(r20 >= r10 && r20 <= 1000000L)
+    // cross-check first_rank against the independently ranked bm25 query
+    val topDocs = run("text_bm25_search")
+      .select("doc_id", "rnk").as[(Long, Long)].collect().sortBy(_._2)
+    val relSet = graft.queries.Q.table(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .filter(expr(
+        """array_contains(ws, 'merge') AND array_contains(ws, 'scan')
+          |AND array_contains(ws, 'filter')""".stripMargin))
+      .select("doc_id").as[Long].collect().toSet
+    val wantFirst = topDocs.collectFirst {
+      case (doc, rnk) if relSet.contains(doc) => rnk
+    }.getOrElse(0L)
+    assert(firstRank == wantFirst,
+      s"eval first_rank $firstRank vs ranking's $wantFirst")
+  }
+
   test("tfidf and bm25 broadcast their vocabulary-sized df side") {
     for (q <- Seq("text_tfidf_topk", "text_bm25_search")) {
       val plan = run(q).queryExecution.executedPlan.toString

@@ -110,6 +110,22 @@ class TrainingDataOpsSpec extends SparkSpec {
       "sampling mass must be monotone in word count")
   }
 
+  test("tokenizer fertility reconciles with per-document encode totals") {
+    val dir = "/root/testdata/sf0.001"
+    val fert = SparkEntry.queries("text_tokenizer_fertility")(spark, dir)
+      .select("lang", "n_words", "n_tokens", "fertility_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(fert.length == 5)
+    // a word encodes to >= 1 piece, so fertility is always >= 1.0
+    assert(fert.forall { case (_, w, t, f) =>
+      t >= w && f >= 1000000L && f == t * 1000000L / w })
+    // language totals must add up to the per-document encode totals
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .agg(sum("n_words"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert((fert.map(_._2).sum, fert.map(_._3).sum) == enc)
+  }
+
   /** Sequential reference BPE trainer — the same semantics as
     * PropertiesSpec.refBpe (argmax by support desc / l asc / r asc,
     * String.replace merge, early stop on exhaustion). */
