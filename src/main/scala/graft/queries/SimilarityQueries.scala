@@ -1083,8 +1083,13 @@ object SimilarityQueries {
     QueryDef("graph_pagerank",
       (s, d) => {
         val S = 1000000000000L
-        val adj = nswAdjacency(s, d).select("src", "dst")
-        val outdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        // out-degree rides each edge row (one window over the persisted
+        // adjacency, src-partitioned) so every round is ONE equi-join +
+        // one dst-keyed sum instead of two joins — per-edge contribution
+        // pr DIV od is computed where the edge already lives
+        val adj = nswAdjacency(s, d).select(col("src"), col("dst"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("src")).as("od"))
         val nRow = table(s, d, "embeddings").agg(count(lit(1)).as("n"))
         var pr = table(s, d, "embeddings").select(col("vec_id"))
           .crossJoin(broadcast(nRow))
@@ -1092,10 +1097,9 @@ object SimilarityQueries {
             col("n"))
         for (_ <- 1 to 8) {
           val contrib = adj
-            .join(pr.join(outdeg, col("vec_id") === col("src"))
-              .select(col("src"), expr("pr DIV od").as("c")), "src")
+            .join(pr.select(col("vec_id").as("src"), col("pr")), "src")
             .groupBy(col("dst").as("vec_id"))
-            .agg(sum(col("c")).as("contrib"))
+            .agg(sum(expr("pr DIV od")).as("contrib"))
           pr = pr.join(contrib, Seq("vec_id"), "left")
             .select(col("vec_id"),
               (expr(s"(15 * (CAST($S AS LONG) DIV n)) DIV 100") +
