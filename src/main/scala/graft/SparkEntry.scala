@@ -223,6 +223,8 @@ object SparkEntry {
     "q_trending_topk" -> Seq("hour_us", "event_type", "rnk"),
     "q_funnel" -> Seq("n_view"),
     "q_cohort_retention" -> Seq("cohort_day", "offset_days"),
+    "q_event_transitions" -> Seq("prev_type", "next_type"),
+    "dq_join_cardinality" -> Seq("n_shared_keys"),
     "q_asof_dim" -> Seq("event_id"),
     "dq_column_profile" -> Seq("column_name"),
     "text_chunk" -> Seq("doc_id", "chunk_idx"),

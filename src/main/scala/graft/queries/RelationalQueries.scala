@@ -731,6 +731,49 @@ object RelationalQueries {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // Event-type TRANSITION MATRIX — the first-order Markov model of
+    // user behavior (the sequence model behind next-action prediction
+    // and funnel design): consecutive same-user event pairs under the
+    // deterministic (time, event_id) order, rolled up to per-(prev,
+    // next) counts and row-normalized transition probabilities in
+    // integer ppm. The lag window is user-partitioned (parallel,
+    // bounded by one user's history — never corpus-wide); the |types|²-
+    // sized count table then broadcasts against its row totals. Output
+    // is at most |types|² rows regardless of corpus size.
+    QueryDef("q_event_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val pairs = table(s, d, "events")
+          .select(col("user_id"), tsMicros.as("us"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val counts = pairs
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n_obs"))
+        val totals = counts.groupBy("prev_type")
+          .agg(sum("n_obs").as("n_from"))
+        counts.join(broadcast(totals), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n_obs"),
+            expr("n_obs * 1000000 DIV n_from").as("p_ppm"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type
+        |  FROM events),
+        |pr AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type
+        |  FROM ev),
+        |c AS (SELECT prev_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n_obs) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, n_obs,
+        |  n_obs * 1000000 // n_from AS p_ppm
+        |FROM c JOIN t USING (prev_type)""".stripMargin)),
+
     // Point-in-time dimension join (graft.operators.AsOfJoin): every
     // purchase picks up the user's profile value from their LATEST signup
     // at or before the purchase — the feature-store / SCD primitive where

@@ -401,6 +401,45 @@ object ScaleOpQueries {
         |FROM r CROSS JOIN k
         |GROUP BY n_keys, n_rows, max_n""".stripMargin)),
 
+    // JOIN-CARDINALITY pre-flight — predict an equi-join's output size
+    // WITHOUT running the join: |A ⋈ B| = Σ_k cntA(k)·cntB(k) exactly,
+    // computed from the two per-key count aggregates (each a map-side-
+    // combined shuffle of its own input, joined key-to-key — the
+    // histogram join is |keys|-sized, never |rows|-sized). The
+    // companion to dq_skew_profile: that query asks "is one input
+    // skewed", this one asks "will the JOIN explode" — max_key_product
+    // and its share of the estimate tell you whether a single hot key
+    // dominates the output (the decision input for salting /
+    // skew-hints). At 100 TB this is the cheap test you run before
+    // committing a cluster to a quadratic mistake.
+    QueryDef("dq_join_cardinality",
+      (s, d) => {
+        val a = table(s, d, "events")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("na"))
+        val b = table(s, d, "orders")
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("nb"))
+        a.join(b, "k")
+          .select((col("na") * col("nb")).as("prod"))
+          .agg(count(lit(1)).as("n_shared_keys"),
+            sum("prod").as("est_rows"),
+            max("prod").as("max_key_product"))
+          .select(col("n_shared_keys"), col("est_rows"),
+            col("max_key_product"),
+            expr("max_key_product * 1000000 DIV est_rows")
+              .as("top1_share_ppm"))
+      },
+      Some("""WITH a AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS na
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT na * nb AS prod FROM a JOIN b USING (k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+        |  CAST(sum(prod) AS BIGINT) AS est_rows,
+        |  CAST(max(prod) AS BIGINT) AS max_key_product,
+        |  CAST(max(prod) AS BIGINT) * 1000000
+        |    // CAST(sum(prod) AS BIGINT) AS top1_share_ppm
+        |FROM p""".stripMargin)),
+
     // Windowed trending: top-3 users per (hour, event_type) by event
     // count — the hourly-leaderboard composition of an event-time window
     // aggregate with the native GroupTopK operator. Exercises GroupTopK

@@ -149,4 +149,37 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(incr == full,
       s"delta algebra diverged: extra=${(incr -- full).take(3)} missing=${(full -- incr).take(3)}")
   }
+
+  test("join-cardinality estimate equals the executed join's row count") {
+    // Σ cntA(k)·cntB(k) is EXACT for an equi-join — the pre-flight must
+    // predict precisely what running the join produces
+    import graft.queries.Q
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("dq_join_cardinality")(spark, dir)
+      .select("est_rows").collect().head.getLong(0)
+    val actual = Q.table(spark, dir, "events").select(col("user_id"))
+      .join(Q.table(spark, dir, "orders")
+        .select(col("o_custkey").as("user_id")), "user_id")
+      .count()
+    assert(est == actual, s"estimated $est, executed join has $actual")
+  }
+
+  test("transition matrix rows are proper ppm distributions") {
+    import graft.queries.Q
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_event_transitions")(spark, dir)
+      .select("prev_type", "n_obs", "p_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every row's ppm is the truncated share; a row-group sums to 1e6
+    // minus at most (|types| - 1) truncation units
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val s = g.map(_._3).sum
+      assert(s <= 1000000L && s > 1000000L - g.length,
+        s"row $t ppm sum $s out of range")
+    }
+    // pair conservation: every user with n events contributes n - 1 pairs
+    val ev = Q.table(spark, dir, "events")
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == want)
+  }
 }
