@@ -152,6 +152,7 @@ object SparkEntry {
     "pq_code_balance" -> Seq("m", "code"),
     "embedding_project" -> Seq("vec_id", "j"),
     "embedding_project_audit" -> Seq("n_pairs"),
+    "embedding_matryoshka_audit" -> Seq("n_pairs"),
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),
     "graph_pagerank" -> Seq("rank"),
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_cohort_retention" -> Seq("cohort_day", "offset_days"),
     "q_event_transitions" -> Seq("prev_type", "next_type"),
     "dq_join_cardinality" -> Seq("n_shared_keys"),
+    "q_cooccurrence_lift" -> Seq("type_a", "type_b"),
     "q_asof_dim" -> Seq("event_id"),
     "dq_column_profile" -> Seq("column_name"),
     "text_chunk" -> Seq("doc_id", "chunk_idx"),

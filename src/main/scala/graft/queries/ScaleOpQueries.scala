@@ -440,6 +440,64 @@ object ScaleOpQueries {
         |    // CAST(sum(prod) AS BIGINT) AS top1_share_ppm
         |FROM p""".stripMargin)),
 
+    // CO-OCCURRENCE LIFT — association mining (the market-basket
+    // primitive) over behavioral baskets: a basket is one (user, hour),
+    // an item is an event type present in it, and each type pair scores
+    // lift = P(a,b) / (P(a)·P(b)) in integer ppm — >1e6 means the pair
+    // co-occurs more than independence predicts. Scale shape: presence
+    // dedup is one (basket, type) distinct; the pair join is keyed by
+    // BASKET with per-basket fanout bounded by |types|² (never
+    // corpus-quadratic); counts are exact longs and the lift arithmetic
+    // is integer products + truncating division, so the oracle agrees
+    // bit-for-bit. Output is at most |types|² rows.
+    QueryDef("q_cooccurrence_lift",
+      (s, d) => {
+        val uh = table(s, d, "events")
+          .select(col("user_id"),
+            expr("ts DIV 1000 DIV 3600000000").as("hour"),
+            col("event_type"))
+          .distinct()
+        val nb = uh.select("user_id", "hour").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val nt = uh.groupBy(col("event_type").as("t"))
+          .agg(count(lit(1)).as("n_t"))
+        val a = uh.select(col("user_id"), col("hour"),
+          col("event_type").as("type_a"))
+        val b = uh.select(col("user_id"), col("hour"),
+          col("event_type").as("type_b"))
+        a.join(b, Seq("user_id", "hour"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+          .join(broadcast(nt.select(col("t").as("type_a"),
+            col("n_t").as("n_a"))), "type_a")
+          .join(broadcast(nt.select(col("t").as("type_b"),
+            col("n_t").as("n_b"))), "type_b")
+          .crossJoin(broadcast(nb))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            expr("n_both * n_baskets * 1000000 DIV (n_a * n_b)")
+              .as("lift_ppm"))
+      },
+      Some("""WITH uh AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |    event_type
+        |  FROM events),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, hour FROM uh)),
+        |nt AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM uh GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM uh a JOIN uh b
+        |    ON a.user_id = b.user_id AND a.hour = b.hour
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  n_both * n_baskets * 1000000 // (na.n_t * nbt.n_t) AS lift_ppm
+        |FROM pairs
+        |JOIN nt na ON type_a = na.t
+        |JOIN nt nbt ON type_b = nbt.t
+        |CROSS JOIN nb""".stripMargin)),
+
     // Windowed trending: top-3 users per (hour, event_type) by event
     // count — the hourly-leaderboard composition of an event-time window
     // aggregate with the native GroupTopK operator. Exercises GroupTopK

@@ -1628,7 +1628,59 @@ object SimilarityQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(CASE WHEN 2 * abs(d2p - 16 * d2o) <= 16 * d2o
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved
-        |FROM dp JOIN dd USING (va, vb)""".stripMargin))
+        |FROM dp JOIN dd USING (va, vb)""".stripMargin)),
+
+    // MATRYOSHKA truncation audit — the JL audit's measured-guarantee
+    // discipline applied to PREFIX-dimension truncation (the MRL-style
+    // "use the first k dims as a cheap embedding" deployment question):
+    // for every pair in the bounded 50-vector sample, compare the
+    // squared distance on the first 16 dims, scaled by 64/16 = 4 (the
+    // isotropic expectation), against the full 64-dim squared distance,
+    // and count pairs preserved within ±50%. ENTIRELY integer — both
+    // distances are exact quantized sums and the predicate is
+    // 2·|4·d2_16 − d2_64| ≤ d2_64 — so the verdict hash-matches. A low
+    // preserved share means prefix truncation is NOT safe for this
+    // embedding space and retrieval should pay for the full vectors.
+    QueryDef("embedding_matryoshka_audit",
+      (s, d) => {
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 50)
+        val comps = graft.operators.IvfCodebook.comps(v)
+        def pairD2(c: org.apache.spark.sql.DataFrame, out: String) =
+          c.select(col("vec_id").as("va"), col("dim"), col("qx").as("qa"))
+            .join(c.select(col("vec_id").as("vb"), col("dim"),
+              col("qx").as("qb")), "dim")
+            .filter(col("va") < col("vb"))
+            .groupBy("va", "vb")
+            .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb")))
+              .as(out))
+        pairD2(comps.filter(col("dim") <= 16), "d2p")
+          .join(pairD2(comps, "d2f"), Seq("va", "vb"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(when(abs(lit(4L) * col("d2p") - col("d2f")) * 2 <=
+              col("d2f"), 1L).otherwise(0L)).as("n_preserved"))
+          .select(col("n_pairs"), col("n_preserved"),
+            expr("n_preserved * 1000000 DIV n_pairs").as("preserved_ppm"))
+      },
+      Some("""WITH c AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings WHERE vec_id < 50),
+        |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2p
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        |  WHERE a.dim <= 16 GROUP BY 1, 2),
+        |df AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2f
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT n_pairs, n_preserved,
+        |  n_preserved * 1000000 // n_pairs AS preserved_ppm
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN 2 * abs(4 * d2p - d2f) <= d2f
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved
+        |  FROM dp JOIN df USING (va, vb)) z""".stripMargin))
   )
 
 

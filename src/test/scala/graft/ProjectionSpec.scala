@@ -39,4 +39,17 @@ class ProjectionSpec extends SparkSpec {
     // bulk; below 0.7 the projection stopped behaving like a JL matrix
     assert(rate >= 0.7, s"preservation collapsed: $rate")
   }
+
+  test("matryoshka audit: complete pair set, consistent ppm, sane rate") {
+    val Seq((n, p, ppm)) = SparkEntry
+      .queries("embedding_matryoshka_audit")(spark, "/root/testdata/sf0.001")
+      .select("n_pairs", "n_preserved", "preserved_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(n == 50L * 49 / 2, s"expected all sample pairs, got $n")
+    assert(p >= 0 && p <= n && ppm == p * 1000000L / n)
+    // a 16-dim prefix of a 64-dim isotropic-ish embedding should keep
+    // the bulk of pairs within ±50% of the 4x-scaled distance; a
+    // collapse here means prefix truncation is broken for this space
+    assert(ppm >= 500000L, s"matryoshka preservation collapsed: $ppm ppm")
+  }
 }

@@ -182,4 +182,24 @@ class ScaleFeaturesSpec extends SparkSpec {
     val want = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_._2).sum == want)
   }
+
+  test("co-occurrence lift hits the closed form on a planted correlation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(hour: Int) = new Timestamp(hour * 3600000L)
+    // 4 baskets (user 1, hours 0-3): 'a' and 'b' together in 2 baskets,
+    // 'c' alone in the other 2 → lift(a,b) = (2·4)/(2·2) = 2.0;
+    // lift(a,c) has n_both = 0, so the pair never surfaces
+    val rows = Seq(
+      (t(0), 1L, "a"), (t(0), 1L, "b"),
+      (t(1), 1L, "a"), (t(1), 1L, "b"),
+      (t(2), 1L, "c"), (t(3), 1L, "c"))
+    val dir = tmpDir("lift")
+    rows.toDF("ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_cooccurrence_lift")(spark, dir)
+      .select("type_a", "type_b", "n_both", "lift_ppm")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(out == List(("a", "b", 2L, 2000000L)), s"got $out")
+  }
 }
