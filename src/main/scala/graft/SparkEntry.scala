@@ -211,6 +211,7 @@ object SparkEntry {
     "dq_audit" -> Seq("rule"),
     "dq_k_anonymity" -> Seq("event_type"),
     "dq_freshness" -> Seq("event_type"),
+    "wh_jsonl_roundtrip" -> Seq("source"),
     "text_tfidf_topk" -> Seq("doc_id", "rnk"),
     "text_bm25_search" -> Seq("rnk"),
     "text_inverted_index" -> Seq("term"),

@@ -482,6 +482,56 @@ object IngestOpQueries {
         |SELECT event_type, max(us) AS latest_us,
         |  global_max_us - max(us) AS staleness_us,
         |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM ev, gm GROUP BY event_type, global_max_us""".stripMargin))
+        |FROM ev, gm GROUP BY event_type, global_max_us""".stripMargin)),
+
+    // JSONL SOURCE round-trip with corrupt-record accounting — the JSON
+    // file-source counterpart of the CSV warehouse path (S3) and the
+    // Pub/Sub envelope decode (S5): materialize the corpus as JSON
+    // Lines via a distributed text write (every 97th document written
+    // DELIBERATELY truncated — the torn-line/partial-flush corruption a
+    // real inbox contains), then read it back through Spark's JSON
+    // source with an explicit schema in PERMISSIVE mode, routing
+    // unparseable lines to the corrupt-record column instead of failing
+    // the scan. The per-source ledger (row counts + character totals,
+    // corrupt lines under a NULL source) must reconcile EXACTLY with
+    // what the parquet ground truth predicts — proving schema
+    // projection, type coercion, and corrupt accounting in one pass.
+    // Scale shape: write and read are both partition-parallel file IO;
+    // nothing driver-sized but the final |sources|+1-row report.
+    QueryDef("wh_jsonl_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val cols = struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+        val line = when(col("doc_id") % 97 === 0,
+            expr("substring(to_json(struct(doc_id, lang, source, n_chars, text)), 1, 20)"))
+          .otherwise(to_json(cols))
+        val outDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-jsonl-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .toString
+        table(s, d, "documents").select(line.as("value"))
+          .write.mode("overwrite").text(outDir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType), StructField("text", StringType),
+          StructField("_corrupt", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(outDir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 97 != 0 GROUP BY source
+        |UNION ALL
+        |SELECT NULL AS source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin))
   )
 }
