@@ -153,6 +153,7 @@ object SparkEntry {
     "embedding_project" -> Seq("vec_id", "j"),
     "embedding_project_audit" -> Seq("n_pairs"),
     "embedding_matryoshka_audit" -> Seq("n_pairs"),
+    "ann_mmr_rerank" -> Seq("rank"),
     "ann_graph_topk" -> Seq("query_id", "rank"),
     "dedup_graph_clusters" -> Seq("vec_id"),
     "graph_pagerank" -> Seq("rank"),
@@ -228,6 +229,7 @@ object SparkEntry {
     "q_event_transitions" -> Seq("prev_type", "next_type"),
     "dq_join_cardinality" -> Seq("n_shared_keys"),
     "q_cooccurrence_lift" -> Seq("type_a", "type_b"),
+    "q_seasonality" -> Seq("event_type", "hod"),
     "q_asof_dim" -> Seq("event_id"),
     "dq_column_profile" -> Seq("column_name"),
     "text_chunk" -> Seq("doc_id", "chunk_idx"),

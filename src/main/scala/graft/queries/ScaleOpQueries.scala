@@ -440,6 +440,48 @@ object ScaleOpQueries {
         |    // CAST(sum(prod) AS BIGINT) AS top1_share_ppm
         |FROM p""".stripMargin)),
 
+    // SEASONALITY PROFILE — the periodic component of the event stream
+    // (the hour-of-day index a capacity planner or anomaly baseline
+    // consumes): for each (type, hour-of-day), the ratio of that slot's
+    // mean hourly volume to the type's overall mean, in integer ppm —
+    // computed as (slot_sum · total_hours · 10⁶) DIV (slot_hours ·
+    // total_sum), pure integer products so the index hash-matches.
+    // Builds on the same hourly rollup shape as q_anomaly_hours (one
+    // map-side-combined shuffle); the per-type totals attach by
+    // broadcast; output is |types| × 24 rows regardless of corpus size.
+    QueryDef("q_seasonality",
+      (s, d) => {
+        val hourly = table(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("ts DIV 1000 DIV 3600000000").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val slot = hourly
+          .groupBy(col("event_type"), (col("hour_idx") % 24).as("hod"))
+          .agg(count(lit(1)).as("slot_hours"), sum("cnt").as("slot_sum"))
+        val totals = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("total_hours"), sum("cnt").as("total_sum"))
+        slot.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("hod"), col("slot_hours"),
+            col("slot_sum"),
+            expr("slot_sum * total_hours * 1000000 DIV (slot_hours * total_sum)")
+              .as("seasonal_ppm"))
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |slot AS (SELECT event_type, hour_idx % 24 AS hod,
+        |    CAST(count(*) AS BIGINT) AS slot_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS slot_sum
+        |  FROM hourly GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS total_sum
+        |  FROM hourly GROUP BY 1)
+        |SELECT slot.event_type, hod, slot_hours, slot_sum,
+        |  slot_sum * total_hours * 1000000 // (slot_hours * total_sum)
+        |    AS seasonal_ppm
+        |FROM slot JOIN t USING (event_type)""".stripMargin)),
+
     // CO-OCCURRENCE LIFT — association mining (the market-basket
     // primitive) over behavioral baskets: a basket is one (user, hour),
     // an item is an event type present in it, and each type pair scores

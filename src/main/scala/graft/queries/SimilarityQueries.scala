@@ -1680,7 +1680,109 @@ object SimilarityQueries {
         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |    CAST(sum(CASE WHEN 2 * abs(4 * d2p - d2f) <= d2f
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved
-        |  FROM dp JOIN df USING (va, vb)) z""".stripMargin))
+        |  FROM dp JOIN df USING (va, vb)) z""".stripMargin)),
+
+    // MMR DIVERSIFIED RERANKING (maximal marginal relevance, the
+    // classic diversity/relevance trade-off of retrieval): from the
+    // exact top-20 cosine candidates of one query vector, greedily pick
+    // 5 results maximizing 0.7·sim(q,c) − 0.3·max_{s∈S} sim(c,s) — so
+    // near-duplicates of an already-picked result are pushed down and
+    // the answer set COVERS the neighborhood instead of repeating it
+    // (the retrieval-time complement of semantic dedup). Each greedy
+    // round is one bounded job over the persisted 20-candidate /
+    // 20×19-pair-sim tables with a ONE-ROW argmax collect (the BPE-
+    // round discipline — 5 nested-plan rounds would grow the plan
+    // ~3^r); candidate generation is the only corpus-sized stage. The
+    // MMR arithmetic is fixed-operand-order doubles over the integer-
+    // quantized cosine, surfaced as integer milli, so the unrolled
+    // 5-round DuckDB replay agrees bit-for-bit.
+    QueryDef("ann_mmr_rerank",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val cand = cached(s, d, "mmr_cand") {
+          val v = table(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val q = v.filter(col("vec_id") === 0)
+            .select(col("embedding").as("qe"))
+          v.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= 0)
+            .withColumn("simq", expr("quant_cosine_sim(embedding, qe)"))
+            .orderBy(col("simq").desc, col("vec_id")).limit(20)
+            .select("vec_id", "embedding", "simq")
+        }
+        val pairs = cached(s, d, "mmr_pairs") {
+          broadcast(cand.select(col("vec_id").as("va"),
+              col("embedding").as("ea")))
+            .join(cand.select(col("vec_id").as("vb"),
+              col("embedding").as("eb")), col("va") =!= col("vb"))
+            .withColumn("sim", expr("quant_cosine_sim(ea, eb)"))
+            .select("va", "vb", "sim")
+        }
+        var sel = Vector.empty[(Long, Long, Long)]
+        for (r <- 1 to 5) {
+          val selIds = sel.map(_._2)
+          val base0 = cand.select("vec_id", "simq")
+          val base =
+            if (selIds.isEmpty) base0
+            else base0.filter(!col("vec_id").isin(selIds: _*))
+          val ms =
+            if (selIds.isEmpty)
+              base.withColumn("max_s", lit(null).cast("double"))
+            else base.join(
+              pairs.filter(col("vb").isin(selIds: _*))
+                .groupBy(col("va").as("vec_id"))
+                .agg(max("sim").as("max_s")),
+              Seq("vec_id"), "left")
+          val row = ms
+            .withColumn("mmr", expr(
+              "CAST(0.7 AS DOUBLE) * simq - CAST(0.3 AS DOUBLE) * coalesce(max_s, CAST(0.0 AS DOUBLE))"))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"),
+              expr("CAST(round(mmr * 1000) AS BIGINT)"))
+            .collect()(0)
+          sel = sel :+ ((r.toLong, row.getLong(0), row.getLong(1)))
+        }
+        import s.implicits._
+        sel.toDF("rank", "vec_id", "mmr_milli")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s""",
+          |mp$r AS MATERIALIZED (SELECT vec_id, mmr FROM (
+          |  SELECT c.vec_id,
+          |    0.7 * c.simq - 0.3 * coalesce(m.ms, 0.0) AS mmr
+          |  FROM mcand c LEFT JOIN (
+          |    SELECT va AS vec_id, max(sim) AS ms FROM mpr
+          |    WHERE vb IN (SELECT vec_id FROM msel${r - 1}) GROUP BY 1) m
+          |    USING (vec_id)
+          |  WHERE c.vec_id NOT IN (SELECT vec_id FROM msel${r - 1}))
+          |  ORDER BY mmr DESC, vec_id LIMIT 1),
+          |msel$r AS MATERIALIZED (SELECT * FROM msel${r - 1}
+          |  UNION ALL SELECT CAST($r AS BIGINT) AS rank, vec_id,
+          |    CAST(round(mmr * 1000) AS BIGINT) AS mmr_milli FROM mp$r)"""
+            .stripMargin
+        }.mkString
+        val dot = "CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1)," +
+          " i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)" +
+          " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+        s"""WITH ve AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |mn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM ve),
+        |mcand AS MATERIALIZED (SELECT vec_id, sim AS simq FROM (
+        |  SELECT b.vec_id, $dot AS sim
+        |  FROM mn a, mn b WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |  ORDER BY sim DESC, b.vec_id LIMIT 20) z),
+        |mpr AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, $dot AS sim
+        |  FROM mn a JOIN mcand ca ON a.vec_id = ca.vec_id
+        |  JOIN mn b ON b.vec_id <> a.vec_id
+        |  JOIN mcand cb ON b.vec_id = cb.vec_id),
+        |msel0 AS (SELECT CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS mmr_milli
+        |  WHERE 1 = 0)$rounds
+        |SELECT rank, vec_id, mmr_milli FROM msel5""".stripMargin
+      })
   )
 
 

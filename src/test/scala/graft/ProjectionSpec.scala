@@ -52,4 +52,26 @@ class ProjectionSpec extends SparkSpec {
     // collapse here means prefix truncation is broken for this space
     assert(ppm >= 500000L, s"matryoshka preservation collapsed: $ppm ppm")
   }
+
+  test("mmr rerank: greedy picks are distinct, monotone, relevance-anchored") {
+    val dir = "/root/testdata/sf0.001"
+    val picks = SparkEntry.queries("ann_mmr_rerank")(spark, dir)
+      .select("rank", "vec_id", "mmr_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(picks.map(_._1).toSeq == (1L to 5L) &&
+      picks.map(_._2).distinct.length == 5)
+    // the first pick has no diversity penalty: it must be the plain
+    // cosine top-1 (rank-1 of ann_cosine_topk for query 0)
+    val top1 = SparkEntry.queries("ann_cosine_topk")(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr("query_id = 0 AND rank = 1"))
+      .select("neighbor_id").collect().head.getLong(0)
+    assert(picks.head._2 == top1,
+      s"first MMR pick ${picks.head._2} must equal cosine top-1 $top1")
+    // each later round maximizes over a shrunk set with weakly larger
+    // penalties, so the picked scores can only go down
+    val scores = picks.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"picked MMR scores must be non-increasing: ${scores.toList}")
+  }
 }

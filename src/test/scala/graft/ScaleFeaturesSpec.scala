@@ -202,4 +202,25 @@ class ScaleFeaturesSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toList
     assert(out == List(("a", "b", 2L, 2000000L)), s"got $out")
   }
+
+  test("seasonality indices are hour-weighted-neutral and conserve volume") {
+    import graft.queries.Q
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_seasonality")(spark, dir)
+      .select("event_type", "slot_hours", "slot_sum", "seasonal_ppm")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Q.table(spark, dir, "events")
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      // slot sums partition the type's events exactly
+      assert(g.map(_._3).sum == totals(t), s"$t volume not conserved")
+      // the slot-hour-weighted mean index is 1e6 up to truncation
+      val hours = g.map(_._2).sum
+      val wmean = g.map(x => x._2 * x._4).sum / hours
+      assert(math.abs(wmean - 1000000L) <= g.length,
+        s"$t weighted mean index $wmean")
+    }
+  }
 }
