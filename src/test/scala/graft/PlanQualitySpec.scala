@@ -594,6 +594,34 @@ class PlanQualitySpec extends SparkSpec {
       s"the normalizer scalar must broadcast:\n$p")
   }
 
+  test("seasonality and transitions keep their bounded-attach shapes") {
+    val p = plan("q_seasonality")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-type totals must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window in the seasonality plan:\n$p")
+    val t = plan("q_event_transitions")
+    assert(!t.contains("SinglePartition"),
+      s"the lag window must stay user-partitioned:\n$t")
+  }
+
+  test("join-cardinality pre-flight joins histograms, never rows") {
+    val p = plan("dq_join_cardinality")
+    // both sides must aggregate BEFORE the join: the join's children are
+    // aggregates, so the plan has exactly the two per-key HashAggregates
+    // plus the final rollup — no row-level join of the base tables
+    assert(p.contains("HashAggregate"), s"histogram aggs missing:\n$p")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+  }
+
+  test("lift, fertility, eval and the jsonl ledger avoid cartesians and global windows") {
+    for (q <- Seq("q_cooccurrence_lift", "text_tokenizer_fertility",
+        "ir_bm25_eval", "embedding_matryoshka_audit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("Window, ["), s"$q plans a window:\n$p")
+    }
+  }
+
   test("pagerank rounds shuffle contributions; the readout avoids a global window") {
     val p = plan("graph_pagerank")
     assert(!p.contains("Window, [") && !p.contains("SinglePartition"),
