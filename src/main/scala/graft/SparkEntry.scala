@@ -169,6 +169,7 @@ object SparkEntry {
     "text_winnow_fingerprint" -> Seq("doc_id", "fp"),
     "multimodal_meta" -> Seq("doc_id"),
     "multimodal_pixels" -> Seq("doc_id"),
+    "multimodal_phash" -> Seq("doc_id"),
     "multimodal_samples" -> Seq("doc_id"),
     "multimodal_audio_features" -> Seq("doc_id"),
     "multimodal_video_frames" -> Seq("doc_id", "frame_idx"),

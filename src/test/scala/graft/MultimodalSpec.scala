@@ -489,4 +489,27 @@ class MultimodalSpec extends SparkSpec {
     val sizes = one.map(r => r.getAs[Array[Byte]]("chunk").length)
     assert(sizes.init.forall(_ == 100))
   }
+
+  test("perceptual hash: planted identical images collide, hamming-0 pairs surface") {
+    import spark.implicits._
+    // doc_ids 2 and 770 with identical text generate IDENTICAL PNG
+    // pixels: the gradient formula is (px + 2·py + 3c + id) mod 256 and
+    // 770 − 2 = 768 ≡ 0 (mod 256), both ids are ≡ 2 (mod 6) (the PNG
+    // arm) and share h = id mod 64 = 2; doc 8 differs in size and id.
+    val dir = tmpDir("phash")
+    Seq((2L, "same words here", "s"),
+        (770L, "same words here", "s"),
+        (8L, "a very different and much longer text body entirely", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("multimodal_phash")(spark, dir)
+      .select("doc_id", "ph_hi", "ph_lo", "n_near")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == List(2L, 8L, 770L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert((byId(2L)._2, byId(2L)._3) == (byId(770L)._2, byId(770L)._3),
+      "identical images must produce identical dHashes")
+    assert(byId(2L)._4 >= 1L && byId(770L)._4 >= 1L,
+      "the hamming-0 pair must be found through the bands")
+  }
 }
