@@ -182,6 +182,7 @@ object SparkEntry {
     "text_tokenizer_fertility" -> Seq("lang"),
     "dedup_exact_substring" -> Seq("doc_id"),
     "dedup_paragraph" -> Seq("doc_id"),
+    "dedup_paragraph_rewrite" -> Seq("doc_id"),
     "corpus_quality_classifier" -> Seq("feature_id"),
     "corpus_dsir_sample" -> Seq("doc_id"),
     "corpus_negative_table" -> Seq("p_ppm", "term"),

@@ -353,6 +353,68 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN k = first_k THEN seg_words ELSE 0 END) AS BIGINT) AS kept_words
         |FROM segs JOIN fo USING (h) GROUP BY doc_id""".stripMargin)),
 
+    // The MATERIALIZATION companion of dedup_paragraph (as
+    // corpus_shard_text is to corpus_pack_bins): actually REBUILD every
+    // document from its surviving segments, in segment order, and
+    // publish the cleaned text's digest + residual size — the stage that
+    // writes the deduplicated corpus rather than reporting on it. The
+    // per-doc ordered concat is a bounded collect_list (documents are
+    // row-sized, never corpus-sized); fully-duplicated documents survive
+    // as rows with the empty-text digest, so the output keeps one row
+    // per input document. Same single hash-keyed shuffle family as the
+    // report query.
+    QueryDef("dedup_paragraph_rewrite",
+      (s, d) => {
+        val segs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0),
+              expr("(size(ws) + 15) div 16 - 1"))).as("seg_idx"),
+            col("ws"))
+          .select(col("doc_id"), col("seg_idx"),
+            expr("array_join(slice(ws, seg_idx * 16 + 1, 16), ' ')")
+              .as("seg"),
+            expr("size(slice(ws, seg_idx * 16 + 1, 16))").as("seg_words"))
+          .withColumn("h", md5(col("seg")))
+          .withColumn("k", col("doc_id") * 100000 + col("seg_idx"))
+        val firstOcc = segs.groupBy("h").agg(min(col("k")).as("first_k"))
+        val kept = segs.join(firstOcc, "h")
+          .filter(col("k") === col("first_k"))
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("seg_words")).as("rebuilt_words"),
+            md5(expr(
+              """array_join(transform(
+                |  array_sort(collect_list(struct(seg_idx, seg))),
+                |  p -> p.seg), ' ')""".stripMargin)).as("rebuilt_digest"))
+        table(s, d, "documents").select(col("doc_id"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("rebuilt_words"), lit(0L)).as("rebuilt_words"),
+            coalesce(col("rebuilt_digest"), md5(lit("")))
+              .as("rebuilt_digest"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |    array_to_string(ws[i*16+1 : i*16+16], ' ') AS seg,
+        |    len(ws[i*16+1 : i*16+16]) AS seg_words,
+        |    md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
+        |    doc_id * 100000 + i AS k
+        |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS i FROM w)),
+        |fo AS (SELECT h, min(k) AS first_k FROM segs GROUP BY h),
+        |kept AS (SELECT doc_id, seg_idx, seg, seg_words
+        |  FROM segs JOIN fo USING (h) WHERE k = first_k),
+        |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(seg_words) AS BIGINT) AS rebuilt_words,
+        |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS rebuilt_digest
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(rebuilt_words, 0) AS rebuilt_words,
+        |  coalesce(rebuilt_digest, md5('')) AS rebuilt_digest
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN rb USING (doc_id)"""
+        .stripMargin)),
+
     // MinHash + LSH banding: char-5-gram shingles sampled at stride 2 over
     // the first 200 chars; 16 minhash values as the 6-hex-digit pieces of
     // ONE sha256||md5 per shingle (2 hash calls instead of 16 — the pieces

@@ -68,6 +68,26 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 1L, 1L, 0L, 8L)), s"got $out")
   }
 
+  test("paragraph rewrite rebuilds exactly the surviving text") {
+    val segA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val dir = tmpDir("pararw")
+    writeDocs(dir, Seq(
+      (0L, segA + " " + segB, "s"),
+      (1L, segA + " " + segC, "s"),
+      (2L, segA + " " + segB, "s")))
+    def m(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = SparkEntry.queries("dedup_paragraph_rewrite")(spark, dir)
+      .select("doc_id", "n_kept", "rebuilt_words", "rebuilt_digest")
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._1)
+    assert(out == List(
+      (0L, 2L, 32L, m(segA + " " + segB)), // first occurrence: intact
+      (1L, 1L, 16L, m(segC)),              // segA deduped away
+      (2L, 0L, 0L, m(""))), s"got $out")   // full duplicate: empty
+  }
+
   test("paragraph dedup invariants hold on the fixture corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dedup_paragraph")(spark, dir)
