@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => builder(exprs)))
     }
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 
@@ -78,5 +79,6 @@ object GraftExtensions {
         name, builder, "built-in")
     }
     graft.plans.GroupTopK.install(spark)
+    graft.plans.WindowTopKRewrite.install(spark)
   }
 }

@@ -45,4 +45,7 @@ object GraftExtensionsProbe {
     ext.registerFunctions(
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
       .listFunction().map(_.funcName)
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }

@@ -11,7 +11,12 @@ class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
   test("install() exposes every native function and the topk strategy") {
-    GraftExtensions.install(spark)
+    // an isolated session: install() now also attaches the optimizer
+    // rewrite, which must not leak into the shared suite session (other
+    // specs assert window shapes on unrewritten plans)
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    import s.implicits._
     // each native expression answers from SQL with no per-object register
     val row = Seq(("hello world hello spark", Array(1f, 0f), Array(1f, 0f)))
       .toDF("t", "a", "b")
@@ -29,9 +34,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("mh") == 16)
     assert(row.getAs[Long]("sh") >= 0L)
     // idempotent
-    GraftExtensions.install(spark)
-    assert(spark.experimental.extraStrategies
+    GraftExtensions.install(s)
+    assert(s.experimental.extraStrategies
       .count(_ == graft.plans.GroupTopKStrategy) == 1)
+    assert(s.experimental.extraOptimizations
+      .count(_ == graft.plans.WindowTopKRewrite) == 1)
     // the custom operator plans through the strategy
     val df = graft.plans.GroupTopK(
       Seq((1L, 5.0), (1L, 7.0), (2L, 3.0)).toDF("g", "s"),
@@ -41,15 +48,56 @@ class GraftExtensionsSpec extends SparkSpec {
       == Set((1L, 7.0), (2L, 3.0)))
   }
 
-  test("the plugin path injects the same functions and strategy") {
+  test("the plugin path injects the same functions, strategy, and rewrite") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
     val strategies = GraftExtensionsProbe.plannerStrategies(ext, spark)
     assert(strategies.contains(graft.plans.GroupTopKStrategy))
+    assert(GraftExtensionsProbe.optimizerRules(ext, spark)
+      .contains(graft.plans.WindowTopKRewrite))
     val names = GraftExtensionsProbe.injectedFunctionNames(ext).toSet
     Seq("cosine_sim", "quant_cosine_sim", "lsh_bits", "winnow_fps",
       "minhash_sigs", "simhash_bits").foreach { f =>
       assert(names.contains(f), s"$f not injected by the plugin path")
     }
+  }
+
+  test("window top-k rewrites to the bounded heap only when it is sound") {
+    val s = spark.newSession()
+    graft.plans.WindowTopKRewrite.install(s)
+    graft.plans.GroupTopK.install(s)
+    import s.implicits._
+    val df = Seq((1L, 10L, 101L), (1L, 30L, 102L), (1L, 20L, 103L),
+      (2L, 5L, 104L), (2L, 15L, 105L)).toDF("g", "score", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc)
+    // the idiom: rank, filter, DROP the rank → rewritten to GroupTopK
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("g", "score", "payload")
+    assert(q.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      s"rewrite must fire:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 30L), (1L, 20L), (2L, 15L), (2L, 5L)))
+    // guard 1: the rank column survives into the output → NOT rewritten
+    val kept = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    assert(!kept.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      "rank in output must block the rewrite")
+    assert(kept.count() == 4)
+    // guard 2: nullable sort key (window ranks nulls, the heap drops
+    // them) → NOT rewritten
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(when(col("score") > 5, col("score")).desc)
+    val qn = df.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= 2).select("g", "payload")
+    assert(!qn.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      "nullable score must block the rewrite")
+    // guard 3: multi-column ordering → NOT rewritten
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("payload"))
+    val qm = df.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= 2).select("g", "payload")
+    assert(!qm.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      "multi-column order must block the rewrite")
   }
 }
