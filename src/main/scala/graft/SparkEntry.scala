@@ -232,6 +232,7 @@ object SparkEntry {
     "dq_join_cardinality" -> Seq("n_shared_keys"),
     "q_cooccurrence_lift" -> Seq("type_a", "type_b"),
     "q_seasonality" -> Seq("event_type", "hod"),
+    "q_window_topk_rewritten" -> Seq("event_type", "user_id"),
     "q_asof_dim" -> Seq("event_id"),
     "dq_column_profile" -> Seq("column_name"),
     "text_chunk" -> Seq("doc_id", "chunk_idx"),

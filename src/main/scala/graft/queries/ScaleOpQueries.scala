@@ -440,6 +440,45 @@ object ScaleOpQueries {
         |    // CAST(sum(prod) AS BIGINT) AS top1_share_ppm
         |FROM p""".stripMargin)),
 
+    // The WindowTopKRewrite optimizer rule ON the verified surface: this
+    // query writes the plain `row_number … <= 2` + drop-the-rank idiom —
+    // exactly what a SQL user writes — and runs it on a session clone
+    // with the rewrite installed (clone-isolated: sibling queries in the
+    // same sweep keep their unrewritten plans). The optimizer replaces
+    // the window with the native GroupTopK bounded heap (PlanQualitySpec
+    // asserts the rewritten shape, no Window anywhere), and the oracle
+    // runs the ORIGINAL window SQL — proving the rewrite row-identical
+    // on real data, not just in the unit guards. The sort key packs
+    // (count desc, user asc) into one long so ties cannot exist, and is
+    // wrapped in coalesce(…, -1): parquet columns are nullable in the
+    // schema even when the data never is, and the rewrite's soundness
+    // guard demands a provably non-nullable key (the heap drops null
+    // scores, the window ranks them) — the coalesce is the user-side
+    // non-nullability annotation that unlocks it, a no-op on the data.
+    QueryDef("q_window_topk_rewritten",
+      (s, d) => {
+        val iso = s.newSession()
+        graft.plans.WindowTopKRewrite.install(iso)
+        graft.plans.GroupTopK.install(iso)
+        val counts = table(iso, d, "events")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("skey", expr(
+            "coalesce(cnt * 1000000 + (999999 - user_id), CAST(-1 AS LONG))"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("skey").desc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("event_type", "user_id", "cnt")
+      },
+      Some("""SELECT event_type, user_id, cnt FROM (
+        |  SELECT event_type, user_id, cnt, row_number() OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY cnt * 1000000 + (999999 - user_id) DESC) AS rn
+        |  FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events GROUP BY 1, 2) c) z
+        |WHERE rn <= 2""".stripMargin)),
+
     // SEASONALITY PROFILE — the periodic component of the event stream
     // (the hour-of-day index a capacity planner or anomaly baseline
     // consumes): for each (type, hour-of-day), the ratio of that slot's

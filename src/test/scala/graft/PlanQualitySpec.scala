@@ -622,6 +622,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("the window-topk idiom query actually plans through the rewrite") {
+    val p = plan("q_window_topk_rewritten")
+    assert(p.contains("GroupTopK"),
+      s"the optimizer rewrite must replace the window:\n$p")
+    assert(!p.contains("Window, ["),
+      s"no window may survive the rewrite (beyond the contract sort):\n$p")
+  }
+
   test("pagerank rounds shuffle contributions; the readout avoids a global window") {
     val p = plan("graph_pagerank")
     assert(!p.contains("Window, [") && !p.contains("SinglePartition"),
