@@ -170,6 +170,49 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: paragraph dedup matches the first-occurrence segment model") {
+    // corpora built FROM a 5-segment pool (forcing exact 16-word-block
+    // duplicates, which random words never produce) plus short random
+    // tails that exercise partial trailing segments and cross-doc tail
+    // collisions
+    val segPool = (0 until 5).map(s =>
+      (1 to 16).map(i => s"w${s}_$i").mkString(" "))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 4)
+      segs <- Gen.listOfN(n, Gen.chooseNum(0, 4))
+      tailLen <- Gen.chooseNum(0, 15)
+      tail <- Gen.listOfN(tailLen, Gen.oneOf("x", "y", "z"))
+    } yield (segs.map(segPool) ++
+      (if (tail.isEmpty) Nil else Seq(tail.mkString(" ")))).mkString(" ")
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 6).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val dir = tmpDir(s"prop-para-$ci")
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("dedup_paragraph")(spark, dir)
+        .select("doc_id", "n_segs", "n_kept", "n_removed", "kept_words")
+        .as[(Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+      // model: 16-word segmentation, global first occurrence by encoded
+      // (doc_id, seg_idx) position
+      val all = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 until (ws.length + 15) / 16).map { i =>
+          val seg = ws.slice(i * 16, i * 16 + 16)
+          (id, i, seg.mkString(" "), seg.length.toLong)
+        }
+      }
+      val firstK = all.groupBy(_._3).view
+        .mapValues(_.map(x => x._1 * 100000L + x._2).min).toMap
+      val want = all.groupBy(_._1).map { case (id, ss) =>
+        val kept = ss.filter(x => x._1 * 100000L + x._2 == firstK(x._3))
+        (id, ss.size.toLong, kept.size.toLong,
+          (ss.size - kept.size).toLong, kept.map(_._4).sum)
+      }.toList.sortBy(_._1)
+      assert(got == want, s"case $ci corpus=$docs got=$got want=$want")
+      graft.queries.Q.release(spark, dir)
+    }
+  }
+
   /** Sequential reference BPE: word counts → per-round pair argmax
     * (support desc, l asc, r asc) → `String.replace` merge — the exact
     * semantics the distributed rounds and the unrolled oracle share,
