@@ -74,7 +74,25 @@ object Bench {
       "\"" + sn + "\":" + f"${rs.filter(_._3).map(_._2).sum}%.3f"
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sets":$sets,"failed":$failed,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sets":$sets,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the FULL per-query record of every sweep to a committed
+    // file: the driver's BENCH capture truncates to the tail, which in
+    // round 7 made the first sets' per-query times unrecoverable and
+    // left a dedup-set drift unattributable. One small JSON file per
+    // sweep, timestamped, under the repo's bench/ dir.
+    try {
+      val dir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
+      dir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(dir,
+          s"sweep-${System.currentTimeMillis()}.json").toPath,
+        (line + "\n").getBytes("UTF-8"))
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sweep persist failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

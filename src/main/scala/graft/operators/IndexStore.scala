@@ -64,6 +64,42 @@ object IndexStore {
     f.delete(); ()
   }
 
+  /** Sidecar markers inside each artifact dir. `_NAME` records the exact
+    * artifact name (so eviction never claims a sibling artifact whose
+    * name merely extends another — `foo-bar-<key>` vs name `foo` — once
+    * names contain '-'), `_RECENCY` records last-used epoch millis as
+    * file CONTENT (directory mtime has 1-second granularity on some
+    * filesystems and `setLastModified` can silently fail, which made LRU
+    * order unreliable for same-second builds). Spark's parquet reader
+    * ignores `_`-prefixed files, so the markers ride inside the dir.
+    */
+  private def writeMarker(dir: File, marker: String, value: String): Unit = {
+    try java.nio.file.Files.write(new File(dir, marker).toPath,
+      value.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // recency is best-effort
+    ()
+  }
+
+  private def recencyOf(dir: File): Long = {
+    val f = new File(dir, "_RECENCY")
+    if (f.exists())
+      try new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim.toLong
+      catch { case _: Exception => dir.lastModified() }
+    else dir.lastModified()
+  }
+
+  /** Does this store dir hold artifact `name`? Exact `_NAME` match when
+    * the marker exists; prefix fallback only for pre-marker dirs. */
+  private def ownedBy(dir: File, name: String): Boolean = {
+    val nm = new File(dir, "_NAME")
+    if (nm.exists())
+      try new String(java.nio.file.Files.readAllBytes(nm.toPath),
+        "UTF-8").trim == name
+      catch { case _: Exception => false }
+    else dir.getName.startsWith(name + "-")
+  }
+
   /** How many fixture keys one artifact name retains. A sweep cycle
     * touches the SAME artifact under several fixtures (Verify at sf0.01,
     * Bench at sf0.1, specs at sf0.001 + controlled corpora): evicting
@@ -87,15 +123,15 @@ object IndexStore {
     val dir = new File(rootDir, s"$name-$key")
     if (!new File(dir, "_SUCCESS").exists()) {
       build.write.mode("overwrite").parquet(dir.toString)
+      writeMarker(dir, "_NAME", name)
+      writeMarker(dir, "_RECENCY", System.currentTimeMillis().toString)
       Option(rootDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(name + "-") &&
-          f.getName != dir.getName)
-        .sortBy(_.lastModified())(Ordering[Long].reverse)
+        .filter(f => f.getName != dir.getName && ownedBy(f, name))
+        .sortBy(recencyOf)(Ordering[Long].reverse)
         .drop(MaxKeysPerName - 1)
         .foreach(deleteRec)
     } else {
-      dir.setLastModified(System.currentTimeMillis()) // LRU recency
-      ()
+      writeMarker(dir, "_RECENCY", System.currentTimeMillis().toString)
     }
     s.read.parquet(dir.toString)
   }

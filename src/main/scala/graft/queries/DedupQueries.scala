@@ -316,7 +316,11 @@ object DedupQueries {
     // exchange), so cost is O(segments) with no window and no driver
     // state. First-occurrence order is the deterministic (doc_id,
     // seg_idx) encoding — a single BIGINT min, not a struct — so Spark
-    // and DuckDB agree bit-for-bit.
+    // and DuckDB agree bit-for-bit. Radix: doc_id * 2^31 + seg_idx,
+    // which orders correctly while seg_idx < 2^31 (a 2^31-segment
+    // document is ~34 billion words — physically impossible) and
+    // doc_id < 2^32 (4.3 B documents; beyond that, widen to a 2-column
+    // min_by in both engines).
     QueryDef("dedup_paragraph",
       (s, d) => {
         val segs = table(s, d, "documents")
@@ -329,7 +333,7 @@ object DedupQueries {
             md5(expr("array_join(slice(ws, seg_idx * 16 + 1, 16), ' ')"))
               .as("h"),
             expr("size(slice(ws, seg_idx * 16 + 1, 16))").as("seg_words"))
-          .withColumn("k", col("doc_id") * 100000 + col("seg_idx"))
+          .withColumn("k", col("doc_id") * 2147483648L + col("seg_idx"))
         val firstOcc = segs.groupBy("h").agg(min(col("k")).as("first_k"))
         segs.join(firstOcc, "h")
           .withColumn("kept", when(col("k") === col("first_k"), 1L)
@@ -344,7 +348,7 @@ object DedupQueries {
         |segs AS (SELECT doc_id, i AS seg_idx,
         |    md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
         |    len(ws[i*16+1 : i*16+16]) AS seg_words,
-        |    doc_id * 100000 + i AS k
+        |    doc_id * 2147483648 + i AS k
         |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS i FROM w)),
         |fo AS (SELECT h, min(k) AS first_k FROM segs GROUP BY h)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
@@ -376,7 +380,7 @@ object DedupQueries {
               .as("seg"),
             expr("size(slice(ws, seg_idx * 16 + 1, 16))").as("seg_words"))
           .withColumn("h", md5(col("seg")))
-          .withColumn("k", col("doc_id") * 100000 + col("seg_idx"))
+          .withColumn("k", col("doc_id") * 2147483648L + col("seg_idx"))
         val firstOcc = segs.groupBy("h").agg(min(col("k")).as("first_k"))
         val kept = segs.join(firstOcc, "h")
           .filter(col("k") === col("first_k"))
@@ -400,7 +404,7 @@ object DedupQueries {
         |    array_to_string(ws[i*16+1 : i*16+16], ' ') AS seg,
         |    len(ws[i*16+1 : i*16+16]) AS seg_words,
         |    md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
-        |    doc_id * 100000 + i AS k
+        |    doc_id * 2147483648 + i AS k
         |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS i FROM w)),
         |fo AS (SELECT h, min(k) AS first_k FROM segs GROUP BY h),
         |kept AS (SELECT doc_id, seg_idx, seg, seg_words

@@ -506,10 +506,14 @@ object IngestOpQueries {
         val line = when(col("doc_id") % 97 === 0,
             expr("substring(to_json(struct(doc_id, lang, source, n_chars, text)), 1, 20)"))
           .otherwise(to_json(cols))
+        // scratch dir is keyed by dataset AND application id: two
+        // concurrent sessions (verify + bench on the same fixture) must
+        // not race on one directory
         val outDir = new java.io.File(
           sys.props("java.io.tmpdir"),
           "graft-jsonl-" + java.security.MessageDigest.getInstance("MD5")
-            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+            "-" + s.sparkContext.applicationId)
           .toString
         table(s, d, "documents").select(line.as("value"))
           .write.mode("overwrite").text(outDir)
@@ -522,15 +526,23 @@ object IngestOpQueries {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt")
           .json(outDir)
-          .groupBy("source")
+          // corrupt rows bucket on the _corrupt marker itself, NOT on
+          // their NULL source — a document whose source is genuinely
+          // NULL stays a distinct (NULL, 0) group instead of silently
+          // merging with the parse-failure ledger
+          .groupBy(col("source"),
+            when(col("_corrupt").isNotNull, 1L).otherwise(0L)
+              .as("is_corrupt"))
           .agg(count(lit(1)).as("n_rows"),
             coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
       },
-      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      Some("""SELECT source, CAST(0 AS BIGINT) AS is_corrupt,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 97 != 0 GROUP BY source
         |UNION ALL
-        |SELECT NULL AS source, CAST(count(*) AS BIGINT) AS n_rows,
+        |SELECT NULL AS source, CAST(1 AS BIGINT) AS is_corrupt,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(0 AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin))
   )

@@ -390,7 +390,9 @@ object IrQueries {
           .groupBy("doc_id").agg(sum("milli").as("score_milli"))
           .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
           .withColumn("rnk", row_number().over(wF).cast("long"))
-        val hits = top.join(broadcast(rel), "doc_id")
+        // broadcast the 20-row top-k side (bounded by the LIMIT), not the
+        // relevant set, whose size is corpus-dependent
+        val hits = rel.join(broadcast(top.select("doc_id", "rnk")), "doc_id")
         val nRel = rel.agg(count(lit(1)).as("n_relevant"))
         hits.agg(
             min(col("rnk")).as("first_rank"),
@@ -400,9 +402,12 @@ object IrQueries {
           .select(col("n_relevant"),
             coalesce(col("first_rank"), lit(0L)).as("first_rank"),
             coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_ppm"),
-            expr("coalesce(h10, 0) * 1000000 DIV n_relevant")
+            // nullif guards the n_relevant = 0 corpus: Spark's non-ANSI
+            // DIV 0 yields NULL while DuckDB's // 0 errors — nullif makes
+            // both engines produce the same 0 row instead of diverging
+            expr("coalesce(coalesce(h10, 0) * 1000000 DIV nullif(n_relevant, 0), 0)")
               .as("recall10_ppm"),
-            expr("coalesce(h20, 0) * 1000000 DIV n_relevant")
+            expr("coalesce(coalesce(h20, 0) * 1000000 DIV nullif(n_relevant, 0), 0)")
               .as("recall20_ppm"))
       },
       Some(s"""WITH $TokSql,
@@ -432,7 +437,9 @@ object IrQueries {
         |SELECT n_relevant,
         |  CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rank,
         |  CAST(coalesce(1000000 // first_rank, 0) AS BIGINT) AS rr_ppm,
-        |  coalesce(h10, 0) * 1000000 // n_relevant AS recall10_ppm,
-        |  coalesce(h20, 0) * 1000000 // n_relevant AS recall20_ppm
+        |  coalesce(coalesce(h10, 0) * 1000000 // nullif(n_relevant, 0), 0)
+        |    AS recall10_ppm,
+        |  coalesce(coalesce(h20, 0) * 1000000 // nullif(n_relevant, 0), 0)
+        |    AS recall20_ppm
         |FROM h, nr""".stripMargin)))
 }

@@ -61,16 +61,18 @@ class IndexStoreSpec extends SparkSpec {
       .map(_.getName).toSet
     assert(names().contains("ix-k1") && names().contains("ix-k2"),
       s"keys under the cap must coexist (saw ${names()})")
-    // k1 was used MOST recently of the two older keys after this hit:
-    Thread.sleep(1100) // parquet dir mtime granularity can be 1s
+    // k1 was used MOST recently of the two older keys after this hit
+    // (recency is millis-content in the _RECENCY sidecar, not dir mtime,
+    // so a few ms of separation suffices):
+    Thread.sleep(5)
     IndexStore.cached(spark, "ix", "k1", root)(build("v5"))
     assert(builds == 2, "recency refresh must be a hit")
     // push past the cap: k2 is now least recently used and must evict
-    Thread.sleep(1100)
+    Thread.sleep(5)
     IndexStore.cached(spark, "ix", "k3", root)(build("v6"))
-    Thread.sleep(1100)
+    Thread.sleep(5)
     IndexStore.cached(spark, "ix", "k4", root)(build("v7"))
-    Thread.sleep(1100)
+    Thread.sleep(5)
     IndexStore.cached(spark, "ix", "k5", root)(build("v8"))
     assert(!names().contains("ix-k2"),
       s"LRU key beyond the cap must evict (saw ${names()})")
@@ -81,6 +83,25 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.cached(spark, "ix", "k6", root)(build("v9"))
     assert(names().contains("other-k9"),
       "unrelated artifacts must survive another artifact's eviction")
+  }
+
+  test("eviction never claims a sibling artifact whose name extends another") {
+    import spark.implicits._
+    val root = tmpRoot()
+    def build(tag: String) = Seq((1L, tag)).toDF("id", "src")
+    // 'ix-sub-k9' starts with 'ix-' — a prefix-based eviction filter
+    // would count it among artifact 'ix' keys and could delete it
+    IndexStore.cached(spark, "ix-sub", "k9", root)(build("s1"))
+    (1 to IndexStore.MaxKeysPerName + 2).foreach { i =>
+      Thread.sleep(5)
+      IndexStore.cached(spark, "ix", s"k$i", root)(build(s"v$i"))
+    }
+    val names = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(names.contains("ix-sub-k9"),
+      s"sibling artifact must survive ix's key turnover (saw $names)")
+    assert(!names.contains("ix-k1"),
+      s"ix's own oldest key must still evict (saw $names)")
   }
 
   test("round-trip is value-exact for long and double columns") {

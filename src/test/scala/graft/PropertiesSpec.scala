@@ -202,9 +202,9 @@ class PropertiesSpec extends SparkSpec {
         }
       }
       val firstK = all.groupBy(_._3).view
-        .mapValues(_.map(x => x._1 * 100000L + x._2).min).toMap
+        .mapValues(_.map(x => x._1 * 2147483648L + x._2).min).toMap
       val want = all.groupBy(_._1).map { case (id, ss) =>
-        val kept = ss.filter(x => x._1 * 100000L + x._2 == firstK(x._3))
+        val kept = ss.filter(x => x._1 * 2147483648L + x._2 == firstK(x._3))
         (id, ss.size.toLong, kept.size.toLong,
           (ss.size - kept.size).toLong, kept.map(_._4).sum)
       }.toList.sortBy(_._1)
