@@ -448,13 +448,16 @@ object ScaleOpQueries {
     // the window with the native GroupTopK bounded heap (PlanQualitySpec
     // asserts the rewritten shape, no Window anywhere), and the oracle
     // runs the ORIGINAL window SQL — proving the rewrite row-identical
-    // on real data, not just in the unit guards. The sort key packs
-    // (count desc, user asc) into one long so ties cannot exist, and is
-    // wrapped in coalesce(…, -1): parquet columns are nullable in the
-    // schema even when the data never is, and the rewrite's soundness
-    // guard demands a provably non-nullable key (the heap drops null
-    // scores, the window ranks them) — the coalesce is the user-side
-    // non-nullability annotation that unlocks it, a no-op on the data.
+    // on real data, not just in the unit guards. The sort spec is the
+    // plain multi-key `cnt DESC, user_id ASC` tie-broken idiom — the
+    // rewrite ranks multi-key specs natively, no packed-key encoding
+    // (the old cnt*1e6 packing silently collided once user_id reached
+    // 1e6). user_id rides through coalesce(…, -1): parquet columns are
+    // nullable in the schema even when the data never is, and the
+    // rewrite's soundness guard demands provably non-nullable keys (the
+    // heap drops null keys, the window ranks them) — the coalesce is the
+    // user-side non-nullability annotation that unlocks it, a no-op on
+    // the data.
     QueryDef("q_window_topk_rewritten",
       (s, d) => {
         val iso = s.newSession()
@@ -463,10 +466,10 @@ object ScaleOpQueries {
         val counts = table(iso, d, "events")
           .groupBy("event_type", "user_id")
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("skey", expr(
-            "coalesce(cnt * 1000000 + (999999 - user_id), CAST(-1 AS LONG))"))
+          .withColumn("uid", coalesce(col("user_id"), lit(-1L)))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy(col("skey").desc)
+          .partitionBy("event_type")
+          .orderBy(col("cnt").desc, col("uid").asc)
         counts.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 2)
           .select("event_type", "user_id", "cnt")
@@ -474,10 +477,40 @@ object ScaleOpQueries {
       Some("""SELECT event_type, user_id, cnt FROM (
         |  SELECT event_type, user_id, cnt, row_number() OVER (
         |      PARTITION BY event_type
-        |      ORDER BY cnt * 1000000 + (999999 - user_id) DESC) AS rn
+        |      ORDER BY cnt DESC, coalesce(user_id, -1) ASC) AS rn
         |  FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
         |        FROM events GROUP BY 1, 2) c) z
         |WHERE rn <= 2""".stripMargin)),
+
+    // The rank() twin: `rank() OVER (…) <= 3` + drop-the-rank rewrites
+    // to the heap's WITH-TIES mode — every day tied with the 3rd-busiest
+    // day survives, exactly the window's tie-closed survivor set, so the
+    // result is deterministic WITHOUT a tiebreaker key (ties are common
+    // here by construction: small daily counts collide). The cohort is
+    // bounded by the fixture's day span per event type.
+    QueryDef("q_window_rank_ties_rewritten",
+      (s, d) => {
+        val iso = s.newSession()
+        graft.plans.WindowTopKRewrite.install(iso)
+        graft.plans.GroupTopK.install(iso)
+        val daily = table(iso, d, "events")
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("day", tsCol)).as("day_us"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("cnt").desc)
+        daily.withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 3)
+          .select("event_type", "day_us", "cnt")
+      },
+      Some("""SELECT event_type, day_us, cnt FROM (
+        |  SELECT event_type, day_us, cnt, rank() OVER (
+        |      PARTITION BY event_type ORDER BY cnt DESC) AS rk
+        |  FROM (SELECT event_type,
+        |      CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_us,
+        |      CAST(count(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1, 2) c) z
+        |WHERE rk <= 3""".stripMargin)),
 
     // SEASONALITY PROFILE — the periodic component of the event stream
     // (the hour-of-day index a capacity planner or anomaly baseline

@@ -92,12 +92,59 @@ class GraftExtensionsSpec extends SparkSpec {
       .filter(col("rn") <= 2).select("g", "payload")
     assert(!qn.queryExecution.executedPlan.toString.contains("GroupTopK"),
       "nullable score must block the rewrite")
-    // guard 3: multi-column ordering → NOT rewritten
+    // multi-key ordering FIRES (since round 8): the tie-broken
+    // `ORDER BY score DESC, payload ASC` idiom ranks natively and is
+    // row-identical to the window — mixed directions included
+    val dup = Seq((1L, 10L, 101L), (1L, 30L, 102L), (1L, 30L, 103L),
+      (1L, 20L, 104L), (2L, 5L, 105L), (2L, 5L, 106L), (2L, 15L, 107L))
+      .toDF("g", "score", "payload")
     val wm = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy(col("score").desc, col("payload"))
-    val qm = df.withColumn("rn", row_number().over(wm))
-      .filter(col("rn") <= 2).select("g", "payload")
-    assert(!qm.queryExecution.executedPlan.toString.contains("GroupTopK"),
-      "multi-column order must block the rewrite")
+    val qm = dup.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= 2).select("g", "score", "payload")
+    assert(qm.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      s"multi-key rewrite must fire:\n${qm.queryExecution.executedPlan}")
+    // survivors under (score DESC, payload ASC): g1 → the two 30s;
+    // g2 → 15 then the smaller-payload 5
+    assert(qm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set((1L, 30L, 102L), (1L, 30L, 103L),
+        (2L, 15L, 107L), (2L, 5L, 105L)),
+      "multi-key rewrite must pick the window's exact survivor rows")
+  }
+
+  test("rank() <= k rewrites to the WITH-TIES heap and keeps the boundary cohort") {
+    val s = spark.newSession()
+    graft.plans.WindowTopKRewrite.install(s)
+    graft.plans.GroupTopK.install(s)
+    import s.implicits._
+    // score ties at the k-boundary by construction
+    val df = Seq((1L, 30L, 1L), (1L, 20L, 2L), (1L, 20L, 3L), (1L, 20L, 4L),
+      (1L, 10L, 5L), (2L, 7L, 6L), (2L, 7L, 7L)).toDF("g", "score", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc)
+    val q = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2).select("g", "score", "id")
+    assert(q.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      s"rank rewrite must fire:\n${q.queryExecution.executedPlan}")
+    // group 1: 30 (rank 1) + ALL THREE 20s (rank 2); group 2: both 7s
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 6L), (2L, 7L)),
+      "rank() <= k must keep every row tied with the k-th best")
+    // rank() = 1 fires too (the argmax-with-ties idiom)
+    val q1 = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1).select("g", "id")
+    assert(q1.queryExecution.executedPlan.toString.contains("GroupTopK"))
+    assert(q1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 6L), (2L, 7L)))
+    // guard: rank() = k for k > 1 is NOT a prefix filter → NOT rewritten
+    val qe = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 2).select("g", "id")
+    assert(!qe.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      "rank = k (k > 1) must block the rewrite")
+    // guard: dense_rank has different survivor semantics → NOT rewritten
+    val qd = df.withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2).select("g", "id")
+    assert(!qd.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      "dense_rank must block the rewrite")
   }
 }

@@ -50,6 +50,45 @@ class GroupTopKSpec extends SparkSpec {
     assert(custom.nonEmpty && custom.toSeq == reference.toSeq)
   }
 
+  test("multi-key sort spec with mixed directions matches the window exactly") {
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    // cents DESC, event_id ASC — ties on cents are common, the second
+    // key totalizes the order so the window twin agrees row-for-row
+    val custom = GroupTopK(ev, Seq("event_type"),
+      Seq("cents" -> true, "event_id" -> false), k = 4, withTies = false)
+      .orderBy("event_type", "event_id").collect()
+    val w = Window.partitionBy("event_type")
+      .orderBy($"cents".desc, $"event_id".asc)
+    val reference = ev
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 4).drop("rn")
+      .orderBy("event_type", "event_id").collect()
+    assert(custom.nonEmpty && custom.toSeq == reference.toSeq)
+  }
+
+  test("withTies keeps the rank() <= k boundary cohort exactly") {
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"event_type",
+        // coarse score: heavy ties at every rank boundary
+        (round($"value" * 100).cast("long") % 7).as("bucket"))
+    val custom = GroupTopK(ev, Seq("event_type"),
+      Seq("bucket" -> true), k = 2, withTies = true)
+      .orderBy("event_type", "event_id").collect()
+    val w = Window.partitionBy("event_type").orderBy($"bucket".desc)
+    val reference = ev
+      .withColumn("rk", rank().over(w)).filter($"rk" <= 2).drop("rk")
+      .orderBy("event_type", "event_id").collect()
+    assert(custom.length == reference.length,
+      s"cohort size ${custom.length} vs window ${reference.length}")
+    assert(custom.toSeq == reference.toSeq)
+    // and the cohort genuinely exceeds k rows somewhere (ties exist)
+    assert(custom.length > 2 * ev.select("event_type").distinct().count(),
+      "fixture must actually produce boundary ties for this test to bite")
+  }
+
   test("ascending mode, k larger than group, and missing column") {
     val asc = GroupTopK(base, Seq("event_type"), "score", k = 2,
       descending = false)

@@ -622,12 +622,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("the window-topk idiom query actually plans through the rewrite") {
-    val p = plan("q_window_topk_rewritten")
-    assert(p.contains("GroupTopK"),
-      s"the optimizer rewrite must replace the window:\n$p")
-    assert(!p.contains("Window, ["),
-      s"no window may survive the rewrite (beyond the contract sort):\n$p")
+  test("the window-topk idiom queries actually plan through the rewrite") {
+    // row_number multi-key twin AND the rank() WITH-TIES twin
+    for (q <- Seq("q_window_topk_rewritten", "q_window_rank_ties_rewritten")) {
+      val p = plan(q)
+      assert(p.contains("GroupTopK"),
+        s"$q: the optimizer rewrite must replace the window:\n$p")
+      assert(!p.contains("Window, ["),
+        s"$q: no window may survive the rewrite (beyond the contract sort):\n$p")
+    }
   }
 
   test("pagerank rounds shuffle contributions; the readout avoids a global window") {
