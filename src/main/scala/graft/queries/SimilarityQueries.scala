@@ -570,9 +570,15 @@ object SimilarityQueries {
     // Brute-force cosine top-10 via the NATIVE codegen'd expression
     // (graft.functions.CosineSimilarity) — the production hot path: one
     // fused loop per pair inside whole-stage codegen, no per-row array
-    // allocation. No SQL oracle (float accumulation order is engine-
-    // specific); VectorFunctionsSpec proves it against the quantized
-    // integer-exact query above instead.
+    // allocation. Oracle-eligible since round 8: the score is rounded at
+    // the OUTPUT BOUNDARY to integer micros (the text_bm25_search ln
+    // treatment) and the ranking orders by the ROUNDED value with a
+    // neighbor_id tiebreak in both engines, so the double accumulation-
+    // order difference between Spark and DuckDB (~1e-15, six orders of
+    // magnitude under the 1e-6 grid) cannot move a hash. The 5e-7
+    // rounding perturbation is far below the fixture's neighbor
+    // separation, so the ranking itself is unchanged (VectorFunctionsSpec
+    // still pins it against the 1e-4-quantized twin).
     QueryDef("ann_cosine_native",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
@@ -580,14 +586,28 @@ object SimilarityQueries {
         val q = v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val pairs = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-          .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+          .withColumn("cosine_micro", expr(
+            "CAST(round(cosine_sim(qe, embedding) * 1000000) AS BIGINT)"))
         val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("vec_id"))
+          .orderBy(col("cosine_micro").desc, col("vec_id"))
         pairs.select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("cosine"), row_number().over(w).cast("long").as("rank"))
+            col("cosine_micro"), row_number().over(w).cast("long").as("rank"))
           .filter(col("rank") <= 10)
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS n2 FROM v),
+        |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * b.e[i])) AS dot,
+        |  q.n2 AS qn2, b.n2 AS bn2
+        |  FROM n q JOIN n b ON q.vec_id < 5 AND q.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(round(dot / sqrt(qn2 * bn2) * 1000000) AS BIGINT) AS cosine_micro
+        |  FROM p)
+        |SELECT * FROM (SELECT query_id, neighbor_id, cosine_micro,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_micro DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 10""".stripMargin)),
 
     // Embedding-cosine near-dup, EXACT form over a BOUNDED probe set: the
     // 128 lowest vec_ids vs the whole corpus. The probe side is broadcast,
