@@ -24,6 +24,24 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: " +
         unknown.toSeq.sorted.mkString(", "))
     }
+    // Builder-side set filter (the scaling harness sweeps only the heavy
+    // families) — composes with SPARK_GRAFT_ONLY. Unknown set names fail
+    // loudly like unknown query names do.
+    val setsOnly: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SETS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    setsOnly.foreach { names =>
+      val unknown = names -- SparkEntry.sets.map(_._1).toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_SETS names not registered: " +
+        unknown.toSeq.sorted.mkString(", "))
+    }
+    // Builder-side index-store redirection: the scaling harness gives
+    // each scale its own store root so every scale point pays (and
+    // therefore MEASURES) its own index training — the 1x point must not
+    // silently read artifacts a previous standard-fixture sweep trained.
+    sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .foreach(p => sys.props("graft.index.dir") = p)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +65,9 @@ object Bench {
     // re-materialize inside its own timing (round-5:
     // text_winnow_fingerprint 31 s vs 0.19 s).
     val bySet = SparkEntry.sets.zipWithIndex.map { case ((setName, defs), i) =>
-      val rs = defs.filter(q => only.forall(_.contains(q.name))).map { q =>
+      val rs = defs
+        .filter(_ => setsOnly.forall(_.contains(setName)))
+        .filter(q => only.forall(_.contains(q.name))).map { q =>
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).foreach(_ => ()); true }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scaler for the measured-scaling harness
+  * (builder-side tooling, like Bench/Verify — not a pipeline operator).
+  *
+  * Produces an M× copy of a fixture directory by replicating every fact
+  * row M times under a seeded, structure-preserving perturbation, so the
+  * heavy query families can be timed at 1×/10×/30× of the same corpus
+  * and super-linear growth exposed empirically:
+  *
+  *  - documents: replica r offsets doc_id and rewrites EVERY word with a
+  *    replica tag. Within a replica the duplicate/near-dup structure is
+  *    exactly the original (dedup work per replica constant); across
+  *    replicas no n-gram survives, so duplicate groups grow LINEARLY in
+  *    M — naive row copies would grow every group M× and every
+  *    candidate-pair family M²×, polluting the scaling measurement with
+  *    data-driven (not plan-driven) blowup. n_chars is recomputed from
+  *    the rewritten text.
+  *  - embeddings: replica r offsets vec_id and cyclically rotates the
+  *    vector by r dimensions — norm- and within-replica-geometry-
+  *    preserving, so cluster structure (and therefore IVF/PQ/graph index
+  *    behavior) replicates instead of collapsing onto M-fold duplicate
+  *    points.
+  *  - events: replica r offsets event_id and user_id; timestamps, types
+  *    and values keep their distributions, so per-window row counts grow
+  *    M× while the user-key cardinality also grows M× (per-group state
+  *    constant — the scale-out assumption a 1000-executor plan relies
+  *    on).
+  *  - every other table (TPC-H dims and facts the heavy families only
+  *    join against) is copied 1:1.
+  *
+  * M = 1 reproduces the source fixture content exactly (replica 0 is the
+  * identity), so the 1× sweep point is the standard fixture.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <multiplier>
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcDir> <destDir> <multiplier>")
+    val (src, dest, m) = (args(0), args(1), args(2).toInt)
+    require(m >= 1, s"multiplier must be >= 1, got $m")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dest, m)
+    spark.stop()
+  }
+
+  /** Replicate `df` M times with a replica index column `r` (0 = the
+    * identity copy). The M-row side is broadcast — never a shuffle. */
+  private def replicate(df: DataFrame, m: Int): DataFrame =
+    df.crossJoin(broadcast(
+      df.sparkSession.range(m).toDF("r").select(col("r").cast("long"))))
+
+  /** next power of ten above the max id — offsets stay human-readable
+    * and replica blocks never collide */
+  private def offsetFor(df: DataFrame, idCol: String): Long = {
+    val mx = df.agg(max(col(idCol))).first().getLong(0)
+    var off = 1L
+    while (off <= mx) off *= 10
+    off
+  }
+
+  def generate(spark: SparkSession, src: String, dest: String, m: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dOff = offsetFor(docs, "doc_id")
+    replicate(docs, m)
+      .select(
+        (col("doc_id") + col("r") * dOff).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          // rewrite every word: within-replica duplicate structure is
+          // preserved exactly, cross-replica n-gram overlap is zero
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("~"), col("r"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vOff = offsetFor(emb, "vec_id")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    replicate(emb, m)
+      .select(
+        (col("vec_id") + col("r") * vOff).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          // cyclic rotation by r mod dims: norms and within-replica
+          // pairwise angles are exactly preserved
+          concat(
+            slice(col("embedding"),
+              (col("r") % dims + 1).cast("int"),
+              lit(dims) - (col("r") % dims).cast("int")),
+            slice(col("embedding"), lit(1), (col("r") % dims).cast("int"))))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val eOff = offsetFor(ev, "event_id")
+    val uOff = offsetFor(ev, "user_id")
+    replicate(ev, m)
+      .select(
+        (col("event_id") + col("r") * eOff).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * uOff).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    // 1:1 copies of the remaining tables (dims and TPC-H facts)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
+  }
+}

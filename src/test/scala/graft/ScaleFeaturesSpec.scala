@@ -74,6 +74,81 @@ class ScaleFeaturesSpec extends SparkSpec {
       s"expected a skew-split join in:\n${finalPlan.take(1500)}")
   }
 
+  test("plain, salted, and AQE-skew-split joins agree row-for-row on a planted hot key") {
+    // The three defenses against join skew must be RESULT-IDENTICAL:
+    // 1. the plain equi-join (ground truth; AQE off, one reducer eats
+    //    the hot key),
+    // 2. AQE's runtime skew split (the first line of defense at 100 TB —
+    //    no plan change, the hot partition splits at runtime),
+    // 3. SkewTools.saltedJoin's plan-time salting (for when the skew is
+    //    known ahead of time or AQE is unavailable, e.g. streaming
+    //    micro-batches).
+    // Salting is still REQUIRED for aggregation skew: AQE re-plans only
+    // joins, a hot groupBy key still lands on one reducer — asserted
+    // below by running saltedSumCount under full AQE and checking it
+    // agrees with the direct aggregate.
+    import org.apache.spark.sql.DataFrame
+    def fixture(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      // key 7 owns ~95% of the fact rows; the dim side is uniform
+      val fact = ((1 to 200000).map(i => (7L, i.toLong)) ++
+        (1 to 10000).map(i => (i.toLong % 100, i.toLong)))
+        .toDF("k", "v").repartition(8)
+      val dim = (0L to 99L).map(k => (k, s"attr-$k")).toDF("k2", "attr")
+      (fact, dim)
+    }
+    def summarize(df: DataFrame): Seq[(String, Long, Long)] =
+      df.groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .orderBy("attr").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val sPlain = spark.newSession()
+    sPlain.conf.set("spark.sql.adaptive.enabled", "false")
+    sPlain.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (f1, d1) = fixture(sPlain)
+    val plain = summarize(f1.join(d1, col("k") === col("k2")))
+    assert(plain.map(_._2).sum == 210000L)
+
+    val sAqe = spark.newSession()
+    sAqe.conf.set("spark.sql.adaptive.enabled", "true")
+    sAqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sAqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sAqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    sAqe.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    sAqe.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sAqe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (f2, d2) = fixture(sAqe)
+    val joinedAqe = f2.join(d2, col("k") === col("k2"))
+      .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    // collect THIS frame (not an orderBy derivative) so its adaptive
+    // plan finalizes and the skew assertion reads the executed plan
+    val aqe = joinedAqe.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the identity claim must be about a join that GENUINELY split
+    assert(joinedAqe.queryExecution.executedPlan.toString.contains("skew=true"),
+      "the AQE leg must actually take the skew-split path")
+    assert(aqe == plain, "AQE skew split changed the result")
+
+    val (f3, d3) = fixture(sPlain)
+    val salted = summarize(
+      graft.operators.SkewTools.saltedJoin(f3, d3, "k", "k2", salts = 16)
+        .select("attr", "v"))
+    assert(salted == plain, "plan-time salting changed the result")
+
+    // aggregation skew: AQE does NOT re-plan it, salting must
+    val (f4, _) = fixture(sAqe)
+    val direct = f4.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val saltedAgg = graft.operators.SkewTools
+      .saltedSumCount(f4, Seq("k"), "v", salts = 16)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(saltedAgg == direct, "salted aggregation changed the result")
+  }
+
   test("dynamic partition pruning skips partitions via the dim filter") {
     // the fourth runtime scale lever: a fact table partitioned by day,
     // joined to a dimension whose FILTER (not the fact's) decides which
