@@ -213,6 +213,84 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: quality classifier separates randomized planted clusters") {
+    // the single-case separation test generalized: random cluster sizes,
+    // disjoint random vocabularies, random doc lengths — the trained
+    // 4-round model must separate ANY corpus whose planted label
+    // structure (long stopword-bearing vs short) is learnable from the
+    // hashed word-bucket features
+    val caseGen = for {
+      nGood <- Gen.chooseNum(20, 40)
+      nBad <- Gen.chooseNum(20, 40)
+      gw <- Gen.chooseNum(0, 1000)       // good-vocab offset
+      bw <- Gen.chooseNum(2000, 3000)    // bad-vocab offset (disjoint)
+      rep <- Gen.chooseNum(11, 16)       // good length: >= 30 words
+      badLen <- Gen.chooseNum(3, 8)
+    } yield (nGood, nBad, gw, bw, rep, badLen)
+    def bucket(word: String): Int = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8"))
+      (dg(0) >> 4) & 0xf
+    }
+    samples(caseGen, 4).zipWithIndex.foreach {
+      case ((ng, nb, gw, bw, rep, badLen), ci) =>
+        val good = (0 until ng).map(i => (i.toLong,
+          (s"g${gw + i} the apple ") * rep + "end"))
+        val bad = (0 until nb).map(i => ((1000 + i).toLong,
+          (0 until badLen).map(k => s"b${bw + i}x$k").mkString(" ")))
+        val dir = tmpDir(s"prop-clf-$ci")
+        (good ++ bad).toDF("doc_id", "text")
+          .write.parquet(s"$dir/documents.parquet")
+        val w = SparkEntry.queries("corpus_quality_classifier")(spark, dir)
+          .as[(Long, Long)].collect().toMap
+        assert(w.size == 17 && w.values.exists(_ != 0L),
+          s"case $ci: training must move the weights")
+        def p(text: String): Double = {
+          val z = text.split(" ", -1).map(t => w(bucket(t).toLong)).sum +
+            w(16L)
+          math.min(math.max(z / 4000000.0 + 0.5, 0.0), 1.0)
+        }
+        val pGood = good.map(g => p(g._2)).sum / ng
+        val pBad = bad.map(b => p(b._2)).sum / nb
+        assert(pGood > pBad + 0.15,
+          s"case $ci ($ng/$nb docs): pGood=$pGood pBad=$pBad")
+        graft.queries.Q.release(spark, dir)
+    }
+  }
+
+  test("property: pca power iteration recovers randomized planted directions") {
+    // the single planted-direction case generalized: random direction,
+    // random corpus size, random noise amplitude (kept below the
+    // eigengap) — 8 quantized rounds must align with the planted axis
+    val caseGen = for {
+      seedI <- Gen.chooseNum(1, 10000)
+      amp <- Gen.chooseNum(1, 3)      // noise = amp * +-0.01
+      n <- Gen.chooseNum(150, 300)
+    } yield (seedI, amp, n)
+    samples(caseGen, 4).zipWithIndex.foreach { case ((seedI, amp, n), ci) =>
+      val u0 = (0 until 64).map(j =>
+        math.sin(seedI * 0.7 + j * 1.3) + 0.3 * math.cos(seedI + j * 0.41))
+        .toArray
+      val un = math.sqrt(u0.map(t => t * t).sum)
+      val u = u0.map(_ / un)
+      def noise(i: Int, j: Int): Double =
+        amp * ((((i * 31 + j * 17 + seedI) % 97) - 48) / 4800.0)
+      val planted = (0 until n).map { i =>
+        val scale = 1.0 + (i % 5) * 0.1
+        (i.toLong, (0 until 64).map(j => (scale * u(j) + noise(i, j)).toFloat), 0)
+      }
+      val dir = tmpDir(s"prop-pca-$ci")
+      planted.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val v = SparkEntry.queries("embedding_pca_power")(spark, dir)
+        .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+      val cos = math.abs(v.zip(u).map { case (x, y) => x * y }.sum)
+      assert(cos > 0.95,
+        s"case $ci (seed=$seedI amp=$amp n=$n): cos(v, planted)=$cos")
+      graft.queries.Q.release(spark, dir)
+    }
+  }
+
   /** Sequential reference BPE: word counts → per-round pair argmax
     * (support desc, l asc, r asc) → `String.replace` merge — the exact
     * semantics the distributed rounds and the unrolled oracle share,

@@ -152,6 +152,68 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == Set(1L, 3L, 10L))
   }
 
+  test("24 batches with interleaved redeliveries: fixed point holds, latency stays flat") {
+    // The LedgerCompactionScaleSpec question asked of the SIGNATURE
+    // index: as admitted batches accumulate (one evidence partition per
+    // batch), does per-batch admission stay flat, and does the
+    // admitted/index state reach a redelivery-stable fixed point?
+    val idx = tmpDir("sddsc-idx") + "/index"
+    val out = tmpDir("sddsc-out") + "/out"
+    val nBatches = 24
+    // batch i: 12 novel contents (×2 doc copies each — within-batch
+    // dups), plus 4 repeats of earlier batches' contents (cross-batch
+    // dups). Deterministic by construction.
+    def content(j: Int) = s"document body $j lorem ipsum " * 3
+    def batchDf(i: Int) = {
+      val novel = (0 until 12).flatMap { t =>
+        val j = i * 12 + t
+        Seq((i * 1000L + t * 2L, content(j)), (i * 1000L + t * 2L + 1L, content(j)))
+      }
+      val repeats = if (i == 0) Nil else (0 until 4).map { t =>
+        (i * 1000L + 100L + t, content((i * 7 + t * 3) % (i * 12)))
+      }
+      (novel ++ repeats).toDF("doc_id", "text")
+    }
+    // first deliveries, a redelivery of batch i-3 after every 5th batch
+    val times = (0 until nBatches).map { i =>
+      val t0 = System.nanoTime()
+      StreamingDedup.processBatch(spark, batchDf(i), i.toLong, idx, out)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (i % 5 == 4)
+        StreamingDedup.processBatch(spark, batchDf(i - 3), (i - 3).toLong, idx, out)
+      dt
+    }
+    def state(): Set[(Long, Long)] =
+      spark.read.parquet(out).select("doc_id", "ingest_batch")
+        .as[(Long, Long)].collect().toSet
+    val afterFirst = state()
+    // model: every content admitted exactly once, in its first batch,
+    // represented by the min doc_id of that batch's copies
+    val expected = (0 until nBatches).flatMap { i =>
+      (0 until 12).map(t => (i * 1000L + t * 2L, i.toLong))
+    }.toSet
+    assert(afterFirst == expected,
+      s"admitted set diverges from the first-occurrence model " +
+        s"(${afterFirst.size} vs ${expected.size} rows)")
+    // fixed point: redeliver EVERY batch once more — nothing may change
+    (0 until nBatches).foreach { i =>
+      StreamingDedup.processBatch(spark, batchDf(i), i.toLong, idx, out)
+    }
+    assert(state() == expected, "redelivery sweep moved the fixed point")
+    assert(spark.read.parquet(idx).count() == expected.size.toLong,
+      "signature index must hold exactly one row per admitted doc")
+    // latency flatness: evidence grows one partition per batch; admission
+    // must not grow super-linearly with batch count. Medians are robust
+    // to one-off GC/IO stalls; the 3x band is generous for local noise
+    // while still catching an O(batches) blowup (24 batches would be ~8x).
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val early = median(times.slice(2, 10))
+    val late = median(times.takeRight(8))
+    assert(late <= math.max(3.0 * early, 1.0),
+      s"per-batch admission latency grew: early median $early s, " +
+        s"late median $late s (full: ${times.map(t => f"$t%.2f").mkString(", ")})")
+  }
+
   test("re-running a micro-batch converges (retry idempotence)") {
     val idx = tmpDir("sdd-idx2") + "/index"
     val out = tmpDir("sdd-out2") + "/out"
