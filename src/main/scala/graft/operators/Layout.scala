@@ -138,6 +138,47 @@ object Layout {
       .write.mode("overwrite").parquet(out)
   }
 
+  private def statsPath(path: String): String =
+    path.stripSuffix("/") + "__stats"
+
+  /** Per-file min/max skipping index over `keyCol` — the lightweight
+    * manifest a lakehouse keeps per data file (Delta/Iceberg-style file
+    * stats), materialized as a sibling `<path>__stats` parquet by one
+    * `input_file_name()` groupBy pass. Combined with a key-sorted layout
+    * (`repartitionByRange` + `sortWithinPartitions`, or
+    * [[writeZOrdered]] for two keys) this turns a point/range predicate
+    * into FILE-level pruning — one step above the row-group min/max
+    * pruning parquet already does inside a file, and the piece Spark's
+    * own planner lacks (its `numFiles` is the post-partition-pruning
+    * listing; data-file stats never shrink it).
+    */
+  def writeKeyStats(spark: SparkSession, path: String, keyCol: String): Unit =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+      .coalesce(1) // one row per data file — always tiny
+      .write.mode("overwrite").parquet(statsPath(path))
+
+  /** Point lookup through the stats manifest: plan the scan over ONLY
+    * the files whose [kmin, kmax] covers `value`. The matching-file list
+    * is driver-side but bounded by construction: on a key-sorted layout
+    * a point key matches 1 file (2 at a file boundary); an unsorted
+    * layout degrades gracefully toward the full listing a plain scan
+    * starts from anyway — never beyond it.
+    */
+  def statPrunedLookup(spark: SparkSession, path: String, keyCol: String,
+      value: Long): DataFrame = {
+    val files = spark.read.parquet(statsPath(path))
+      .filter(lit(value) >= col("kmin") && lit(value) <= col("kmax"))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(keyCol) === value)
+  }
+
   /** Compact a parquet directory's small files into ~`targetBytes` files.
     *
     * Streaming ingest and delta-style sinks (the ledger's base+delta

@@ -264,6 +264,38 @@ object IngestOpQueries {
         |CAST(round(value*100) AS BIGINT) AS value_c
         |FROM events WHERE event_id = 4242""".stripMargin)),
 
+    // D2 through the DATA-LAYOUT tier: the same point lookup served from
+    // a key-sorted multi-file ledger plus the per-file min/max stats
+    // manifest (graft.operators.Layout.writeKeyStats) — the lookup plans
+    // over EXACTLY the files whose [kmin, kmax] covers the key, so at a
+    // million-file ledger it reads one file, not one listing. The
+    // timed body includes the one-time layout+manifest build (the index
+    // build a production ledger pays at write time); LayoutSpec asserts
+    // the 1-of-N numFiles metric, this query proves result identity with
+    // the plain D2 oracle on the verified surface.
+    QueryDef("d2_point_lookup_pruned",
+      (s, d) => {
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-zledger-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+            "-" + s.sparkContext.applicationId).toString
+        val dir = base + "/events"
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(dir)
+        graft.operators.Layout.writeKeyStats(s, dir, "event_id")
+        graft.operators.Layout.statPrunedLookup(s, dir, "event_id", 4242L)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_c"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+        |CAST(round(value*100) AS BIGINT) AS value_c
+        |FROM events WHERE event_id = 4242""".stripMargin)),
+
     // ST1 — event-time tumbling-window aggregation (the batch shape of the
     // streaming query; the streaming run itself is ScalaTest-verified).
     QueryDef("st1_windowed_counts",

@@ -164,4 +164,36 @@ class LayoutSpec extends SparkSpec {
     assert(r < m, s"rank z-order should touch fewer files in the dense " +
       s"region: rank=$r minmax=$m")
   }
+
+  test("stats manifest prunes a point lookup to one file of a key-sorted ledger") {
+    val dir = tmpDir("zstat") + "/events"
+    val rows = (0 until 20000).map(i =>
+      (i.toLong, (i % 100).toLong, s"t${i % 5}"))
+    rows.toDF("event_id", "user_id", "event_type")
+      .repartitionByRange(10, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.parquet(dir)
+    Layout.writeKeyStats(spark, dir, "event_id")
+
+    // scanMetric must be the FIRST execution of each frame it inspects:
+    // re-executing a DataFrame resets its SQL metrics, and numFiles is a
+    // planning-time driver metric behind a lazy val — a second run reads 0
+    def lookupPlain() = spark.read.parquet(dir)
+      .filter(col("event_id") === 4242L)
+    val fullFiles = scanMetric(lookupPlain(), "numFiles")
+    assert(fullFiles >= 8, s"ledger must be multi-file for the test to " +
+      s"bite (got $fullFiles)")
+    val fullRows = lookupPlain().collect().toSeq
+    assert(fullRows.size == 1)
+
+    def lookupPruned() =
+      Layout.statPrunedLookup(spark, dir, "event_id", 4242L)
+    assert(scanMetric(lookupPruned(), "numFiles") == 1L,
+      s"point lookup must read 1 file of the $fullFiles-file ledger")
+    assert(lookupPruned().collect().toSeq == fullRows,
+      "pruned lookup must return exactly the full scan's rows")
+
+    // a key outside every file's range returns empty without a data scan
+    assert(Layout.statPrunedLookup(spark, dir, "event_id", -7L).count() == 0L)
+  }
 }
