@@ -52,7 +52,11 @@ case class LshBits(child: Expression, nPlanes: Int) extends UnaryExpression {
 }
 
 object LshBits {
-  val MaxPlanes = 16
+  // 64 planes lets 4-table banding scale its bits-per-table with
+  // log2(corpus) (the LSH cost dial) up to 15-bit tables; the static
+  // table is 64x64 longs — negligible. Planes 0..15 are unchanged, so
+  // every existing signature and oracle is bit-identical.
+  val MaxPlanes = 64
   private val CachedDims = 64
 
   /** weights(p)(d) = ±1 for plane p, 0-based dim d (sha input is 1-based).

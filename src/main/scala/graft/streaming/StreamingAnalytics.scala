@@ -109,26 +109,26 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (et: String, rows: Iterator[(String, Long)],
          state: GroupState[HHState]) => {
-          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          // SpaceSavingCore finds the eviction victim (min count, min
+          // user — the deterministic tiebreak) in O(log capacity); the
+          // per-insert minBy scan this replaces was the measured
+          // scale-killer once the user universe outgrew capacity. State
+          // carries no floor (per existing semantics, evidence resets
+          // at batch boundaries when the table was never full) — the
+          // min count is non-decreasing, so the core's floor matches
+          // the old inline arithmetic exactly.
+          val core = new graft.operators.SpaceSavingCore[Long](capacity)
           var seen = 0L
           state.getOption.foreach { st =>
             seen = st.n_seen
-            st.entries.foreach(e => m(e.user_id) = (e.cnt, e.err))
+            st.entries.foreach(e => core.counters(e.user_id) = (e.cnt, e.err))
           }
+          core.seed(0L)
           rows.foreach { case (_, u) =>
             seen += 1
-            m.get(u) match {
-              case Some((c, e)) => m(u) = (c + 1, e)
-              case None if m.size < capacity => m(u) = (1L, 0L)
-              case None =>
-                // evict the min-count entry (deterministic user_id
-                // tiebreak); the newcomer inherits its count as error
-                val (vu, (vc, _)) =
-                  m.minBy { case (uu, (cc, _)) => (cc, uu) }
-                m.remove(vu)
-                m(u) = (vc + 1, vc)
-            }
+            core.insert(u, 1L, 0L)
           }
+          val m = core.counters
           state.update(HHState(
             m.iterator.map { case (u, (c, e)) => HHEntry(u, c, e) }.toSeq,
             seen))

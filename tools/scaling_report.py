@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Builder-side analysis for the measured-scaling harness: read the
+per-scale Bench sweeps (target/scaling/logs/<label>.json, one JSON line
+each, labels like x1-cold/x10-warm), emit a Markdown table of per-query
+seconds with growth factors, and flag super-linear queries.
+
+Flagging rule: a query is super-linear at step (a -> b) when its time
+grows by more than slack x the data multiplier ratio AND the larger-scale
+time is big enough that fixed per-query overhead (session/plan/codegen,
+~0.1-0.3 s at local[32]) is not the explanation.
+"""
+import json, sys, os
+
+LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "target/scaling/logs"
+MODE = sys.argv[2] if len(sys.argv) > 2 else "cold"
+SLACK = 1.6          # allowed factor above proportional growth
+MIN_BIG_SEC = 1.5    # ignore flags when the larger-scale time is tiny
+
+scales = []
+for label, mult in [("x1", 1), ("x10", 10), ("x30", 30)]:
+    path = os.path.join(LOGDIR, f"{label}-{MODE}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            line = f.read().strip()
+            if line.startswith("[info]"):  # sbt log prefix
+                line = line[len("[info]"):].strip()
+            scales.append((label, mult, json.loads(line)))
+
+if len(scales) < 2:
+    sys.exit(f"need at least two sweeps in {LOGDIR} for mode {MODE}")
+
+names = [n for n in scales[0][2]["queries"]]
+rows = []
+flags = []
+for q in names:
+    ts = [s[2]["queries"].get(q) for s in scales]
+    row = {"q": q, "ts": ts, "flag": ""}
+    for i in range(1, len(scales)):
+        a, b = ts[i - 1], ts[i]
+        if a is None or b is None or a < 0 or b < 0:
+            continue
+        ratio = scales[i][1] / scales[i - 1][1]
+        grow = b / max(a, 1e-9)
+        if grow > SLACK * ratio and b >= MIN_BIG_SEC:
+            row["flag"] = f"SUPER-LINEAR {scales[i-1][0]}->{scales[i][0]} ({grow:.1f}x vs {ratio:.0f}x data)"
+            flags.append((q, row["flag"], ts))
+    rows.append(row)
+
+hdr = " | ".join(s[0] for s in scales)
+print(f"| query | {hdr} | growth | note |")
+print("|---|" + "---|" * (len(scales) + 2))
+for r in rows:
+    ts = r["ts"]
+    tstr = " | ".join("-" if t is None else f"{t:.2f}" for t in ts)
+    growth = ""
+    if ts[0] and ts[-1] and ts[0] > 0:
+        growth = f"{ts[-1]/ts[0]:.1f}x/{scales[-1][1]//scales[0][1]}x"
+    print(f"| {r['q']} | {tstr} | {growth} | {r['flag']} |")
+
+print()
+for s in scales:
+    sets = s[2].get("sets", {})
+    print(f"{s[0]} ({MODE}): total {s[2]['value']:.1f} s, sets " +
+          ", ".join(f"{k}={v}" for k, v in sets.items()) +
+          (f", failed {s[2]['failed']}" if s[2].get("failed") not in ("[]", None) else ""))
+print()
+if flags:
+    print(f"FLAGGED {len(flags)} super-linear queries:")
+    for q, f_, ts in flags:
+        print(f"  {q}: {ts} -- {f_}")
+else:
+    print("No super-linear queries flagged.")
