@@ -31,6 +31,40 @@ object DedupQueries {
   // set and simhash signatures, instead of rebuilding the most expensive
   // stage once per registered query.
 
+  /** Corpus row count, memoized per (session, dataset) — one metadata-only
+    * parquet count ever per sweep. Drives the scale-adaptive signature
+    * sizing below, the same "cost dial derives from corpus size" pattern
+    * as SimilarityQueries.lshTableBits.
+    */
+  private val docCounts = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Long]
+  private def docCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    docCounts.getOrElseUpdate((s, d), table(s, d, "documents").count())
+
+  /** SimHash signature bits PER BAND for the banded pair search, derived
+    * from the corpus row count. The 4-band pigeonhole (hamming ≤ 3 ⇒ one
+    * band equal) needs exactly 4 bands, so the only way to keep the
+    * band-key equi-join linear is to widen the bands: expected bucket
+    * population is n / 2^bits and per-bucket pair work is QUADRATIC, so
+    * bits grows with log2(n) (~20 docs/bucket target). The 10x scaling
+    * sweep measured the fixed-8-bit version at 39x growth against 10x
+    * data — the same disease (and the same dial) as the embedding-LSH
+    * fix. At the standard fixtures (500–5000 docs) this resolves to
+    * 8 bits = the 32-bit signature the static DuckDB oracle renders,
+    * bit-identical to the pre-dial behavior; a 10x corpus gets 12-bit
+    * bands on a 48-bit signature (Manku et al.'s web-scale simhash is
+    * exactly this: 64-bit signatures, small hamming radius). Capped at
+    * 16 bits/band = the 64-bit signature a BIGINT holds; past that the
+    * next dial is more tables over permuted blocks, not wider bands.
+    */
+  private def simhashBandBits(s: org.apache.spark.sql.SparkSession,
+      d: String): Int = {
+    val n = math.max(docCount(s, d), 1L)
+    val target = math.max(256L, n / 20)
+    math.min(16, 64 - java.lang.Long.numberOfLeadingZeros(target - 1))
+  }
+
   /** Max document frequency a gram may have and still enter the Jaccard
     * self-join (see dedup_ngram_jaccard). 100 bounds any single join key
     * to ≤ 100²/2 pairs while keeping every discriminative gram.
@@ -563,20 +597,27 @@ object DedupQueries {
         |JOIN documents da ON doc_a = da.doc_id
         |JOIN documents db ON doc_b = db.doc_id""".stripMargin)),
 
-    // SimHash near-dup PAIRS at scale: 32-bit signatures, banded into
-    // 4 × 8-bit keys — by pigeonhole any pair within hamming distance 3
+    // SimHash near-dup PAIRS at scale: 4·B-bit signatures, banded into
+    // 4 × B-bit keys — by pigeonhole any pair within hamming distance 3
     // shares at least one band, so candidate generation is a band-key
     // equi-join (never all-pairs), then the exact hamming verify
-    // (bit_count(xor)) runs on candidates only. This completes the simhash
+    // (bit_count(xor)) runs on candidates only. B derives from the corpus
+    // size (simhashBandBits): 8 at the standard fixtures (= the 32-bit
+    // signature the static oracle renders), wider as the corpus grows so
+    // per-bucket pair work stays bounded. This completes the simhash
     // story: dedup_simhash is the signature operator, this is the
     // candidates+verify dedup built on it.
     QueryDef("dedup_simhash_pairs",
       (s, d) => {
-        // one 8-row-per-doc pipeline feeds both join sides — persist once
-        val sh = cached(s, d, "simhash32")(simhashBits(s, d, hexDigits = 8))
+        val w = simhashBandBits(s, d)
+        // one 4-band-row-per-doc pipeline feeds both join sides — persist
+        // once (the tag names the width: same dataset ⇒ same width, but
+        // the name should say what the cache holds)
+        val sh = cached(s, d, s"simhash_4x$w")(
+          simhashBits(s, d, hexDigits = w))
         val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("b"))
-          .withColumn("bv", expr("(simhash >> (b * 8)) & 255"))
+          .withColumn("bv", expr(s"(simhash >> (b * $w)) & ${(1 << w) - 1}"))
         val a = bands.select(col("doc_id").as("doc_a"),
           col("simhash").as("sim_a"), col("b"), col("bv"))
         val bb = bands.select(col("doc_id").as("doc_b"),

@@ -62,8 +62,27 @@ object SimilarityQueries {
       graft.operators.IndexStore.cached(s, tag, embKey(s, d))(build)
     }
 
-  /** Trained IVF codebook (16 lists, 2 Lloyd iterations on a 1-in-4
-    * sample), persisted once per (session, dataset) and SHARED by
+  /** IVF list count, derived from the corpus row count (same ~125
+    * vectors/list target as lshTableBits' bucket dial). The list count is
+    * the dial that keeps dedup_semantic's within-list pair join linear:
+    * per-list population is n/k and pair work k·(n/k)², so k must grow
+    * with n — the 10x scaling sweep measured the fixed-16-list version at
+    * 25x growth against 10x data. At the standard fixtures (500–2000
+    * vectors) this resolves to exactly 16 lists, so the static
+    * lloydCtes(16, …) DuckDB oracles are bit-identical to the pre-dial
+    * behavior. The OTHER cost this dial raises is training itself
+    * (O(sample·k·d) per Lloyd iteration = O(n²) once k ∝ n) — acceptable
+    * through ~10⁶ vectors on a sampled train; past that the production
+    * construction is hierarchical (two-level IMI-style) coarse
+    * quantization, which SCALING.md records as the documented next dial.
+    */
+  private def ivfLists(s: SparkSession, d: String): Int = {
+    val n = java.lang.Long.parseLong(embKey(s, d).split("-")(0), 16)
+    math.max(16L, n / 125).toInt
+  }
+
+  /** Trained IVF codebook (ivfLists(n) lists, 2 Lloyd iterations on a
+    * 1-in-4 sample), persisted once per (session, dataset) and SHARED by
     * `ann_ivf_topk` and `corpus_embedding_clusters` — training is the
     * expensive iterative part, and both consumers broadcast the same
     * k·dims-row result.
@@ -72,7 +91,7 @@ object SimilarityQueries {
     trainedArtifact(s, d, "ivf_codebook") {
       graft.operators.IvfCodebook.train(s,
         table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        k = 16, iters = 2, sampleEvery = 4)
+        k = ivfLists(s, d), iters = 2, sampleEvery = 4)
     }
 
   /** Full-corpus nearest-centroid assignment over the shared trained

@@ -272,17 +272,21 @@ class IngestPipelineSpec extends SparkSpec {
 
   test("jsonl roundtrip: corrupt lines are counted, valid rows reconcile") {
     val dir = "/root/testdata/sf0.001"
+    // columns: (source, is_corrupt, n_rows, sum_chars) — corrupt lines
+    // bucket on the is_corrupt marker, not on a NULL source
     val out = SparkEntry.queries("wh_jsonl_roundtrip")(spark, dir)
-      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
     val docs = graft.queries.Q.table(spark, dir, "documents")
     val nCorrupt = docs.filter($"doc_id" % 97 === 0).count()
     val nTotal = docs.count()
-    assert(out.map(_._2).sum == nTotal, "every line must land somewhere")
-    val corrupt = out.filter(_._1.isEmpty)
-    assert(corrupt.map(_._2).sum == nCorrupt && corrupt.forall(_._3 == 0L),
+    assert(out.map(_._3).sum == nTotal, "every line must land somewhere")
+    val corrupt = out.filter(_._2 == 1L)
+    assert(corrupt.map(_._3).sum == nCorrupt && corrupt.forall(_._4 == 0L),
       s"corrupt ledger wrong: ${corrupt.toList}")
     val wantChars = docs.filter($"doc_id" % 97 =!= 0)
       .agg(sum($"n_chars")).collect().head.getLong(0)
-    assert(out.filter(_._1.nonEmpty).map(_._3).sum == wantChars)
+    assert(out.filter(_._2 == 0L).map(_._4).sum == wantChars)
   }
 }
