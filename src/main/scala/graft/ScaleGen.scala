@@ -115,9 +115,55 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
-    // 1:1 copies of the remaining tables (dims and TPC-H facts)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    // TPC-H side: scale exactly the way the official generator does —
+    // customer/supplier/part/orders/lineitem grow M×, region/nation stay
+    // fixed. Every key column gets the SAME per-table replica offset on
+    // both its owning table and every fact referencing it, so referential
+    // integrity and per-key group sizes are preserved while key
+    // cardinality grows M× (the scale-out assumption). Non-key attributes
+    // copy unchanged, so literal-predicate selectivity (Brand#12, segment
+    // filters, date windows) stays a constant fraction of the data.
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val prt = spark.read.parquet(s"$src/part.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val cOff = offsetFor(cust, "c_custkey")
+    val sOff = offsetFor(supp, "s_suppkey")
+    val pOff = offsetFor(prt, "p_partkey")
+    val oOff = offsetFor(ord, "o_orderkey")
+
+    def offset(keyCol: String, off: Long) =
+      (col(keyCol) + col("r") * off).as(keyCol)
+
+    replicate(cust, m)
+      .select(offset("c_custkey", cOff) +: cust.columns.toSeq
+        .filter(_ != "c_custkey").map(col): _*)
+      .write.mode("overwrite").parquet(s"$dest/customer.parquet")
+    replicate(supp, m)
+      .select(offset("s_suppkey", sOff) +: supp.columns.toSeq
+        .filter(_ != "s_suppkey").map(col): _*)
+      .write.mode("overwrite").parquet(s"$dest/supplier.parquet")
+    replicate(prt, m)
+      .select(offset("p_partkey", pOff) +: prt.columns.toSeq
+        .filter(_ != "p_partkey").map(col): _*)
+      .write.mode("overwrite").parquet(s"$dest/part.parquet")
+    replicate(ord, m)
+      .select(
+        offset("o_orderkey", oOff), offset("o_custkey", cOff),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+    replicate(li, m)
+      .select(
+        offset("l_orderkey", oOff), offset("l_partkey", pOff),
+        offset("l_suppkey", sOff), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+
+    // fixed-size dims, 1:1 (the TPC-H spec keeps these constant across SF)
+    for (t <- Seq("region", "nation")) {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
     }

@@ -151,7 +151,8 @@ object IvfCodebook {
     * a per-subspace oracle replay keeps matching.
     */
   def trainGrouped(spark: SparkSession, gcomps: DataFrame, k: Int,
-      iters: Int, sampleEvery: Int = 1): DataFrame = {
+      iters: Int, sampleEvery: Int = 1,
+      seed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val c = (if (sampleEvery <= 1) gcomps
       else gcomps.filter(col("vec_id") % sampleEvery === 0))
@@ -160,14 +161,95 @@ object IvfCodebook {
       .agg(sum(col("qx") * col("qx")).as("n2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents = localizeGrouped(spark,
+      // default seed (PQ's shape, every group holds every vec_id): the k
+      // lowest GLOBAL vec_ids per group. Callers whose groups PARTITION
+      // the vectors (the two-level coarse tree) pass an explicit
+      // per-group seed instead — the global filter would leave most
+      // groups seedless there.
+      var cents = localizeGrouped(spark, seed.getOrElse(
         gcomps.filter(col("vec_id") < k)
           .select(col("grp"), col("vec_id").as("cent_id"), col("dim"),
-            col("qx").as("cs")))
+            col("qx").as("cs"))))
       for (_ <- 1 to iters)
         cents = localizeGrouped(spark, stepGrouped(c, n, cents))
       cents
     } finally { c.unpersist(); n.unpersist() }
+  }
+
+  /** Children of a two-level (IMI-style) coarse quantizer: per super-list
+    * sub-codebooks of ~`k2` centroids each, trained by the same
+    * deterministic grouped Lloyd.
+    *
+    * This is the construction that breaks the O(n·k) wall measured by the
+    * x30 scaling sweep (ann_ivf_topk 11.4x on 3x data once k ∝ n): with
+    * k1 ≈ √k super lists and k2 ≈ k/k1 children per super, training
+    * touches sample·(k1 + k2) ≈ sample·2√k centroid pairs per iteration
+    * and full-corpus assignment costs n·(k1 + k2) — both O(√k) per row
+    * where the flat form pays O(k). The price is the standard IMI
+    * approximation: a vector is assigned to the best child OF ITS BEST
+    * SUPER, which top-level Lloyd makes near-optimal but not provably
+    * optimal.
+    *
+    * Returns (grp, cent_id, dim, cs): `grp` is the parent super list,
+    * `cent_id` is globally unique (child seeds are member vec_ids, and
+    * the super assignment partitions vectors). Supers with no sample
+    * members produce no children — [[assignTwoLevel]] restricts the
+    * level-1 argmax to supers that HAVE children, so every vector always
+    * lands in a real list.
+    */
+  def trainChildren(spark: SparkSession, embeddings: DataFrame,
+      superCents: DataFrame, k2: Int, iters: Int,
+      sampleEvery: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = comps(embeddings)
+    val c = if (sampleEvery <= 1) all
+      else all.filter(col("vec_id") % sampleEvery === 0)
+    val sa = assign(c, norms(c), broadcast(superCents))
+    val gc = c.join(sa, "vec_id")
+      .select(col("list_id").as("grp"), col("vec_id"), col("dim"),
+        col("qx"))
+    // per-group seed: the k2 lowest vec_ids WITHIN each super list
+    val ranked = sa
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("list_id").orderBy("vec_id")))
+      .filter(col("rk") <= k2)
+      .select(col("list_id").as("grp"), col("vec_id"))
+    val seed = gc.join(ranked, Seq("grp", "vec_id"))
+      .select(col("grp"), col("vec_id").as("cent_id"), col("dim"),
+        col("qx").as("cs"))
+    trainGrouped(spark, gc, k2, iters, sampleEvery = 1, seed = Some(seed))
+  }
+
+  /** Two-level nearest-list assignment: level-1 argmax over the (child-
+    * bearing) super centroids, then argmax over that super's children —
+    * O(n·(k1 + k2)) where the flat [[assign]] pays O(n·k). Same exact-
+    * integer arithmetic and cent_id tiebreaks as the flat path; output
+    * schema identical: (vec_id, list_id) with list_id a child cent_id.
+    */
+  def assignTwoLevel(comps: DataFrame, norms: DataFrame,
+      superCents: DataFrame, children: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supOk = superCents.join(
+      children.select(col("grp").as("cent_id")).distinct(),
+      Seq("cent_id"), "left_semi")
+    val sa = assign(comps, norms, broadcast(supOk))
+      .withColumnRenamed("list_id", "grp")
+    val cn = children.groupBy("cent_id")
+      .agg(sum(col("cs") * col("cs")).as("cn2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    comps.join(sa, "vec_id")
+      .join(broadcast(children), Seq("grp", "dim"))
+      .groupBy("vec_id", "cent_id")
+      .agg(sum(col("qx") * col("cs")).as("dot"))
+      .join(norms, "vec_id")
+      .join(broadcast(cn), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list_id"))
   }
 
   /** One grouped Lloyd update — [[step]] with `grp` carried through every

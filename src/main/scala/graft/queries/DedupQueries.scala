@@ -71,6 +71,14 @@ object DedupQueries {
     */
   val MaxGramDf = 100
 
+  /** Max docs one simhash band value may hold and still enter the banded
+    * candidate join (see dedup_simhash_pairs). Bounds any single band
+    * bucket to ≤ 256²/2 pairs; vote-biased boilerplate bands (stopword
+    * profiles shared by a constant corpus fraction) are excluded while
+    * discriminative bands — the near-dup evidence — all stay.
+    */
+  val SimhashBandCap = 256
+
   /** SimHash signature of `hexDigits * 4` bits per document: each word
     * votes its sha256-prefix bits ±1 per position; the signature's bit b is
     * 1 iff the vote is positive. Computed by the native fused
@@ -618,9 +626,24 @@ object DedupQueries {
         val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("b"))
           .withColumn("bv", expr(s"(simhash >> (b * $w)) & ${(1 << w) - 1}"))
-        val a = bands.select(col("doc_id").as("doc_a"),
+        // DF-BOUND the band join (the stop-gram / phash-band discipline
+        // applied to simhash): simhash bits are VOTE-BIASED — documents
+        // sharing a language's stopword profile vote the same way on
+        // high-frequency word hashes, so a constant FRACTION of the
+        // corpus can share one band value no matter how wide the bands
+        // get (the x30 measured sweep: 9.7x growth on 3x data with
+        // width-widening alone). A band value shared by > SimhashBandCap
+        // docs is profile boilerplate, not near-dup evidence — skip its
+        // bucket; a true hamming<=3 pair still collides on its other
+        // three bands (pigeonhole gives FOUR chances; boilerplate kills
+        // at most the hot ones). Mirrored in the DuckDB oracle.
+        val cool = bands.groupBy("b", "bv")
+          .agg(count(lit(1)).as("n_b"))
+          .filter(col("n_b") <= SimhashBandCap).select("b", "bv")
+        val okBands = bands.join(cool, Seq("b", "bv"), "left_semi")
+        val a = okBands.select(col("doc_id").as("doc_a"),
           col("simhash").as("sim_a"), col("b"), col("bv"))
-        val bb = bands.select(col("doc_id").as("doc_b"),
+        val bb = okBands.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"), col("b").as("b_b"), col("bv").as("bv_b"))
         a.join(bb, col("b") === col("b_b") && col("bv") === col("bv_b") &&
             col("doc_a") < col("doc_b"))
@@ -641,8 +664,11 @@ object DedupQueries {
         |sh AS (SELECT doc_id,
         |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
         |  FROM votes GROUP BY doc_id),
-        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+        |bands0 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
         |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
+        |cool AS (SELECT b, bv FROM bands0 GROUP BY b, bv
+        |  HAVING count(*) <= $SimhashBandCap),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN cool USING (b, bv)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |    a.simhash AS sim_a, b2.simhash AS sim_b
         |  FROM bands a JOIN bands b2

@@ -181,34 +181,54 @@ object ScaleOpQueries {
         |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
         |      <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000""".stripMargin)),
 
-    // Range (interval) join, bucketized: Spark plans a raw
-    // `s.ts BETWEEN e.ts AND e.ts + W` join as a nested loop — quadratic
-    // at corpus scale. The scale shape: quantize time into buckets of the
-    // window width, explode each interval to the (≤2) buckets it touches,
-    // equi-join on the bucket, then apply the exact BETWEEN as a residual
-    // filter. The shuffle is keyed by time bucket — linear, skew-bounded by
-    // events-per-window. Here: for every error event, how many signups
-    // land in the 30 minutes after it (incident-window attribution).
+    // Range (interval) COUNT, pair-free: for every error event, how many
+    // signups land in the 30 minutes after it (incident-window
+    // attribution). Spark plans a raw `s.ts BETWEEN e.ts AND e.ts + W`
+    // join as a nested loop — quadratic at corpus scale — and even the
+    // bucketized interval-join form (equi-join on W-wide time buckets +
+    // residual BETWEEN, this query's original shape) materializes every
+    // (error, signup) PAIR: when the corpus densifies M× inside a fixed
+    // time span, pairs grow M² while the ANSWER — one count per error —
+    // grows M (the x30 measured sweep flagged exactly that, 5.8x on 3x
+    // data). A windowed COUNT never needs the pairs: merge signups and
+    // per-error window boundaries into one point stream and take the
+    // distributed running count of signups at each boundary
+    // (TotalOrder.prefixSum — range shuffle + per-partition totals, no
+    // SinglePartition window):
+    //   n_in_window = (# signups ≤ e+W) − (# signups < e)
+    // The pair-producing bucketized form remains the right shape when the
+    // OUTPUT is the pairs (st_stream_join's watermark-bounded interval
+    // join); for aggregates over the window, the sweep is linear.
     QueryDef("q_range_join",
       (s, d) => {
-        val w = 1800000000L // 30 min in micros = bucket width
+        val w = 1800000000L // 30 min in micros
         val ev = table(s, d, "events")
-        val errors = ev.filter(col("event_type") === "error")
-          .select(col("event_id"), tsMicros.as("e_us"))
-        val signups = ev.filter(col("event_type") === "signup")
-          .select(tsMicros.as("s_us"))
-        // integer DIV, not double `/`: micros exceed the range where
-        // floor(double-division) is reliably the integer quotient
-        val eB = errors.select(col("event_id"), col("e_us"),
-          explode(array_distinct(array(
-            expr(s"e_us DIV $w"), expr(s"(e_us + $w) DIV $w")))).as("bucket"))
-        val sB = signups.select(col("s_us"), expr(s"s_us DIV $w").as("bucket"))
-        val matched = eB.join(sB, Seq("bucket"))
-          .filter(col("s_us") >= col("e_us") && col("s_us") <= col("e_us") + w)
-          .groupBy("event_id").agg(count(lit(1)).as("n_in_window"))
-        errors.select("event_id")
-          .join(matched, Seq("event_id"), "left")
-          .na.fill(0L, Seq("n_in_window"))
+          .filter(col("event_type").isin("error", "signup"))
+          .select(col("event_id"), col("event_type"), tsMicros.as("us"))
+        // one pass emits the point stream: a signup is a +1 count point;
+        // an error emits two zero-count probes — `lo` at e−1 (counts
+        // signups STRICTLY before the window) and `hi` at e+W (counts
+        // through its inclusive end). kind=1 sorts a probe AFTER signups
+        // sharing its timestamp, making both bounds inclusive-correct.
+        val pts = ev.select(explode(when(col("event_type") === "signup",
+            array(struct(col("us").as("t"), lit(0).as("kind"),
+              lit(1L).as("v"), lit(0L).as("eid"), lit(0).as("side"))))
+          .otherwise(array(
+            struct((col("us") - 1).as("t"), lit(1).as("kind"),
+              lit(0L).as("v"), col("event_id").as("eid"), lit(0).as("side")),
+            struct((col("us") + w).as("t"), lit(1).as("kind"),
+              lit(0L).as("v"), col("event_id").as("eid"),
+              lit(1).as("side"))))).as("p"))
+          .select(col("p.t").as("t"), col("p.kind").as("kind"),
+            col("p.v").as("v"), col("p.eid").as("event_id"),
+            col("p.side").as("side"))
+        val swept = graft.operators.TotalOrder.prefixSum(pts,
+          Seq(col("t"), col("kind"), col("event_id"), col("side")),
+          "v", "c", 32)
+        swept.filter(col("kind") === 1)
+          .groupBy("event_id")
+          .agg(sum(when(col("side") === 1, col("c")).otherwise(-col("c")))
+            .as("n_in_window"))
       },
       Some("""WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
         |  FROM events WHERE event_type = 'error'),

@@ -81,6 +81,24 @@ object SimilarityQueries {
     math.max(16L, n / 125).toInt
   }
 
+  /** Past this list count the coarse quantizer trains and assigns
+    * HIERARCHICALLY (two-level, IMI-style — IvfCodebook.trainChildren /
+    * assignTwoLevel): flat Lloyd costs O(rows·k) per pass, which turns
+    * quadratic once k ∝ n — the x30 measured sweep caught ann_ivf_topk
+    * at 11.4x growth on 3x data (934 s) through exactly this wall. The
+    * two-level tree pays O(rows·2√k). At the standard fixtures k = 16 ≤
+    * FlatKMax, so the flat path — and every static Lloyd-replay DuckDB
+    * oracle built on it — is bit-identical to before; the hierarchical
+    * path is the measured-scale regime only, exercised by the scaling
+    * sweep and IvfSpec's two-level cases.
+    */
+  private val FlatKMax = 64
+
+  private def ceilSqrt(k: Int): Int = {
+    val r = math.sqrt(k.toDouble).toInt
+    if (r.toLong * r >= k) r else r + 1
+  }
+
   /** Trained IVF codebook (ivfLists(n) lists, 2 Lloyd iterations on a
     * 1-in-4 sample), persisted once per (session, dataset) and SHARED by
     * `ann_ivf_topk` and `corpus_embedding_clusters` — training is the
@@ -88,10 +106,38 @@ object SimilarityQueries {
     * k·dims-row result.
     */
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
-    trainedArtifact(s, d, "ivf_codebook") {
+    if (ivfLists(s, d) <= FlatKMax)
+      trainedArtifact(s, d, "ivf_codebook") {
+        graft.operators.IvfCodebook.train(s,
+          table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          k = ivfLists(s, d), iters = 2, sampleEvery = 4)
+      }
+    else
+      // hierarchical regime: the flat (cent_id, dim, cs) view every
+      // probe-side consumer broadcasts is the tree's children minus the
+      // parent column — no second disk artifact, the tree already
+      // persists
+      cached(s, d, "ivf_codebook_flat")(trainedTree(s, d).drop("grp"))
+
+  /** Level-1 (super) codebook of the hierarchical coarse quantizer:
+    * ~√k lists trained by the same deterministic sampled Lloyd. */
+  private def trainedSuper(s: SparkSession, d: String): DataFrame =
+    trainedArtifact(s, d, "ivf_super") {
       graft.operators.IvfCodebook.train(s,
         table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        k = ivfLists(s, d), iters = 2, sampleEvery = 4)
+        k = ceilSqrt(ivfLists(s, d)), iters = 2, sampleEvery = 4)
+    }
+
+  /** Level-2 children keyed by parent super list: (grp, cent_id, dim,
+    * cs), ~k/√k children per super, globally-unique cent_ids. */
+  private def trainedTree(s: SparkSession, d: String): DataFrame =
+    trainedArtifact(s, d, "ivf_tree") {
+      val k = ivfLists(s, d)
+      val k1 = ceilSqrt(k)
+      graft.operators.IvfCodebook.trainChildren(s,
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        trainedSuper(s, d), k2 = (k + k1 - 1) / k1, iters = 2,
+        sampleEvery = 4)
     }
 
   /** Full-corpus nearest-centroid assignment over the shared trained
@@ -105,8 +151,15 @@ object SimilarityQueries {
       import graft.operators.IvfCodebook
       val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val cm = IvfCodebook.comps(v)
-      IvfCodebook.assign(cm, IvfCodebook.norms(cm),
-        broadcast(trainedCodebook(s, d)))
+      if (ivfLists(s, d) <= FlatKMax)
+        IvfCodebook.assign(cm, IvfCodebook.norms(cm),
+          broadcast(trainedCodebook(s, d)))
+      else
+        // O(n·2√k) two-level descent instead of the O(n·k) flat argmax —
+        // the full-corpus assignment is the other quadratic the measured
+        // sweep caught (n·k join rows with k ∝ n)
+        IvfCodebook.assignTwoLevel(cm, IvfCodebook.norms(cm),
+          trainedSuper(s, d), trainedTree(s, d))
     }
 
   /** The nprobe nearest coarse lists per query vector (the standing

@@ -62,6 +62,66 @@ class IvfSpec extends SparkSpec {
     assert(after.max <= before.max * 3 / 2)
   }
 
+  test("two-level coarse quantizer: tree shape, descent optimality, determinism") {
+    import org.apache.spark.sql.expressions.Window
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (k1, k2) = (4, 3) // small tree, same code path the scale regime runs
+    val sup = IvfCodebook.train(spark, v, k = k1, iters = 2, sampleEvery = 4)
+    val tree = IvfCodebook.trainChildren(spark, v, sup, k2 = k2, iters = 2,
+      sampleEvery = 4)
+
+    // tree shape: >=1 populated super, <=k2 children each, globally
+    // unique child ids (the flat-codebook view depends on that)
+    val perSuper = tree.select("grp", "cent_id").distinct()
+      .groupBy("grp").count().select("count").as[Long].collect().toSeq
+    assert(perSuper.nonEmpty && perSuper.forall(n => n >= 1 && n <= k2),
+      s"children per super out of bounds: $perSuper")
+    val childIds = tree.select("cent_id").distinct().as[Long].collect()
+    assert(childIds.length == tree.select("grp", "cent_id").distinct().count(),
+      "child cent_ids must be globally unique across supers")
+
+    // assignment: total (every vector, exactly one list), every list a
+    // real child of the vector's super
+    val cm = IvfCodebook.comps(v)
+    val nm = IvfCodebook.norms(cm)
+    val asg = IvfCodebook.assignTwoLevel(cm, nm, sup, tree)
+    val n = v.count()
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+    val parentOf = tree.select(col("cent_id").as("list_id"),
+      col("grp").as("parent")).distinct()
+    assert(asg.join(parentOf, "list_id").count() == n,
+      "every assigned list must exist in the tree")
+
+    // descent optimality: within the CHOSEN super, the assigned child is
+    // the argmax over that super's children (recomputed independently
+    // from flat similarities + the level-1 assignment)
+    val supOk = sup.join(tree.select(col("grp").as("cent_id")).distinct(),
+      Seq("cent_id"), "left_semi")
+    val level1 = IvfCodebook.assign(cm, nm, supOk)
+      .select(col("vec_id"), col("list_id").as("super"))
+    val want = IvfCodebook.similarities(cm, nm, tree.drop("grp"))
+      .join(parentOf.withColumnRenamed("list_id", "cent_id"), "cent_id")
+      .join(level1, "vec_id").filter(col("parent") === col("super"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("want"))
+    assert(asg.join(want, "vec_id")
+      .filter(col("list_id") =!= col("want")).count() == 0,
+      "two-level descent disagreed with the per-super argmax")
+
+    // determinism: training + assignment replay bit-identically
+    val tree2 = IvfCodebook.trainChildren(spark, v, sup, k2 = k2, iters = 2,
+      sampleEvery = 4)
+    assert(tree.orderBy("grp", "cent_id", "dim").collect().toSeq ==
+      tree2.orderBy("grp", "cent_id", "dim").collect().toSeq)
+    val asg2 = IvfCodebook.assignTwoLevel(cm, nm, sup, tree2)
+    assert(asg.orderBy("vec_id").collect().toSeq ==
+      asg2.orderBy("vec_id").collect().toSeq)
+  }
+
   test("LSH recall audit finds most true pairs and never over-counts") {
     val r = SparkEntry.queries("ann_recall_audit")(spark, dir).collect().head
     val total = r.getAs[Long]("total_true")

@@ -11,7 +11,14 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class PlanQualitySpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  // Default: the smallest standard fixture (plan shape is data-independent
+  // for everything asserted here, so the cheap fixture suffices). The
+  // measured-scaling harness overrides this to a generated 10x/30x corpus
+  // (graft.ScaleGen output) to prove the SAME invariants hold when the
+  // optimizer sees large files — a stats-driven broadcast that silently
+  // degrades to a shuffle join at scale would fail here by name.
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "/root/testdata/sf0.001")
 
   private def plan(name: String): String = {
     val df: DataFrame = SparkEntry.queries(name)(spark, dir)
