@@ -78,6 +78,16 @@ object Bench {
         (q.name, (System.nanoTime() - t0) / 1e9, ok)
       }
       graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
+      // Spark's ContextCleaner frees shuffle files, broadcast blocks and
+      // accumulator state only when the driver GC collects their weak
+      // references — and a large mostly-idle heap may not GC for the
+      // whole sweep, so a 180-query single-JVM run accumulates dead
+      // shuffle state and degrades its LATE sets (measured: the x10
+      // scaling sweep's warm pass ran scaleops 2.4x slower than the same
+      // binaries standalone). A forced GC at each set boundary is the
+      // standard local-mode countermeasure; it is sweep bookkeeping,
+      // outside every query timing.
+      System.gc()
       setName -> rs
     }
     val results = bySet.flatMap(_._2)

@@ -78,10 +78,22 @@ object ScaleGen {
       .select(
         (col("doc_id") + col("r") * dOff).as("doc_id"),
         when(col("r") === 0, col("text")).otherwise(
-          // rewrite every word: within-replica duplicate structure is
-          // preserved exactly, cross-replica n-gram overlap is zero
+          // rewrite every word to lower(base36(crc32(word ⊕ replica))):
+          // within a replica the map is a pure function of the word, so
+          // duplicate/near-dup structure is preserved EXACTLY, while
+          // across replicas no character fragment survives — neither at
+          // the word level nor inside character shingles. Two earlier
+          // forms failed the second property and the x30 sweep measured
+          // both: a uniform "~r" suffix injected the same fragments into
+          // every document of a replica (boilerplate: 650× candidate
+          // growth), and a word-keyed tag kept the RAW word as a shared
+          // substring across replicas, making the M variants of one
+          // source doc mutual near-dup candidates (M² per group: 4.5×
+          // candidates on 3× data). Hashing the whole word kills both.
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("~"), col("r"))), " ")).as("text"),
+            w => when(length(w) === 0, w).otherwise(
+              lower(conv(crc32(concat(w, lit("§"), col("r"))),
+                10, 36)))), " ")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")

@@ -79,6 +79,15 @@ object DedupQueries {
     */
   val SimhashBandCap = 256
 
+  /** Max docs one MinHash band value may hold and still enter the banded
+    * candidate join (see minhashCandidates). A 24-hex-char band value
+    * collides only for genuinely shared shingle minima, so any value held
+    * by more docs than the largest plausible duplicate GROUP is prefix
+    * boilerplate. 64 comfortably exceeds every planted group while
+    * bounding a bucket to ≤ 64²/2 pairs.
+    */
+  val MinhashBandCap = 64
+
   /** SimHash signature of `hexDigits * 4` bits per document: each word
     * votes its sha256-prefix bits ±1 per position; the signature's bit b is
     * 1 iff the vote is positive. Computed by the native fused
@@ -172,8 +181,22 @@ object DedupQueries {
       d: String): org.apache.spark.sql.DataFrame =
     cached(s, d, "minhash_cand") {
       val bands = minhashBands(s, d)
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-      val b = bands.select(col("doc_id").as("doc_b"),
+      // DF-BOUND the band join (the discipline every banded join in this
+      // file applies): a band value shared by > MinhashBandCap docs is
+      // BOILERPLATE — shared prefix chrome whose shingles dominate the
+      // signature minima — not near-dup evidence, and its bucket
+      // generates pairs quadratically. The x30 measured sweep caught
+      // exactly this: a corpus-wide boilerplate fragment inflated
+      // candidates 650x on 30x data (verified pairs grew exactly 30x)
+      // and dedup_near_dup_pipeline with them. True J>=0.5 pairs share
+      // multiple bands, so discriminative collisions survive; the
+      // recall audit (dedup_recall_audit) is the standing guard.
+      val cool = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("n_b"))
+        .filter(col("n_b") <= MinhashBandCap).select("band", "bv")
+      val ok = bands.join(cool, Seq("band", "bv"), "left_semi")
+      val a = ok.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      val b = ok.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("bv").as("bv_b"))
       a.join(b, col("band") === col("band_b") &&
           col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
@@ -202,8 +225,11 @@ object DedupQueries {
     */
   private val MinhashCandSql: String =
     s"""$MinhashBandsSql,
+      |mcool AS (SELECT band, bv FROM bands GROUP BY band, bv
+      |  HAVING count(*) <= $MinhashBandCap),
+      |mbands AS (SELECT bands.* FROM bands JOIN mcool USING (band, bv)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM mbands a JOIN mbands b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The composed near-dup path: MinHash band candidates, then the exact

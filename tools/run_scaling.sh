@@ -18,9 +18,9 @@
 set -euo pipefail
 cd /root/repo
 
-FIX=target/scaling/fixtures
-LOGS=target/scaling/logs
-IDX=target/scaling/index
+FIX="${SPARK_GRAFT_FIX:-target/scaling/fixtures}"
+LOGS="${SPARK_GRAFT_LOGS:-target/scaling/logs}"
+IDX="${SPARK_GRAFT_IDX:-target/scaling/index}"
 SETS="${SPARK_GRAFT_SETS:-dedup,similarity,text,scaleops,ir}"
 SRC=/root/testdata/sf0.1
 MULTS="${1:-1 10 30}"
