@@ -68,6 +68,12 @@ object Bench {
       val rs = defs
         .filter(_ => setsOnly.forall(_.contains(setName)))
         .filter(q => only.forall(_.contains(q.name))).map { q =>
+        // Sample the artifact-training accumulator around the run: a
+        // query that trains an IndexStore artifact in-sweep reports
+        // BOTH its total and its train share, so cold vs warm artifact
+        // state is visible in the record instead of conflated into one
+        // unexplainable number (the round-8 lesson).
+        val tr0 = graft.operators.IndexStore.trainNanos
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).foreach(_ => ()); true }
@@ -75,7 +81,9 @@ object Bench {
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
           }
-        (q.name, (System.nanoTime() - t0) / 1e9, ok)
+        val total = (System.nanoTime() - t0) / 1e9
+        val train = (graft.operators.IndexStore.trainNanos - tr0) / 1e9
+        (q.name, total, ok, train)
       }
       graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
       // Spark's ContextCleaner frees shuffle files, broadcast blocks and
@@ -93,18 +101,26 @@ object Bench {
     val results = bySet.flatMap(_._2)
     // A failed query reports -1 (not its near-zero elapsed time) and lands
     // in `failed`, so a regression can't masquerade as a speedup.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Artifact-training seconds per query (only queries that actually
+    // trained this sweep): query-side steady-state cost is
+    // queries[k] - train[k]. A record with an empty train map IS the
+    // warm-artifact statement the baseline contract asks for.
+    val train = results.collect { case (k, _, true, tr) if tr > 0.0005 =>
+      "\"" + k + "\":" + f"$tr%.3f"
+    }.mkString("{", ",", "}")
     // per-set sums, directly comparable to BASELINE.md's per-set table
     // (failed queries excluded, same as the total)
     val sets = bySet.map { case (sn, rs) =>
       "\"" + sn + "\":" + f"${rs.filter(_._3).map(_._2).sum}%.3f"
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sets":$sets,"failed":$failed,"sf":"$sfDir"}"""
+    val trainTotal = results.filter(_._3).map(_._4).sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"queries":$qs,"train":$train,"sets":$sets,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Persist the FULL per-query record of every sweep to a committed
     // file: the driver's BENCH capture truncates to the tail, which in

@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Nanoseconds this JVM has spent TRAINING artifacts (cache misses:
+    * build + persist). Bench samples it around each query to split a
+    * trained query's one reported number into {train_s, query_s} — the
+    * round-8 sweeps showed the same query reporting 0.2 s warm or 5–65 s
+    * cold depending on invisible artifact state, which made the bench
+    * record unreadable until artifact cost was first-class.
+    */
+  private val trainNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Build nesting depth per thread: an artifact whose build triggers
+    * ANOTHER cached build (e.g. a code table whose builder reads the
+    * codebook artifact) must count its wall time once, not once per
+    * nesting level — only the outermost build on a thread accumulates.
+    */
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Total artifact-training nanoseconds accumulated so far. */
+  def trainNanos: Long = trainNanosAcc.get()
+
   /** Default store root: under the JVM temp dir, shared by every sweep on
     * the host. Override per-process with -Dgraft.index.dir=… (specs pass
     * an explicit root instead). */
@@ -122,7 +143,15 @@ object IndexStore {
     require(key.matches("[A-Za-z0-9_-]+"), s"unsafe artifact key: $key")
     val dir = new File(rootDir, s"$name-$key")
     if (!new File(dir, "_SUCCESS").exists()) {
-      build.write.mode("overwrite").parquet(dir.toString)
+      val t0 = System.nanoTime()
+      buildDepth.set(buildDepth.get() + 1)
+      try build.write.mode("overwrite").parquet(dir.toString)
+      finally {
+        buildDepth.set(buildDepth.get() - 1)
+        if (buildDepth.get() == 0)
+          trainNanosAcc.addAndGet(System.nanoTime() - t0)
+        ()
+      }
       writeMarker(dir, "_NAME", name)
       writeMarker(dir, "_RECENCY", System.currentTimeMillis().toString)
       Option(rootDir.listFiles()).getOrElse(Array.empty)

@@ -72,19 +72,21 @@ object DedupQueries {
   val MaxGramDf = 100
 
   /** Max docs one simhash band value may hold and still enter the banded
-    * candidate join (see dedup_simhash_pairs). Bounds any single band
-    * bucket to ≤ 256²/2 pairs; vote-biased boilerplate bands (stopword
-    * profiles shared by a constant corpus fraction) are excluded while
-    * discriminative bands — the near-dup evidence — all stay.
+    * candidate join pairwise (see dedup_simhash_pairs). Bounds any single
+    * band bucket to ≤ 256²/2 pairs; vote-biased boilerplate bands
+    * (stopword profiles shared by a constant corpus fraction) fall back
+    * to star-linking through the bucket's min-doc representative — O(n)
+    * pairs — so a genuine duplicate group larger than the cap stays
+    * connected instead of vanishing.
     */
   val SimhashBandCap = 256
 
   /** Max docs one MinHash band value may hold and still enter the banded
-    * candidate join (see minhashCandidates). A 24-hex-char band value
-    * collides only for genuinely shared shingle minima, so any value held
-    * by more docs than the largest plausible duplicate GROUP is prefix
-    * boilerplate. 64 comfortably exceeds every planted group while
-    * bounding a bucket to ≤ 64²/2 pairs.
+    * candidate join pairwise (see minhashCandidates). Bounds a bucket to
+    * ≤ 64²/2 enumerated pairs; buckets above the cap STAR-LINK through
+    * their min-doc representative instead of being dropped, so duplicate
+    * groups larger than the cap (whose bands all go hot) survive via
+    * transitive closure — the cap is a WORK bound, not a recall bound.
     */
   val MinhashBandCap = 64
 
@@ -182,25 +184,41 @@ object DedupQueries {
     cached(s, d, "minhash_cand") {
       val bands = minhashBands(s, d)
       // DF-BOUND the band join (the discipline every banded join in this
-      // file applies): a band value shared by > MinhashBandCap docs is
-      // BOILERPLATE — shared prefix chrome whose shingles dominate the
-      // signature minima — not near-dup evidence, and its bucket
-      // generates pairs quadratically. The x30 measured sweep caught
-      // exactly this: a corpus-wide boilerplate fragment inflated
-      // candidates 650x on 30x data (verified pairs grew exactly 30x)
-      // and dedup_near_dup_pipeline with them. True J>=0.5 pairs share
-      // multiple bands, so discriminative collisions survive; the
-      // recall audit (dedup_recall_audit) is the standing guard.
-      val cool = bands.groupBy("band", "bv")
-        .agg(count(lit(1)).as("n_b"))
-        .filter(col("n_b") <= MinhashBandCap).select("band", "bv")
+      // file applies): a band value shared by > MinhashBandCap docs would
+      // generate pairs quadratically in its bucket — the x30 measured
+      // sweep caught exactly this: a corpus-wide boilerplate fragment
+      // inflated candidates 650x on 30x data (verified pairs grew exactly
+      // 30x) and dedup_near_dup_pipeline with them. Buckets at or below
+      // the cap enumerate all pairs; buckets ABOVE it are STAR-LINKED —
+      // every member pairs with the bucket's min-doc_id representative,
+      // O(bucket) pairs instead of O(bucket²). This keeps hot buckets
+      // bounded WITHOUT the recall cliff of dropping them outright: a
+      // duplicate GROUP larger than the cap (whose members share every
+      // band value, so every band goes hot) stays connected through its
+      // representative, and the downstream transitive closure
+      // (dedup_clusters / corpus_curation_clustered) recovers the whole
+      // group — spec-pinned by DedupSpec's planted over-cap group. True
+      // boilerplate collisions still die at the verify stage (J >= 0.5).
+      // The recall audit (dedup_recall_audit) is the standing guard.
+      val stats = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("n_b"), min(col("doc_id")).as("rep"))
+      val cool = stats.filter(col("n_b") <= MinhashBandCap)
+        .select("band", "bv")
       val ok = bands.join(cool, Seq("band", "bv"), "left_semi")
       val a = ok.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
       val b = ok.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("bv").as("bv_b"))
-      a.join(b, col("band") === col("band_b") &&
+      val pairwise = a.join(b, col("band") === col("band_b") &&
           col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_a", "doc_b")
+      // hot buckets are FEW (each holds > cap docs, so there are at most
+      // corpus/cap of them) — broadcast the (band, bv, rep) side
+      val hot = stats.filter(col("n_b") > MinhashBandCap)
+        .select(col("band"), col("bv"), col("rep"))
+      val star = bands.join(broadcast(hot), Seq("band", "bv"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      pairwise.unionByName(star).distinct()
     }
 
   /** DuckDB rendering of [[minhashBands]]: a CTE prefix ending in
@@ -225,12 +243,19 @@ object DedupQueries {
     */
   private val MinhashCandSql: String =
     s"""$MinhashBandsSql,
-      |mcool AS (SELECT band, bv FROM bands GROUP BY band, bv
-      |  HAVING count(*) <= $MinhashBandCap),
+      |mstat AS (SELECT band, bv, count(*) AS n_b, min(doc_id) AS rep
+      |  FROM bands GROUP BY band, bv),
+      |mcool AS (SELECT band, bv FROM mstat WHERE n_b <= $MinhashBandCap),
       |mbands AS (SELECT bands.* FROM bands JOIN mcool USING (band, bv)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |mhot AS (SELECT band, bv, rep FROM mstat WHERE n_b > $MinhashBandCap),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM mbands a JOIN mbands b
-      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT h.rep AS doc_a, bands.doc_id AS doc_b
+      |  FROM bands JOIN mhot h USING (band, bv)
+      |  WHERE bands.doc_id <> h.rep))""".stripMargin
 
   /** The composed near-dup path: MinHash band candidates, then the exact
     * word-3-gram Jaccard verify computed ONLY for candidate pairs — the
@@ -658,22 +683,37 @@ object DedupQueries {
         // high-frequency word hashes, so a constant FRACTION of the
         // corpus can share one band value no matter how wide the bands
         // get (the x30 measured sweep: 9.7x growth on 3x data with
-        // width-widening alone). A band value shared by > SimhashBandCap
-        // docs is profile boilerplate, not near-dup evidence — skip its
-        // bucket; a true hamming<=3 pair still collides on its other
-        // three bands (pigeonhole gives FOUR chances; boilerplate kills
-        // at most the hot ones). Mirrored in the DuckDB oracle.
-        val cool = bands.groupBy("b", "bv")
-          .agg(count(lit(1)).as("n_b"))
-          .filter(col("n_b") <= SimhashBandCap).select("b", "bv")
+        // width-widening alone). Buckets at or below SimhashBandCap
+        // enumerate all pairs; hotter buckets STAR-LINK through the
+        // bucket's min-doc representative (O(bucket) pairs), so a
+        // duplicate group larger than the cap stays reachable through
+        // its representative while boilerplate buckets stay linear; the
+        // hamming <= 3 verify still gates every emitted pair. Mirrored
+        // in the DuckDB oracle.
+        val stats = bands.groupBy("b", "bv")
+          .agg(count(lit(1)).as("n_b"), min(col("doc_id")).as("rep"))
+        val cool = stats.filter(col("n_b") <= SimhashBandCap)
+          .select("b", "bv")
         val okBands = bands.join(cool, Seq("b", "bv"), "left_semi")
         val a = okBands.select(col("doc_id").as("doc_a"),
           col("simhash").as("sim_a"), col("b"), col("bv"))
         val bb = okBands.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"), col("b").as("b_b"), col("bv").as("bv_b"))
-        a.join(bb, col("b") === col("b_b") && col("bv") === col("bv_b") &&
-            col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+        val pairwise = a.join(bb,
+            col("b") === col("b_b") && col("bv") === col("bv_b") &&
+              col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+        // hot buckets are few (> cap docs each) — broadcast their
+        // (b, bv, rep, rep-signature) side
+        val hot = stats.filter(col("n_b") > SimhashBandCap)
+          .select(col("b"), col("bv"), col("rep"))
+          .join(sh.select(col("doc_id").as("rep"),
+            col("simhash").as("sim_rep")), "rep")
+        val star = bands.join(broadcast(hot), Seq("b", "bv"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+            col("sim_rep").as("sim_a"), col("simhash").as("sim_b"))
+        pairwise.unionByName(star).distinct()
           .withColumn("hamming",
             expr("bit_count(sim_a ^ sim_b)").cast("long"))
           .filter(col("hamming") <= 3)
@@ -692,13 +732,23 @@ object DedupQueries {
         |  FROM votes GROUP BY doc_id),
         |bands0 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
         |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
-        |cool AS (SELECT b, bv FROM bands0 GROUP BY b, bv
-        |  HAVING count(*) <= $SimhashBandCap),
+        |sstat AS (SELECT b, bv, count(*) AS n_b, min(doc_id) AS rep
+        |  FROM bands0 GROUP BY b, bv),
+        |cool AS (SELECT b, bv FROM sstat WHERE n_b <= $SimhashBandCap),
         |bands AS (SELECT bands0.* FROM bands0 JOIN cool USING (b, bv)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |shot AS (SELECT s.b, s.bv, s.rep, r.simhash AS sim_rep
+        |  FROM sstat s JOIN sh r ON r.doc_id = s.rep
+        |  WHERE s.n_b > $SimhashBandCap),
+        |cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |    a.simhash AS sim_a, b2.simhash AS sim_b
         |  FROM bands a JOIN bands b2
-        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        |  UNION ALL
+        |  SELECT h.rep AS doc_a, bands0.doc_id AS doc_b,
+        |    h.sim_rep AS sim_a, bands0.simhash AS sim_b
+        |  FROM bands0 JOIN shot h USING (b, bv)
+        |  WHERE bands0.doc_id <> h.rep))
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
 

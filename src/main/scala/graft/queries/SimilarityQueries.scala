@@ -447,11 +447,37 @@ object SimilarityQueries {
       .select("vec_a", "vec_b", "cosine")
   }
 
-  /** Corpus-wide LSH candidates (4 tables × 4 hyperplanes) + exact
-    * quantized cosine ≥ 0.4 verify — the scale path whose recall the
-    * audit query below measures.
+  /** Max vectors one LSH (table, bucket) may hold and still enter the
+    * candidate join pairwise. The bits-per-table dial (lshTableBits)
+    * holds the AVERAGE bucket near ~125 vectors, but a tight embedding
+    * cluster occupying a constant corpus FRACTION collapses into one
+    * bucket at any band width — the x30 measured sweep caught exactly
+    * this (dedup_embedding_lsh grew 6.3x on 3x data, both passes).
+    * Buckets above the cap STAR-LINK through the bucket's min-vec_id
+    * representative (O(bucket) pairs) instead of enumerating O(bucket²),
+    * the same discipline the MinHash/simhash band joins apply, so a
+    * near-dup cluster larger than the cap stays connected via its
+    * representative while total pair work is bounded by cap·rows. At the
+    * standard fixtures (≤ 2000 vectors, 16 buckets/table) no bucket
+    * reaches the cap, so the static DuckDB oracles see identical inputs.
     */
-  private def embeddingLsh(s: SparkSession, d: String): DataFrame = {
+  val LshBucketCap = 512
+
+  /** LSH candidate pairs (vec_a < vec_b): 4 tables × lshTableBits-bit
+    * buckets, pairwise within cool buckets, star-linked through the
+    * min-vec_id representative within hot ones (see [[LshBucketCap]]).
+    * `probeMax` bounds the smaller-id side of every pair: with
+    * Some(m), the result is exactly the unbounded result filtered to
+    * vec_a < m — pairwise keeps only a-sides below m and star buckets
+    * only fire when their representative (the bucket min, hence always
+    * the pair's vec_a) is below m — but the join never materializes
+    * pairs outside the probe set, which is what keeps the recall audit
+    * linear in the corpus rather than inheriting the full candidate
+    * volume (the x30 sweep measured the unbounded form at 5.8x growth
+    * on 3x data inside ann_recall_audit).
+    */
+  private def lshCandidates(s: SparkSession, d: String,
+      probeMax: Option[Int]): DataFrame = {
     graft.functions.LshBits.register(s)
     val b = lshTableBits(s, d)
     val tb = table(s, d, "embeddings")
@@ -460,12 +486,32 @@ object SimilarityQueries {
         explode(sequence(lit(0L), lit(3L))).as("t"), col("bits"))
       .withColumn("bucket", expr(s"(bits >> (t * $b)) & ${(1 << b) - 1}"))
       .drop("bits")
-    val cand = tb.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
-      .join(tb.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
+    val stats = tb.groupBy("t", "bucket")
+      .agg(count(lit(1)).as("n_b"), min(col("vec_id")).as("rep"))
+    val cool = stats.filter(col("n_b") <= LshBucketCap).select("t", "bucket")
+    val ok = tb.join(cool, Seq("t", "bucket"), "left_semi")
+    val aSide = probeMax.fold(ok)(m => ok.filter(col("vec_id") < m))
+    val pairwise = aSide
+      .select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
+      .join(ok.select(col("vec_id").as("vec_b"), col("t").as("t_b"),
         col("bucket").as("bucket_b")),
         col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .select("vec_a", "vec_b")
+    val hot0 = stats.filter(col("n_b") > LshBucketCap)
+      .select(col("t"), col("bucket"), col("rep"))
+    val hot = probeMax.fold(hot0)(m => hot0.filter(col("rep") < m))
+    val star = tb.join(broadcast(hot), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    pairwise.unionByName(star).distinct()
+  }
+
+  /** Exact quantized-cosine ≥ 0.4 verify over candidate (vec_a, vec_b)
+    * pairs — the shared verify stage of the LSH near-dup path.
+    */
+  private def cosineVerify(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     cand
@@ -475,6 +521,13 @@ object SimilarityQueries {
       .filter(col("cosine") >= 0.4)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** Corpus-wide LSH candidates (4 tables × 4 hyperplanes) + exact
+    * quantized cosine ≥ 0.4 verify — the scale path whose recall the
+    * audit query below measures.
+    */
+  private def embeddingLsh(s: SparkSession, d: String): DataFrame =
+    cosineVerify(s, d, lshCandidates(s, d, None))
 
   /** Deterministic single-layer kNN graph (the NSW construction of a
     * graph-ANN index, Malkov et al.'s small-world family): each vector's
@@ -582,6 +635,97 @@ object SimilarityQueries {
     */
   private def lloydCtes(k: Int, iters: Int, sampleEvery: Int): String =
     lloydCtesFor("", "embeddings", k, iters, sampleEvery)
+
+  /** IMI CONTRACT parameters: a FORCED k = 72 (> FlatKMax) on the
+    * standard fixture, so the two-level trainChildren / assignTwoLevel
+    * path — the code that carries IVF at 100 TB, otherwise reached only
+    * by the unoracled scaled sweeps — gets a DuckDB hash-green oracle
+    * row like every other trained operator. k1 = ceil(√72) = 9 supers,
+    * k2 = ceil(72/9) = 8 children per super — the exact derivation
+    * trainedTree applies once ivfLists crosses FlatKMax.
+    */
+  private val ImiContractK = 72
+  private val ImiK1 = ceilSqrt(ImiContractK)
+  private val ImiK2 = (ImiContractK + ImiK1 - 1) / ImiK1
+
+  /** DuckDB replay of [[graft.operators.IvfCodebook.trainChildren]] +
+    * [[graft.operators.IvfCodebook.assignTwoLevel]]: a CTE suffix to
+    * append after `lloydCtesFor("sup", …)` (whose sample `suptc`, full
+    * components `supcomps`, norms `supnq`, final similarities
+    * `sups<iters>` and ranking `supr<iters>` it consumes), ending in
+    * `assign2(vec_id, list_id)`. Stage for stage in lockstep with the
+    * Scala: sample assignment to supers (`sassign`), per-super grouped
+    * components/norms/seed (k2 lowest member vec_ids), `iters` grouped
+    * Lloyd rounds with empty-list carry-over, then the two-level
+    * descent — level-1 argmax restricted to child-bearing supers,
+    * level-2 argmax over the winning super's children — with the same
+    * exact-integer dots/norms and (sim DESC, cent_id) tiebreaks
+    * everywhere. Generated by a loop so the round structure cannot
+    * drift from the trainGrouped iteration count.
+    */
+  private def imiCtes(k2: Int, iters: Int, sampleEvery: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""sassign AS (SELECT vec_id, cent_id AS grp FROM supr$iters
+        |  WHERE rn = 1 AND vec_id % $sampleEvery = 0),
+        |chgc AS (SELECT sa.grp, c.vec_id, c.dim, c.qx
+        |  FROM suptc c JOIN sassign sa USING (vec_id)),
+        |chn AS (SELECT grp, vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+        |  FROM chgc GROUP BY 1, 2),
+        |chseed AS (SELECT grp, vec_id,
+        |    row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rk
+        |  FROM sassign),
+        |chc0 AS (SELECT g.grp, g.vec_id AS cent_id, g.dim, g.qx AS cs
+        |  FROM chgc g JOIN chseed r ON g.grp = r.grp AND g.vec_id = r.vec_id
+        |  WHERE r.rk <= $k2)""".stripMargin)
+    for (t <- 0 until iters) {
+      sb.append(s""",
+        |chcn$t AS (SELECT grp, cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+        |  FROM chc$t GROUP BY 1, 2),
+        |chd$t AS (SELECT g.grp, g.vec_id, c.cent_id,
+        |    CAST(sum(g.qx * c.cs) AS BIGINT) AS dot
+        |  FROM chgc g JOIN chc$t c ON g.grp = c.grp AND g.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |chs$t AS (SELECT d.grp, d.vec_id, d.cent_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+        |  FROM chd$t d JOIN chn n ON d.grp = n.grp AND d.vec_id = n.vec_id
+        |  JOIN chcn$t cc ON d.grp = cc.grp AND d.cent_id = cc.cent_id),
+        |chr$t AS (SELECT grp, vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY grp, vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM chs$t),
+        |cha$t AS (SELECT grp, vec_id, cent_id AS list_id FROM chr$t WHERE rn = 1),
+        |chm${t + 1} AS (SELECT g.grp, a.list_id AS cent_id, g.dim,
+        |    CAST(sum(g.qx) AS BIGINT) AS cs_new
+        |  FROM chgc g JOIN cha$t a ON g.grp = a.grp AND g.vec_id = a.vec_id
+        |  GROUP BY 1, 2, 3),
+        |chc${t + 1} AS (SELECT c.grp, c.cent_id, c.dim,
+        |    coalesce(m.cs_new, c.cs) AS cs
+        |  FROM chc$t c LEFT JOIN chm${t + 1} m
+        |    ON c.grp = m.grp AND c.cent_id = m.cent_id AND c.dim = m.dim)""".stripMargin)
+    }
+    sb.append(s""",
+      |supok AS (SELECT DISTINCT grp AS cent_id FROM chc$iters),
+      |l1 AS (SELECT vec_id, cent_id AS grp FROM (
+      |  SELECT s.vec_id, s.cent_id,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cent_id) AS rn
+      |  FROM sups$iters s JOIN supok o ON s.cent_id = o.cent_id) WHERE rn = 1),
+      |chcnf AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+      |  FROM chc$iters GROUP BY 1),
+      |l2d AS (SELECT c.vec_id, ch.cent_id,
+      |    CAST(sum(c.qx * ch.cs) AS BIGINT) AS dot
+      |  FROM supcomps c JOIN l1 ON c.vec_id = l1.vec_id
+      |  JOIN chc$iters ch ON ch.grp = l1.grp AND ch.dim = c.dim
+      |  GROUP BY 1, 2),
+      |l2s AS (SELECT d.vec_id, d.cent_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+      |  FROM l2d d JOIN supnq n ON d.vec_id = n.vec_id
+      |  JOIN chcnf cc ON d.cent_id = cc.cent_id),
+      |assign2 AS (SELECT vec_id, cent_id AS list_id FROM (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |  FROM l2s) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
 
   /** [[lloydCtes]] generalized for product quantization: every CTE name
     * carries `pfx` so several independent Lloyd chains (one per PQ
@@ -731,7 +875,7 @@ object SimilarityQueries {
     // candidates. Never an all-pairs join; the cost dial is (tables, planes).
     QueryDef("dedup_embedding_lsh",
       (s, d) => embeddingLsh(s, d),
-      Some("""WITH planes AS (
+      Some(s"""WITH planes AS (
         |  SELECT p, dim,
         |    CASE WHEN instr('02468ace',
         |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
@@ -747,8 +891,19 @@ object SimilarityQueries {
         |tb AS (SELECT vec_id, p // 4 AS t,
         |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
         |  FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |tstat AS (SELECT t, bucket, count(*) AS n_b, min(vec_id) AS rep
+        |  FROM tb GROUP BY t, bucket),
+        |tcool AS (SELECT t, bucket FROM tstat WHERE n_b <= $LshBucketCap),
+        |tok AS (SELECT tb.* FROM tb JOIN tcool USING (t, bucket)),
+        |thot AS (SELECT t, bucket, rep FROM tstat WHERE n_b > $LshBucketCap),
+        |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  UNION ALL
+        |  SELECT h.rep AS vec_a, tb.vec_id AS vec_b
+        |  FROM tb JOIN thot h USING (t, bucket)
+        |  WHERE tb.vec_id <> h.rep)),
         |v AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
         |  FROM embeddings),
@@ -843,7 +998,15 @@ object SimilarityQueries {
     QueryDef("ann_recall_audit",
       (s, d) => {
         val truth = embeddingCosine(s, d).select(col("vec_a"), col("vec_b"))
-        val lsh = embeddingLsh(s, d)
+        // The LSH side is PROBE-BOUNDED: every ground-truth pair has
+        // vec_a < 128 (the bounded probe set), so LSH pairs with
+        // vec_a >= 128 can never match and need not be generated. The
+        // bounded form is exactly embeddingLsh filtered to vec_a < 128
+        // (see lshCandidates) but costs O(probe · bucket) instead of the
+        // full corpus-wide candidate volume — the audit that guards
+        // recall must itself stay bounded (the x30 sweep measured the
+        // unbounded audit at 5.8x growth on 3x data).
+        val lsh = cosineVerify(s, d, lshCandidates(s, d, Some(128)))
           .select(col("vec_a").as("l_a"), col("vec_b").as("l_b"))
         truth.join(lsh,
             col("vec_a") === col("l_a") && col("vec_b") === col("l_b"), "left")
@@ -855,7 +1018,7 @@ object SimilarityQueries {
               .otherwise(col("found").cast("double") /
                 col("total_true").cast("double")).as("recall"))
       },
-      Some("""WITH planes AS (
+      Some(s"""WITH planes AS (
         |  SELECT p, dim,
         |    CASE WHEN instr('02468ace',
         |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
@@ -871,8 +1034,21 @@ object SimilarityQueries {
         |tb AS (SELECT vec_id, p // 4 AS t,
         |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
         |  FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |tstat AS (SELECT t, bucket, count(*) AS n_b, min(vec_id) AS rep
+        |  FROM tb GROUP BY t, bucket),
+        |tcool AS (SELECT t, bucket FROM tstat WHERE n_b <= $LshBucketCap),
+        |tok AS (SELECT tb.* FROM tb JOIN tcool USING (t, bucket)),
+        |thot AS (SELECT t, bucket, rep FROM tstat
+        |  WHERE n_b > $LshBucketCap AND rep < 128),
+        |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 128
+        |  UNION ALL
+        |  SELECT h.rep AS vec_a, tb.vec_id AS vec_b
+        |  FROM tb JOIN thot h USING (t, bucket)
+        |  WHERE tb.vec_id <> h.rep)),
         |v AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
         |  FROM embeddings),
@@ -925,6 +1101,38 @@ object SimilarityQueries {
         |SELECT list_id, count(*) AS n_vectors, min(vec_id) AS min_vec,
         |  CAST((count(*) * 1000) // n_total AS BIGINT) AS share_pm
         |FROM assign CROSS JOIN tot GROUP BY list_id, n_total""".stripMargin)),
+
+    // Two-level IMI coarse-quantizer CONTRACT query: force k = 72 (>
+    // FlatKMax) on the standard fixture so trainChildren (super-grouped
+    // Lloyd) and assignTwoLevel (level-1 argmax over child-bearing
+    // supers, level-2 argmax over the winner's children) — the exact
+    // code path that carries IVF once list count grows with the corpus —
+    // produce a DuckDB-oracled result at every standard scale, not only
+    // inside unoracled scaled sweeps. Output is the per-list assignment
+    // profile (all-BIGINT: deterministic across engines; the float sim
+    // enters only argmax comparisons, the established Lloyd-oracle
+    // discipline). The oracle replays super training, sample super
+    // assignment, per-super seeded grouped Lloyd, and the two-level
+    // descent stage for stage (imiCtes).
+    QueryDef("ann_imi_assign",
+      (s, d) => {
+        import graft.operators.IvfCodebook
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val sup = cached(s, d, "imi_contract_super")(
+          IvfCodebook.train(s, v, k = ImiK1, iters = 2, sampleEvery = 4))
+        val tree = cached(s, d, "imi_contract_tree")(
+          IvfCodebook.trainChildren(s, v, sup, k2 = ImiK2, iters = 2,
+            sampleEvery = 4))
+        val cm = IvfCodebook.comps(v)
+        IvfCodebook.assignTwoLevel(cm, IvfCodebook.norms(cm), sup, tree)
+          .groupBy("list_id")
+          .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+      },
+      Some(s"""WITH ${lloydCtesFor("sup", "embeddings", ImiK1, 2, 4)},
+        |${imiCtes(ImiK2, 2, 4)}
+        |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(vec_id) AS min_vec
+        |FROM assign2 GROUP BY 1""".stripMargin)),
 
     // Semantic deduplication (SemDeDup-style): partition the corpus by the
     // trained k-means codebook, then WITHIN each cluster drop every vector

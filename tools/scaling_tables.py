@@ -18,7 +18,8 @@ labels = [l for l in ("x1", "x10", "x30") if (l, "cold") in runs]
 print("### Per-set seconds (cold = fresh index store, pays training; "
       "warm = steady state)\n")
 hdr = "| set | " + " | ".join(
-    f"{l} cold | {l} warm" for l in labels) + " | cold growth x1→x30 |"
+    f"{l} cold | {l} warm" for l in labels) + \
+    f" | cold growth {labels[0]}→{labels[-1]} |"
 print(hdr)
 print("|---|" + "---|" * (2 * len(labels) + 1))
 sets = [k for k, v in runs[(labels[0], "cold")]["sets"].items()]
@@ -32,8 +33,7 @@ for st in sets:
     a = runs[(labels[0], "cold")]["sets"].get(st, 0)
     b = runs[(labels[-1], "cold")]["sets"].get(st, 0)
     if a and b:
-        g = f"{b/a:.1f}× on {int(runs[(labels[-1],'cold')].get('sfmult',30))}× data" \
-            if False else f"{b/a:.1f}×"
+        g = f"{b/a:.1f}×"
     print(f"| {st} | " + " | ".join(cells) + f" | {g} |")
 tot = "| **total** | " + " | ".join(
     f"{runs.get((l, m), {}).get('value', 0):.0f}"
@@ -41,11 +41,14 @@ tot = "| **total** | " + " | ".join(
     f"{runs[(labels[-1], 'cold')]['value']/runs[(labels[0], 'cold')]['value']:.1f}× |"
 print(tot)
 
-print("\n### Heaviest queries at x30 (cold)\n")
-q30 = runs[(labels[-1], "cold")]["queries"]
-q1 = runs[(labels[0], "cold")]["queries"]
-qw = runs.get((labels[-1], "warm"), {}).get("queries", {})
-print("| query | x1 cold | x30 cold | x30 warm | cold growth (30× data) |")
+lo, hi = labels[0], labels[-1]
+print(f"\n### Heaviest queries at {hi} (cold)\n")
+q30 = runs[(hi, "cold")]["queries"]
+q1 = runs[(lo, "cold")]["queries"]
+qw = runs.get((hi, "warm"), {}).get("queries", {})
+mult = {"x1": 1, "x10": 10, "x30": 30}
+print(f"| query | {lo} cold | {hi} cold | {hi} warm | "
+      f"cold growth ({mult[hi] // mult[lo]}× data) |")
 print("|---|---|---|---|---|")
 for k, v in sorted(q30.items(), key=lambda kv: -kv[1])[:15]:
     a = q1.get(k, 0)
