@@ -290,9 +290,21 @@ object SimhashBits {
     if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
   }
 
-  def compute(text: UTF8String, hexDigits: Int): Long = {
+  def compute(text: UTF8String, hexDigits: Int): Long =
+    compute(text, hexDigits, 0)
+
+  /** `block` selects which 16-nibble (64-bit) slice of the sha256 digest
+    * the per-word votes read: block 0 is the canonical signature
+    * (identical to the 2-arg form, every existing oracle's semantics),
+    * blocks 1–3 are INDEPENDENT permuted-block signatures — the extra
+    * band tables the corpus-size dial adds once 16-bit bands saturate
+    * (see DedupQueries.simhashTables). One digest per word regardless of
+    * block count; sha256's 64 nibbles hold exactly 4 such blocks.
+    */
+  def compute(text: UTF8String, hexDigits: Int, block: Int): Long = {
     val str = text.toString
     val nBits = hexDigits * 4
+    val off = block * 16 // nibble offset of this 64-bit digest block
     val votes = new Array[Int](nBits)
     val md = sha.get()
     var start = 0
@@ -306,7 +318,7 @@ object SimhashBits {
           str.substring(start, end).getBytes(StandardCharsets.UTF_8))
         var b = 0
         while (b < nBits) {
-          val bit = (nib(d, b >> 2) >> (3 - (b & 3))) & 1
+          val bit = (nib(d, off + (b >> 2)) >> (3 - (b & 3))) & 1
           votes(b) += 2 * bit - 1
           b += 1
         }
@@ -319,8 +331,10 @@ object SimhashBits {
     sim
   }
 
-  /** Make `simhash_bits(text, hex_digits)` usable from SQL in `spark`. */
-  def register(spark: SparkSession): Unit =
+  /** Make `simhash_bits(text, hex_digits)` and the block-selecting
+    * `simhash_bits_block(text, hex_digits, block)` usable from SQL in
+    * `spark`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bits",
       { exprs =>
@@ -328,4 +342,45 @@ object SimhashBits {
         SimhashBits(exprs(0), exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits_block",
+      { exprs =>
+        require(exprs.length == 3,
+          "simhash_bits_block(text, hex_digits, block)")
+        SimhashBitsBlock(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+  }
+}
+
+/** [[SimhashBits]] with an explicit sha256 block selector — the extra
+  * band TABLES of the saturation dial (one 64-bit signature per digest
+  * block, up to 4). Block 0 is bit-identical to `simhash_bits`.
+  */
+case class SimhashBitsBlock(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_bits_block"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    SimhashBits.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, blk) => s"graft.functions.SimhashBits.compute($t, $n, $blk)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -65,6 +65,29 @@ object DedupQueries {
     math.min(16, 64 - java.lang.Long.numberOfLeadingZeros(target - 1))
   }
 
+  /** Number of simhash band TABLES, derived from corpus size — the
+    * "next dial" past band-width saturation. Width (simhashBandBits)
+    * stops growing at 16 bits (4 bands × 16 = the full 64-bit
+    * signature), which happens once n/20 > 2^16, i.e. ~1.31 M docs;
+    * beyond that, average bucket population grows with the corpus and
+    * the hot-band star-link alone carries the bound, trading recall.
+    * Each additional TABLE restores recall at linear cost: a fresh
+    * 4-band signature drawn from the NEXT 64-bit block of the same
+    * per-word sha256 digest (simhash_bits_block — one digest per word
+    * regardless of table count; 4 blocks available). One extra table
+    * per further 4x of corpus, capped at the digest's 4 blocks. INERT
+    * at every current scale (returns 1 up through x30 ≈ 150 k docs and
+    * far beyond); spec-pinned by DedupSpec so the x100 sweep meets a
+    * tested dial, not a TODO.
+    */
+  private[graft] def simhashTables(n: Long): Int = {
+    val saturation = 20L << 16 // ≈1.31 M docs: 16-bit bands at design point
+    var t = 1
+    var m = saturation
+    while (t < 4 && n > m) { t += 1; m *= 4 }
+    t
+  }
+
   /** Max document frequency a gram may have and still enter the Jaccard
     * self-join (see dedup_ngram_jaccard). 100 bounds any single join key
     * to ≤ 100²/2 pairs while keeping every discriminative gram.
@@ -106,6 +129,81 @@ object DedupQueries {
     table(s, d, "documents")
       .select(col("doc_id"),
         expr(s"simhash_bits(text, $hexDigits)").as("simhash"))
+  }
+
+  /** Banded simhash candidate pairs + exact hamming ≤ 3 verify on the
+    * CANONICAL block-0 signature — the body of `dedup_simhash_pairs`,
+    * parameterized by band-table count so the saturation dial
+    * ([[simhashTables]]) is exercisable below the corpus size that turns
+    * it on.
+    *
+    * DF-BOUND band join (the stop-gram / phash-band discipline applied
+    * to simhash): simhash bits are VOTE-BIASED — documents sharing a
+    * language's stopword profile vote the same way on high-frequency
+    * word hashes, so a constant FRACTION of the corpus can share one
+    * band value no matter how wide the bands get (the x30 measured
+    * sweep: 9.7x growth on 3x data with width-widening alone). Buckets
+    * at or below SimhashBandCap enumerate all pairs; hotter buckets
+    * STAR-LINK through the bucket's min-doc representative (O(bucket)
+    * pairs), so a duplicate group larger than the cap stays reachable
+    * while boilerplate buckets stay linear; the hamming verify gates
+    * every emitted pair. Mirrored in the DuckDB oracle. Tables beyond
+    * the first draw their 4 bands from successive 64-bit sha256 blocks
+    * (`simhash_bits_block`) — candidate generation only; the verify
+    * signature never changes, so extra tables are purely additive
+    * recall.
+    */
+  private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, nTables: Int): org.apache.spark.sql.DataFrame = {
+    val w = simhashBandBits(s, d)
+    graft.functions.SimhashBits.register(s)
+    // one 4-band-row-per-doc pipeline feeds both join sides — persist
+    // once (the tag names the width: same dataset ⇒ same width, but
+    // the name should say what the cache holds)
+    val sh = cached(s, d, s"simhash_4x$w")(
+      simhashBits(s, d, hexDigits = w))
+    val mask = (1 << w) - 1
+    val bands0 = sh.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("simhash"))
+      .withColumn("bv", expr(s"(simhash >> (b * $w)) & $mask"))
+      .select(col("doc_id"), col("b").as("band"), col("bv"))
+    val extraBands = (1 until nTables).map { t =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          expr(s"simhash_bits_block(text, $w, $t)").as("sig"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
+        .withColumn("bv", expr(s"(sig >> (b * $w)) & $mask"))
+        .select(col("doc_id"), (col("b") + lit(4 * t)).as("band"), col("bv"))
+    }
+    val bands = extraBands.foldLeft(bands0)(_ unionByName _)
+    val stats = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("n_b"), min(col("doc_id")).as("rep"))
+    val cool = stats.filter(col("n_b") <= SimhashBandCap)
+      .select("band", "bv")
+    val ok = bands.join(cool, Seq("band", "bv"), "left_semi")
+    val pairwise = ok.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      .join(ok.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("bv").as("bv_b")),
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // hot buckets are few (> cap docs each) — broadcast the (band, bv,
+    // rep) side
+    val hot = stats.filter(col("n_b") > SimhashBandCap)
+      .select(col("band"), col("bv"), col("rep"))
+    val star = bands.join(broadcast(hot), Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    pairwise.unionByName(star).distinct()
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Distinct (doc_id, word-3-gram) set over the corpus, persisted once per
@@ -667,58 +765,7 @@ object DedupQueries {
     // story: dedup_simhash is the signature operator, this is the
     // candidates+verify dedup built on it.
     QueryDef("dedup_simhash_pairs",
-      (s, d) => {
-        val w = simhashBandBits(s, d)
-        // one 4-band-row-per-doc pipeline feeds both join sides — persist
-        // once (the tag names the width: same dataset ⇒ same width, but
-        // the name should say what the cache holds)
-        val sh = cached(s, d, s"simhash_4x$w")(
-          simhashBits(s, d, hexDigits = w))
-        val bands = sh.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("b"))
-          .withColumn("bv", expr(s"(simhash >> (b * $w)) & ${(1 << w) - 1}"))
-        // DF-BOUND the band join (the stop-gram / phash-band discipline
-        // applied to simhash): simhash bits are VOTE-BIASED — documents
-        // sharing a language's stopword profile vote the same way on
-        // high-frequency word hashes, so a constant FRACTION of the
-        // corpus can share one band value no matter how wide the bands
-        // get (the x30 measured sweep: 9.7x growth on 3x data with
-        // width-widening alone). Buckets at or below SimhashBandCap
-        // enumerate all pairs; hotter buckets STAR-LINK through the
-        // bucket's min-doc representative (O(bucket) pairs), so a
-        // duplicate group larger than the cap stays reachable through
-        // its representative while boilerplate buckets stay linear; the
-        // hamming <= 3 verify still gates every emitted pair. Mirrored
-        // in the DuckDB oracle.
-        val stats = bands.groupBy("b", "bv")
-          .agg(count(lit(1)).as("n_b"), min(col("doc_id")).as("rep"))
-        val cool = stats.filter(col("n_b") <= SimhashBandCap)
-          .select("b", "bv")
-        val okBands = bands.join(cool, Seq("b", "bv"), "left_semi")
-        val a = okBands.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sim_a"), col("b"), col("bv"))
-        val bb = okBands.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sim_b"), col("b").as("b_b"), col("bv").as("bv_b"))
-        val pairwise = a.join(bb,
-            col("b") === col("b_b") && col("bv") === col("bv_b") &&
-              col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sim_a", "sim_b")
-        // hot buckets are few (> cap docs each) — broadcast their
-        // (b, bv, rep, rep-signature) side
-        val hot = stats.filter(col("n_b") > SimhashBandCap)
-          .select(col("b"), col("bv"), col("rep"))
-          .join(sh.select(col("doc_id").as("rep"),
-            col("simhash").as("sim_rep")), "rep")
-        val star = bands.join(broadcast(hot), Seq("b", "bv"))
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
-            col("sim_rep").as("sim_a"), col("simhash").as("sim_b"))
-        pairwise.unionByName(star).distinct()
-          .withColumn("hamming",
-            expr("bit_count(sim_a ^ sim_b)").cast("long"))
-          .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
-      },
+      (s, d) => simhashPairs(s, d, simhashTables(docCount(s, d))),
       Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |h AS (SELECT doc_id, substr(sha256(w), 1, 8) AS hx FROM w WHERE len(w) > 0),
         |e AS (SELECT doc_id, hx, unnest(range(0, 32)) AS b FROM h),

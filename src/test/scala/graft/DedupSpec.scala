@@ -110,6 +110,71 @@ class DedupSpec extends SparkSpec {
     graft.queries.Q.release(spark, dir)
   }
 
+  test("simhash table dial: corpus-size derivation is inert until saturation") {
+    import graft.queries.DedupQueries.simhashTables
+    // every current scale — standard fixtures through the x30 sweep and
+    // well beyond — stays on one table
+    for (n <- Seq(500L, 5000L, 150000L, 1000000L, 20L << 16))
+      assert(simhashTables(n) == 1, s"n=$n")
+    // one extra table per further 4x of corpus, capped at the sha256
+    // digest's 4 blocks
+    assert(simhashTables((20L << 16) + 1) == 2)
+    assert(simhashTables(4 * (20L << 16)) == 2)
+    assert(simhashTables(4 * (20L << 16) + 1) == 3)
+    assert(simhashTables(16 * (20L << 16) + 1) == 4)
+    assert(simhashTables(1L << 40) == 4)
+  }
+
+  test("simhash block signatures: block 0 is canonical, blocks are independent") {
+    import graft.functions.SimhashBits
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("the quick brown fox", "a b c d e f",
+      "one two  three", "solo")
+    for (t <- texts; w <- Seq(4, 8, 16)) {
+      val u = UTF8String.fromString(t)
+      assert(SimhashBits.compute(u, w, 0) == SimhashBits.compute(u, w),
+        s"block 0 must equal the 2-arg form ($t, $w)")
+      // independent reference model for block b: votes over nibbles
+      // [16b, 16b + w) of each word's sha256 hex digest
+      for (b <- 0 to 3) {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val votes = new Array[Int](w * 4)
+        t.split(" ").filter(_.nonEmpty).foreach { word =>
+          val hex = md.digest(word.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          for (bit <- 0 until w * 4) {
+            val nibble = Integer.parseInt(
+              hex.charAt(16 * b + bit / 4).toString, 16)
+            votes(bit) += 2 * ((nibble >> (3 - bit % 4)) & 1) - 1
+          }
+        }
+        val want = (0 until w * 4).foldLeft(0L)((acc, bit) =>
+          if (votes(bit) > 0) acc | (1L << bit) else acc)
+        assert(SimhashBits.compute(u, w, b) == want, s"($t, $w, block $b)")
+      }
+      // distinct blocks give distinct signatures for multi-word text
+      // (independent hash bits; equality would be a 2^-16 coincidence)
+      if (t.split(" ").count(_.nonEmpty) > 1)
+        assert(SimhashBits.compute(u, 16, 0) != SimhashBits.compute(u, 16, 1))
+    }
+  }
+
+  test("simhash extra tables are purely additive recall") {
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val two = graft.queries.DedupQueries.simhashPairs(spark, dir, nTables = 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // block-0 bands (and their caps) are untouched by extra tables, so
+    // the single-table pairs all survive; anything new still passed the
+    // canonical hamming <= 3 verify
+    assert(base.subsetOf(two),
+      s"missing ${(base -- two).take(5)} from the 2-table surface")
+    assert(two.forall(_._3 <= 3))
+  }
+
   override protected def afterAll(): Unit = {
     graft.queries.Q.release(spark, fixtureDir)
     super.afterAll()

@@ -13,6 +13,7 @@ import json, sys, os
 
 LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "target/scaling/logs"
 MODE = sys.argv[2] if len(sys.argv) > 2 else "cold"
+FLAGS_ONLY = len(sys.argv) > 3 and sys.argv[3] == "flags"
 SLACK = 1.6          # allowed factor above proportional growth
 MIN_BIG_SEC = 1.5    # ignore flags when the larger-scale time is tiny
 
@@ -45,6 +46,19 @@ for q in names:
             row["flag"] = f"SUPER-LINEAR {scales[i-1][0]}->{scales[i][0]} ({grow:.1f}x vs {ratio:.0f}x data)"
             flags.append((q, row["flag"], ts))
     rows.append(row)
+
+if FLAGS_ONLY:
+    for s in scales:
+        print(f"- {s[0]} ({MODE}): total {s[2]['value']:.1f} s over "
+              f"{len(s[2]['queries'])} queries")
+    if flags:
+        print(f"\nFLAGGED {len(flags)} super-linear queries:")
+        for q, f_, ts in flags:
+            tss = ", ".join("-" if t is None else f"{t:.2f}" for t in ts)
+            print(f"- `{q}` [{tss}] — {f_}")
+    else:
+        print("\nNo super-linear queries flagged.")
+    sys.exit(0)
 
 hdr = " | ".join(s[0] for s in scales)
 print(f"| query | {hdr} | growth | note |")
