@@ -17,8 +17,22 @@ FLAGS_ONLY = len(sys.argv) > 3 and sys.argv[3] == "flags"
 SLACK = 1.6          # allowed factor above proportional growth
 MIN_BIG_SEC = 1.5    # ignore flags when the larger-scale time is tiny
 
+def discover_labels(logdir, mode):
+    """All xN labels present for this mode, ordered by N — the scaling
+    ladder is whatever the log dir actually holds (x1/x10/x30 sweeps,
+    plus e.g. an x100 heavy-family extension)."""
+    labels = []
+    for fn in os.listdir(logdir):
+        if fn.endswith(f"-{mode}.json") and fn.startswith("x"):
+            lab = fn[: -len(f"-{mode}.json")]
+            try:
+                labels.append((lab, int(lab[1:])))
+            except ValueError:
+                pass
+    return sorted(labels, key=lambda lm: lm[1])
+
 scales = []
-for label, mult in [("x1", 1), ("x10", 10), ("x30", 30)]:
+for label, mult in discover_labels(LOGDIR, MODE):
     path = os.path.join(LOGDIR, f"{label}-{MODE}.json")
     if os.path.exists(path):
         with open(path) as f:

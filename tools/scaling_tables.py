@@ -6,14 +6,26 @@ import json, os, sys
 
 LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "target/scaling/logs-final"
 
+def discover_labels(logdir):
+    """All xN labels with a cold log, ordered by N."""
+    labels = []
+    for fn in os.listdir(logdir):
+        if fn.endswith("-cold.json") and fn.startswith("x"):
+            lab = fn[: -len("-cold.json")]
+            try:
+                labels.append((lab, int(lab[1:])))
+            except ValueError:
+                pass
+    return [l for l, _ in sorted(labels, key=lambda lm: lm[1])]
+
 runs = {}
-for label, mult in [("x1", 1), ("x10", 10), ("x30", 30)]:
+labels = discover_labels(LOGDIR)
+mult = {l: int(l[1:]) for l in labels}
+for label in labels:
     for mode in ("cold", "warm"):
         p = os.path.join(LOGDIR, f"{label}-{mode}.json")
         if os.path.exists(p):
             runs[(label, mode)] = json.load(open(p))
-
-labels = [l for l in ("x1", "x10", "x30") if (l, "cold") in runs]
 
 print("### Per-set seconds (cold = fresh index store, pays training; "
       "warm = steady state)\n")
@@ -46,7 +58,6 @@ print(f"\n### Heaviest queries at {hi} (cold)\n")
 q30 = runs[(hi, "cold")]["queries"]
 q1 = runs[(lo, "cold")]["queries"]
 qw = runs.get((hi, "warm"), {}).get("queries", {})
-mult = {"x1": 1, "x10": 10, "x30": 30}
 print(f"| query | {lo} cold | {hi} cold | {hi} warm | "
       f"cold growth ({mult[hi] // mult[lo]}× data) |")
 print("|---|---|---|---|---|")
@@ -64,8 +75,7 @@ for mode in ("cold", "warm"):
         ra = runs.get((a, mode)), runs.get((am, mode))
         if not (ra[0] and ra[1]):
             continue
-        ratio = {"x1": 1, "x10": 10, "x30": 30}[am] / \
-                {"x1": 1, "x10": 10, "x30": 30}[a]
+        ratio = mult[am] / mult[a]
         for k, v in ra[1]["queries"].items():
             u = ra[0]["queries"].get(k)
             if u and u > 0 and v >= 1.5 and v / u > 1.6 * ratio:
