@@ -220,6 +220,57 @@ object IvfCodebook {
     trainGrouped(spark, gc, k2, iters, sampleEvery = 1, seed = Some(seed))
   }
 
+  /** Per-super sampled Lloyd REFINEMENT of a trained two-level tree —
+    * the dial SCALING.md §5 records beyond [[trainChildren]]. Runs
+    * `passes` additional grouped Lloyd rounds over a deterministic
+    * sample (typically DENSER than the one training used): the sample
+    * re-partitions by the FIXED super centroids, then each pass
+    * re-assigns every sampled vector to the best child WITHIN its super
+    * and rebuilds child centroids as member sums — children tighten
+    * against the full level-1 catchment that base training only saw
+    * through its coarser sample. Supers never move, so the descent
+    * structure and every consumer contract hold: same (grp, cent_id)
+    * key set, globally-unique child ids, empty children keep their
+    * previous centroid (the [[stepGrouped]] discipline, same
+    * exact-integer arithmetic and tiebreaks — refinement is
+    * bit-deterministic like everything else here).
+    *
+    * `passes = 0` returns `children` UNCHANGED (reference-identical) —
+    * the inert setting every current scale resolves to; the caller
+    * derives `passes` from corpus size (the approximation error this
+    * repairs grows with the super count k1, which grows as √n). Cost
+    * per pass is one corpus-sample scan — O(sample·k2) centroid pairs,
+    * the same O(√k)-per-row shape as the tree itself.
+    */
+  def refineChildren(spark: SparkSession, embeddings: DataFrame,
+      superCents: DataFrame, children: DataFrame, passes: Int,
+      sampleEvery: Int = 1): DataFrame = {
+    if (passes <= 0) children
+    else {
+      import org.apache.spark.storage.StorageLevel
+      val all = comps(embeddings)
+      val c = (if (sampleEvery <= 1) all
+        else all.filter(col("vec_id") % sampleEvery === 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sa = assign(c, norms(c), broadcast(superCents))
+        val gc = c.join(sa, "vec_id")
+          .select(col("list_id").as("grp"), col("vec_id"), col("dim"),
+            col("qx"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val gn = gc.groupBy("grp", "vec_id")
+          .agg(sum(col("qx") * col("qx")).as("n2"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          var cents = children
+          for (_ <- 1 to passes)
+            cents = localizeGrouped(spark, stepGrouped(gc, gn, cents))
+          cents
+        } finally { gc.unpersist(); gn.unpersist(); () }
+      } finally { c.unpersist(); () }
+    }
+  }
+
   /** Two-level nearest-list assignment: level-1 argmax over the (child-
     * bearing) super centroids, then argmax over that super's children —
     * O(n·(k1 + k2)) where the flat [[assign]] pays O(n·k). Same exact-

@@ -128,16 +128,39 @@ object SimilarityQueries {
         k = ceilSqrt(ivfLists(s, d)), iters = 2, sampleEvery = 4)
     }
 
+  /** Refinement passes for the two-level tree, corpus-derived — the
+    * per-super sampled Lloyd refinement dial (SCALING.md §5): the IMI
+    * approximation a two-level tree makes (each vector lands in the
+    * best child OF ITS BEST SUPER) degrades as the super count k1 ≈
+    * √(n/125) grows, and the base 1-in-4 training sample sees each
+    * super's catchment ever more coarsely. Past 2^21 vectors (k ≈
+    * 16.8 k lists, k1 ≈ 130) one refinement pass re-tightens children
+    * on a denser (1-in-2) sample; past 2^25 (k ≈ 268 k, k1 ≈ 518) a
+    * second; never more — each pass is one corpus-sample scan at
+    * O(sample·k2). INERT at every current scale (x100 = 200 k vectors
+    * → 0 passes, so the trained tree is bit-identical to the
+    * underived behavior; spec-pinned breakpoints in IvfSpec).
+    */
+  private[graft] def imiRefinePasses(n: Long): Int =
+    if (n <= (1L << 21)) 0 else if (n <= (1L << 25)) 1 else 2
+
   /** Level-2 children keyed by parent super list: (grp, cent_id, dim,
-    * cs), ~k/√k children per super, globally-unique cent_ids. */
+    * cs), ~k/√k children per super, globally-unique cent_ids. Past the
+    * [[imiRefinePasses]] breakpoints, base training is followed by
+    * per-super sampled Lloyd refinement on a 1-in-2 sample (denser
+    * than training's 1-in-4) — inert at current scales. */
   private def trainedTree(s: SparkSession, d: String): DataFrame =
     trainedArtifact(s, d, "ivf_tree") {
       val k = ivfLists(s, d)
       val k1 = ceilSqrt(k)
-      graft.operators.IvfCodebook.trainChildren(s,
-        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        trainedSuper(s, d), k2 = (k + k1 - 1) / k1, iters = 2,
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = graft.operators.IvfCodebook.trainChildren(s,
+        emb, trainedSuper(s, d), k2 = (k + k1 - 1) / k1, iters = 2,
         sampleEvery = 4)
+      val n = java.lang.Long.parseLong(embKey(s, d).split("-")(0), 16)
+      graft.operators.IvfCodebook.refineChildren(s, emb,
+        trainedSuper(s, d), base, passes = imiRefinePasses(n),
+        sampleEvery = 2)
     }
 
   /** Full-corpus nearest-centroid assignment over the shared trained

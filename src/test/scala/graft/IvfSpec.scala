@@ -122,6 +122,71 @@ class IvfSpec extends SparkSpec {
       asg2.orderBy("vec_id").collect().toSeq)
   }
 
+  test("per-super Lloyd refinement: inert at 0 passes, deterministic, " +
+      "shape-preserving and catchment-tightening at 1") {
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (k1, k2) = (4, 3)
+    val sup = IvfCodebook.train(spark, v, k = k1, iters = 2, sampleEvery = 4)
+    // base tree on the COARSE training sample — exactly what trainedTree
+    // builds before the dial engages
+    val tree = IvfCodebook.trainChildren(spark, v, sup, k2 = k2, iters = 1,
+      sampleEvery = 4)
+
+    // 0 passes: reference-identical — the inert setting the derivation
+    // resolves to at every current scale, so the trained artifact (and
+    // every oracle downstream of it) is bit-identical to the pre-dial
+    // behavior
+    assert(IvfCodebook.refineChildren(spark, v, sup, tree, passes = 0,
+      sampleEvery = 2) eq tree)
+
+    // 1 pass on the denser 1-in-2 sample: bit-deterministic, and the
+    // (grp, cent_id) key set is preserved (consumers broadcast the same
+    // tree shape; only the centroid sums move)
+    val r1 = IvfCodebook.refineChildren(spark, v, sup, tree, passes = 1,
+      sampleEvery = 2)
+    val r1b = IvfCodebook.refineChildren(spark, v, sup, tree, passes = 1,
+      sampleEvery = 2)
+    assert(r1.orderBy("grp", "cent_id", "dim").collect().toSeq ==
+      r1b.orderBy("grp", "cent_id", "dim").collect().toSeq)
+    assert(r1.select("grp", "cent_id").distinct().orderBy("grp", "cent_id")
+        .collect().toSeq ==
+      tree.select("grp", "cent_id").distinct().orderBy("grp", "cent_id")
+        .collect().toSeq)
+
+    // the refinement objective: mean best-child similarity over the
+    // refinement sample must not DEGRADE (one Lloyd round over the exact
+    // sample it then serves; on a base tree trained from the coarser
+    // sample it should tighten)
+    def meanBestSim(children: org.apache.spark.sql.DataFrame): Double = {
+      val cm = IvfCodebook.comps(v).filter(col("vec_id") % 2 === 0)
+      val nm = IvfCodebook.norms(cm)
+      val level1 = IvfCodebook.assign(cm, nm, sup)
+        .select(col("vec_id"), col("list_id").as("super"))
+      val parentOf = children.select(col("cent_id"), col("grp").as("parent"))
+        .distinct()
+      IvfCodebook.similarities(cm, nm, children.drop("grp"))
+        .join(parentOf, "cent_id").join(level1, "vec_id")
+        .filter(col("parent") === col("super"))
+        .groupBy("vec_id").agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).as[Double].collect().head
+    }
+    val (base, refined) = (meanBestSim(tree), meanBestSim(r1))
+    info(f"mean best-child sim: base=$base%.6f refined=$refined%.6f")
+    assert(refined >= base - 1e-12,
+      s"refinement degraded the sample catchment: $base -> $refined")
+
+    // derivation breakpoints (the dial itself): inert through 2^21
+    // vectors, one pass to 2^25, two past that — never more
+    assert(graft.queries.SimilarityQueries.imiRefinePasses(1L) == 0)
+    assert(graft.queries.SimilarityQueries.imiRefinePasses(200000L) == 0) // x100 point
+    assert(graft.queries.SimilarityQueries.imiRefinePasses(1L << 21) == 0)
+    assert(graft.queries.SimilarityQueries.imiRefinePasses((1L << 21) + 1) == 1)
+    assert(graft.queries.SimilarityQueries.imiRefinePasses(1L << 25) == 1)
+    assert(graft.queries.SimilarityQueries.imiRefinePasses((1L << 25) + 1) == 2)
+    assert(graft.queries.SimilarityQueries.imiRefinePasses(Long.MaxValue / 2) == 2)
+  }
+
   test("LSH recall audit finds most true pairs and never over-counts") {
     val r = SparkEntry.queries("ann_recall_audit")(spark, dir).collect().head
     val total = r.getAs[Long]("total_true")
