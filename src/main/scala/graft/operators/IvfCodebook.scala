@@ -253,7 +253,16 @@ object IvfCodebook {
         else all.filter(col("vec_id") % sampleEvery === 0))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val sa = assign(c, norms(c), broadcast(superCents))
+        // Refinement catchments must MATCH SERVING: assignTwoLevel
+        // restricts its level-1 argmax to child-bearing supers (supOk),
+        // so the refinement sample is partitioned the same way — a
+        // sampled vector whose best super is childless refines within
+        // the super it will actually be served from, instead of being
+        // silently dropped by the stepGrouped inner join.
+        val supOk = superCents.join(
+          children.select(col("grp").as("cent_id")).distinct(),
+          Seq("cent_id"), "left_semi")
+        val sa = assign(c, norms(c), broadcast(supOk))
         val gc = c.join(sa, "vec_id")
           .select(col("list_id").as("grp"), col("vec_id"), col("dim"),
             col("qx"))

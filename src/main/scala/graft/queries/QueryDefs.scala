@@ -116,13 +116,40 @@ object Q {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Nanoseconds this JVM has spent MATERIALIZING shared cached
+    * intermediates (memo misses: build + persist + populate). Bench
+    * samples it around each query — the same first-payer attribution
+    * discipline as IndexStore.trainNanos — so a query that happens to be
+    * the first consumer of an expensive shared chain (minhash bands,
+    * verified pair set, cluster assignment, …) reports {build_s, query_s}
+    * instead of one conflated number. Round 9's driver bench had 13–42×
+    * -vs-floor rows that were unattributable for exactly this reason.
+    * Only the OUTERMOST build on a thread accumulates (nested cached
+    * builds — e.g. near_dup_pairs building minhash_cand — count once).
+    * When a cached build trains an IndexStore artifact, that train time
+    * is a subset of this build time (build_s ⊇ train_s for that query).
+    */
+  private val buildNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  def buildNanos: Long = buildNanosAcc.get()
+
   def cached(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, d, tag), {
-      val df = build.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // populate blocks once; self-joins then read them
-      df
+      val depth = buildDepth.get()
+      buildDepth.set(depth + 1)
+      val t0 = System.nanoTime()
+      try {
+        val df = build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // populate blocks once; self-joins then read them
+        df
+      } finally {
+        buildDepth.set(depth)
+        if (depth == 0) { buildNanosAcc.addAndGet(System.nanoTime() - t0); () }
+      }
     })
 
   /** Release every memoized intermediate held for `s` (all data dirs, all

@@ -149,19 +149,27 @@ object SimilarityQueries {
     * [[imiRefinePasses]] breakpoints, base training is followed by
     * per-super sampled Lloyd refinement on a 1-in-2 sample (denser
     * than training's 1-in-4) — inert at current scales. */
-  private def trainedTree(s: SparkSession, d: String): DataFrame =
-    trainedArtifact(s, d, "ivf_tree") {
+  private def trainedTree(s: SparkSession, d: String): DataFrame = {
+    val n = java.lang.Long.parseLong(embKey(s, d).split("-")(0), 16)
+    val passes = imiRefinePasses(n)
+    // The artifact tag carries the refinement-dial configuration
+    // (passes derivation outcome + refinement sample density): the store
+    // key is otherwise only (tag, fixture digest), so a future change to
+    // the breakpoints or pass parameters would silently serve stale
+    // pre-change trees for large fixtures. Same retrain-on-key-change
+    // discipline as a digest change. At every current scale passes = 0,
+    // where the tag pins the refinement-free tree explicitly.
+    trainedArtifact(s, d, s"ivf_tree_r${passes}s2") {
       val k = ivfLists(s, d)
       val k1 = ceilSqrt(k)
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val base = graft.operators.IvfCodebook.trainChildren(s,
         emb, trainedSuper(s, d), k2 = (k + k1 - 1) / k1, iters = 2,
         sampleEvery = 4)
-      val n = java.lang.Long.parseLong(embKey(s, d).split("-")(0), 16)
       graft.operators.IvfCodebook.refineChildren(s, emb,
-        trainedSuper(s, d), base, passes = imiRefinePasses(n),
-        sampleEvery = 2)
+        trainedSuper(s, d), base, passes = passes, sampleEvery = 2)
     }
+  }
 
   /** Full-corpus nearest-centroid assignment over the shared trained
     * codebook, persisted once per (session, dataset): `ann_ivf_topk`'s
@@ -687,63 +695,68 @@ object SimilarityQueries {
     * drift from the trainGrouped iteration count.
     */
   private def imiCtes(k2: Int, iters: Int, sampleEvery: Int): String = {
+    // Every CTE is MATERIALIZED: this suffix references the sup* Lloyd
+    // prefix (suptc/supcomps/supnq/sups/supr) and its own chc*/chgc chain
+    // many times; a plain CTE would let DuckDB inline and re-execute the
+    // whole Lloyd replay per reference (~10 min at sf0.01 measured vs
+    // 0.4 s materialized, identical rows) — the round-9 gate-zeroing bug.
     val sb = new StringBuilder
     sb.append(
-      s"""sassign AS (SELECT vec_id, cent_id AS grp FROM supr$iters
+      s"""sassign AS MATERIALIZED (SELECT vec_id, cent_id AS grp FROM supr$iters
         |  WHERE rn = 1 AND vec_id % $sampleEvery = 0),
-        |chgc AS (SELECT sa.grp, c.vec_id, c.dim, c.qx
+        |chgc AS MATERIALIZED (SELECT sa.grp, c.vec_id, c.dim, c.qx
         |  FROM suptc c JOIN sassign sa USING (vec_id)),
-        |chn AS (SELECT grp, vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+        |chn AS MATERIALIZED (SELECT grp, vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
         |  FROM chgc GROUP BY 1, 2),
-        |chseed AS (SELECT grp, vec_id,
+        |chseed AS MATERIALIZED (SELECT grp, vec_id,
         |    row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rk
         |  FROM sassign),
-        |chc0 AS (SELECT g.grp, g.vec_id AS cent_id, g.dim, g.qx AS cs
+        |chc0 AS MATERIALIZED (SELECT g.grp, g.vec_id AS cent_id, g.dim, g.qx AS cs
         |  FROM chgc g JOIN chseed r ON g.grp = r.grp AND g.vec_id = r.vec_id
         |  WHERE r.rk <= $k2)""".stripMargin)
     for (t <- 0 until iters) {
       sb.append(s""",
-        |chcn$t AS (SELECT grp, cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+        |chcn$t AS MATERIALIZED (SELECT grp, cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
         |  FROM chc$t GROUP BY 1, 2),
-        |chd$t AS (SELECT g.grp, g.vec_id, c.cent_id,
+        |chd$t AS MATERIALIZED (SELECT g.grp, g.vec_id, c.cent_id,
         |    CAST(sum(g.qx * c.cs) AS BIGINT) AS dot
         |  FROM chgc g JOIN chc$t c ON g.grp = c.grp AND g.dim = c.dim
         |  GROUP BY 1, 2, 3),
-        |chs$t AS (SELECT d.grp, d.vec_id, d.cent_id,
+        |chs$t AS MATERIALIZED (SELECT d.grp, d.vec_id, d.cent_id,
         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
         |  FROM chd$t d JOIN chn n ON d.grp = n.grp AND d.vec_id = n.vec_id
         |  JOIN chcn$t cc ON d.grp = cc.grp AND d.cent_id = cc.cent_id),
-        |chr$t AS (SELECT grp, vec_id, cent_id,
+        |chr$t AS MATERIALIZED (SELECT grp, vec_id, cent_id,
         |    row_number() OVER (PARTITION BY grp, vec_id ORDER BY sim DESC, cent_id) AS rn
         |  FROM chs$t),
-        |cha$t AS (SELECT grp, vec_id, cent_id AS list_id FROM chr$t WHERE rn = 1),
-        |chm${t + 1} AS (SELECT g.grp, a.list_id AS cent_id, g.dim,
+        |cha$t AS MATERIALIZED (SELECT grp, vec_id, cent_id AS list_id FROM chr$t WHERE rn = 1),
+        |chm${t + 1} AS MATERIALIZED (SELECT g.grp, a.list_id AS cent_id, g.dim,
         |    CAST(sum(g.qx) AS BIGINT) AS cs_new
         |  FROM chgc g JOIN cha$t a ON g.grp = a.grp AND g.vec_id = a.vec_id
         |  GROUP BY 1, 2, 3),
-        |chc${t + 1} AS (SELECT c.grp, c.cent_id, c.dim,
+        |chc${t + 1} AS MATERIALIZED (SELECT c.grp, c.cent_id, c.dim,
         |    coalesce(m.cs_new, c.cs) AS cs
         |  FROM chc$t c LEFT JOIN chm${t + 1} m
         |    ON c.grp = m.grp AND c.cent_id = m.cent_id AND c.dim = m.dim)""".stripMargin)
     }
     sb.append(s""",
-      |supok AS (SELECT DISTINCT grp AS cent_id FROM chc$iters),
-      |l1 AS (SELECT vec_id, cent_id AS grp FROM (
+      |supok AS MATERIALIZED (SELECT DISTINCT grp AS cent_id FROM chc$iters),
+      |l1 AS MATERIALIZED (SELECT vec_id, cent_id AS grp FROM (
       |  SELECT s.vec_id, s.cent_id,
       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cent_id) AS rn
       |  FROM sups$iters s JOIN supok o ON s.cent_id = o.cent_id) WHERE rn = 1),
-      |chcnf AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+      |chcnf AS MATERIALIZED (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
       |  FROM chc$iters GROUP BY 1),
-      |l2d AS (SELECT c.vec_id, ch.cent_id,
+      |l2d AS MATERIALIZED (SELECT c.vec_id, ch.cent_id,
       |    CAST(sum(c.qx * ch.cs) AS BIGINT) AS dot
       |  FROM supcomps c JOIN l1 ON c.vec_id = l1.vec_id
       |  JOIN chc$iters ch ON ch.grp = l1.grp AND ch.dim = c.dim
       |  GROUP BY 1, 2),
-      |l2s AS (SELECT d.vec_id, d.cent_id,
+      |l2s AS MATERIALIZED (SELECT d.vec_id, d.cent_id,
       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
       |  FROM l2d d JOIN supnq n ON d.vec_id = n.vec_id
       |  JOIN chcnf cc ON d.cent_id = cc.cent_id),
-      |assign2 AS (SELECT vec_id, cent_id AS list_id FROM (
+      |assign2 AS MATERIALIZED (SELECT vec_id, cent_id AS list_id FROM (
       |  SELECT vec_id, cent_id,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
       |  FROM l2s) WHERE rn = 1)""".stripMargin)
@@ -757,33 +770,38 @@ object SimilarityQueries {
     */
   private def lloydCtesFor(pfx: String, srcRel: String, k: Int, iters: Int,
       sampleEvery: Int): String = {
+    // Every CTE is MATERIALIZED: downstream suffixes (imiCtes, probe/assign
+    // stages) reference these names repeatedly, and DuckDB inlines plain
+    // CTEs — re-executing the whole Lloyd chain once per reference. The
+    // round-9 gate loss traced to exactly that (ann_imi_assign ~10 min at
+    // sf0.01 un-hinted vs 0.4 s materialized, identical rows).
     val sb = new StringBuilder
     sb.append(
-      s"""${pfx}comps AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+      s"""${pfx}comps AS MATERIALIZED (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
         |  FROM $srcRel),
-        |${pfx}tc AS (SELECT * FROM ${pfx}comps WHERE vec_id % $sampleEvery = 0),
-        |${pfx}nq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM ${pfx}comps GROUP BY 1),
-        |${pfx}c0 AS (SELECT vec_id AS cent_id, dim, qx AS cs FROM ${pfx}comps WHERE vec_id < $k)""".stripMargin)
+        |${pfx}tc AS MATERIALIZED (SELECT * FROM ${pfx}comps WHERE vec_id % $sampleEvery = 0),
+        |${pfx}nq AS MATERIALIZED (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM ${pfx}comps GROUP BY 1),
+        |${pfx}c0 AS MATERIALIZED (SELECT vec_id AS cent_id, dim, qx AS cs FROM ${pfx}comps WHERE vec_id < $k)""".stripMargin)
     for (t <- 0 to iters) {
       // training rounds (t < iters) assign only the SAMPLE; the final
       // round scores the FULL corpus against the trained centroids
       val src = if (t < iters) s"${pfx}tc" else s"${pfx}comps"
       sb.append(s""",
-        |${pfx}cn$t AS (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM ${pfx}c$t GROUP BY 1),
-        |${pfx}d$t AS (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
+        |${pfx}cn$t AS MATERIALIZED (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2 FROM ${pfx}c$t GROUP BY 1),
+        |${pfx}d$t AS MATERIALIZED (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
         |  FROM $src JOIN ${pfx}c$t USING (dim) GROUP BY 1, 2),
-        |${pfx}s$t AS (SELECT ${pfx}d$t.vec_id, ${pfx}d$t.cent_id,
+        |${pfx}s$t AS MATERIALIZED (SELECT ${pfx}d$t.vec_id, ${pfx}d$t.cent_id,
         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
         |  FROM ${pfx}d$t JOIN ${pfx}nq ON ${pfx}d$t.vec_id = ${pfx}nq.vec_id JOIN ${pfx}cn$t ON ${pfx}d$t.cent_id = ${pfx}cn$t.cent_id),
-        |${pfx}r$t AS (SELECT vec_id, cent_id,
+        |${pfx}r$t AS MATERIALIZED (SELECT vec_id, cent_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
         |  FROM ${pfx}s$t)""".stripMargin)
       if (t < iters) sb.append(s""",
-        |${pfx}a$t AS (SELECT vec_id, cent_id AS list_id FROM ${pfx}r$t WHERE rn = 1),
-        |${pfx}m${t + 1} AS (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
+        |${pfx}a$t AS MATERIALIZED (SELECT vec_id, cent_id AS list_id FROM ${pfx}r$t WHERE rn = 1),
+        |${pfx}m${t + 1} AS MATERIALIZED (SELECT list_id AS cent_id, dim, CAST(sum(qx) AS BIGINT) AS cs_new
         |  FROM ${pfx}tc JOIN ${pfx}a$t USING (vec_id) GROUP BY 1, 2),
-        |${pfx}c${t + 1} AS (SELECT ${pfx}c$t.cent_id, ${pfx}c$t.dim, coalesce(${pfx}m${t + 1}.cs_new, ${pfx}c$t.cs) AS cs
+        |${pfx}c${t + 1} AS MATERIALIZED (SELECT ${pfx}c$t.cent_id, ${pfx}c$t.dim, coalesce(${pfx}m${t + 1}.cs_new, ${pfx}c$t.cs) AS cs
         |  FROM ${pfx}c$t LEFT JOIN ${pfx}m${t + 1}
         |    ON ${pfx}c$t.cent_id = ${pfx}m${t + 1}.cent_id AND ${pfx}c$t.dim = ${pfx}m${t + 1}.dim)""".stripMargin)
     }

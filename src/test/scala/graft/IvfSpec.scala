@@ -161,7 +161,12 @@ class IvfSpec extends SparkSpec {
     def meanBestSim(children: org.apache.spark.sql.DataFrame): Double = {
       val cm = IvfCodebook.comps(v).filter(col("vec_id") % 2 === 0)
       val nm = IvfCodebook.norms(cm)
-      val level1 = IvfCodebook.assign(cm, nm, sup)
+      // level-1 over the child-bearing subset — the SERVING catchment
+      // (assignTwoLevel's supOk), which refinement now also partitions by
+      val supOk = sup.join(
+        children.select(col("grp").as("cent_id")).distinct(),
+        Seq("cent_id"), "left_semi")
+      val level1 = IvfCodebook.assign(cm, nm, supOk)
         .select(col("vec_id"), col("list_id").as("super"))
       val parentOf = children.select(col("cent_id"), col("grp").as("parent"))
         .distinct()

@@ -28,7 +28,11 @@ def discover_labels(logdir, mode):
             try:
                 labels.append((lab, int(lab[1:])))
             except ValueError:
-                pass
+                # a mis-named sweep must be VISIBLY excluded, not silently
+                # dropped from the ladder (e.g. "x100-heavy" where the
+                # harness expects the scale label to be x<int> exactly)
+                print(f"WARNING: skipping {fn}: label {lab!r} is not x<int>",
+                      file=sys.stderr)
     return sorted(labels, key=lambda lm: lm[1])
 
 scales = []
@@ -57,7 +61,7 @@ for q in names:
         ratio = scales[i][1] / scales[i - 1][1]
         grow = b / max(a, 1e-9)
         if grow > SLACK * ratio and b >= MIN_BIG_SEC:
-            row["flag"] = f"SUPER-LINEAR {scales[i-1][0]}->{scales[i][0]} ({grow:.1f}x vs {ratio:.0f}x data)"
+            row["flag"] = f"SUPER-LINEAR {scales[i-1][0]}->{scales[i][0]} ({grow:.1f}x vs {ratio:.1f}x data)"
             flags.append((q, row["flag"], ts))
     rows.append(row)
 

@@ -80,7 +80,7 @@ for mode in ("cold", "warm"):
             u = ra[0]["queries"].get(k)
             if u and u > 0 and v >= 1.5 and v / u > 1.6 * ratio:
                 flags.append(f"{k} {a}→{am}: {u:.2f}→{v:.2f} "
-                             f"({v/u:.1f}× on {ratio:.0f}× data)")
+                             f"({v/u:.1f}× on {ratio:.1f}× data)")
     print(f"\n### {mode} flags (>1.6× the data ratio, t≥1.5 s)\n")
     if flags:
         for f in flags:
