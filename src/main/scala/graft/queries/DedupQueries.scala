@@ -329,11 +329,11 @@ object DedupQueries {
     val bands = (0 to 3).map(b =>
       s"SELECT doc_id, $b AS band, mh${4 * b}||mh${4 * b + 1}||mh${4 * b + 2}||mh${4 * b + 3} AS bv FROM mh")
       .mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
-      |sh AS (SELECT doc_id, sha256(substr(t, i, 5)) || md5(substr(t, i, 5)) AS h
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, sha256(substr(t, i, 5)) || md5(substr(t, i, 5)) AS h
       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1), 2)) AS i FROM t)),
-      |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
-      |bands AS ($bands)""".stripMargin
+      |mh AS MATERIALIZED (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+      |bands AS MATERIALIZED ($bands)""".stripMargin
   }
 
   /** DuckDB rendering of [[minhashCandidates]]: a CTE prefix ending in
@@ -341,12 +341,12 @@ object DedupQueries {
     */
   private val MinhashCandSql: String =
     s"""$MinhashBandsSql,
-      |mstat AS (SELECT band, bv, count(*) AS n_b, min(doc_id) AS rep
+      |mstat AS MATERIALIZED (SELECT band, bv, count(*) AS n_b, min(doc_id) AS rep
       |  FROM bands GROUP BY band, bv),
-      |mcool AS (SELECT band, bv FROM mstat WHERE n_b <= $MinhashBandCap),
-      |mbands AS (SELECT bands.* FROM bands JOIN mcool USING (band, bv)),
-      |mhot AS (SELECT band, bv, rep FROM mstat WHERE n_b > $MinhashBandCap),
-      |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |mcool AS MATERIALIZED (SELECT band, bv FROM mstat WHERE n_b <= $MinhashBandCap),
+      |mbands AS MATERIALIZED (SELECT bands.* FROM bands JOIN mcool USING (band, bv)),
+      |mhot AS MATERIALIZED (SELECT band, bv, rep FROM mstat WHERE n_b > $MinhashBandCap),
+      |cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM mbands a JOIN mbands b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
@@ -392,20 +392,20 @@ object DedupQueries {
     */
   private val NearDupSql: String =
     s"""$MinhashCandSql,
-      |cd AS (SELECT doc_a AS doc_id FROM cand
+      |cd AS MATERIALIZED (SELECT doc_a AS doc_id FROM cand
       |  UNION SELECT doc_b FROM cand),
-      |g AS (SELECT doc_id, gram FROM (
+      |g AS MATERIALIZED (SELECT doc_id, gram FROM (
       |    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |    FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
       |  WHERE doc_id IN (SELECT doc_id FROM cd)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i_n
+      |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS i_n
       |  FROM cand c
       |  JOIN g a ON a.doc_id = c.doc_a
       |  JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
       |  GROUP BY 1, 2),
-      |ndup AS (SELECT doc_a, doc_b,
+      |ndup AS MATERIALIZED (SELECT doc_a, doc_b,
       |    CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) AS jaccard
       |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       |  WHERE CAST(i_n AS DOUBLE) / (sa.n + sb.n - i_n) >= 0.5)""".stripMargin
@@ -932,9 +932,9 @@ object DedupQueries {
     QueryDef("dedup_clusters",
       (s, d) => clusterAssignments(s, d),
       Some(s"""${NearDupSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |edges AS (SELECT doc_a AS u, doc_b AS w FROM ndup
+        |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS w FROM ndup
         |  UNION SELECT doc_b, doc_a FROM ndup),
-        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM edges),
         |reach(v, r) AS (
         |  SELECT v, v FROM verts
         |  UNION
@@ -1091,9 +1091,9 @@ object DedupQueries {
           .select("doc_id")
       },
       Some(s"""${NearDupSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |edges AS (SELECT doc_a AS u, doc_b AS w FROM ndup
+        |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS w FROM ndup
         |  UNION SELECT doc_b, doc_a FROM ndup),
-        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM edges),
         |reach(v, r) AS (
         |  SELECT v, v FROM verts
         |  UNION
