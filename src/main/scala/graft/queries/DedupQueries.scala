@@ -799,6 +799,51 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
 
+    // Band-bucket OCCUPANCY histogram for the simhash band table — the
+    // measurement behind the star-link saturation claim (SCALING.md §6):
+    // pair work in the banded join is Σ min(n_b, cap)·n_b per bucket, so
+    // the occupancy DISTRIBUTION (not just the mean the width dial
+    // targets) is what bounds growth. One groupBy over the shared band
+    // table; bucket sizes bin by bit length (floor(log2)+1 — integer-
+    // exact in both engines via length(bin(n))), and the top bins show
+    // directly how much mass sits above SimhashBandCap (the star-linked
+    // share). Cheap enough to run in every gate sweep.
+    QueryDef("dedup_simhash_occupancy",
+      (s, d) => {
+        val w = simhashBandBits(s, d)
+        val sh = cached(s, d, s"simhash_4x$w")(
+          simhashBits(s, d, hexDigits = w))
+        val mask = (1 << w) - 1
+        val bands = sh.select(col("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("b"), col("simhash"))
+          .withColumn("bv", expr(s"(simhash >> (b * $w)) & $mask"))
+        val stats = bands.groupBy("b", "bv").agg(count(lit(1)).as("n_b"))
+        stats.groupBy(length(bin(col("n_b"))).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum("n_b").cast("long").as("n_docs"),
+            max("n_b").cast("long").as("max_bucket"))
+      },
+      Some(s"""WITH w AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS MATERIALIZED (SELECT doc_id, substr(sha256(w), 1, 8) AS hx FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, hx, unnest(range(0, 32)) AS b FROM h),
+        |v AS (SELECT doc_id, b,
+        |  ((instr('$Hex', substr(hx, (b // 4) + 1, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+        |  FROM e),
+        |votes AS MATERIALIZED (SELECT doc_id, b, CAST(sum(2 * bit - 1) AS BIGINT) AS vote
+        |  FROM v GROUP BY 1, 2),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bands0 AS (SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
+        |sstat AS (SELECT b, bv, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM bands0 GROUP BY b, bv)
+        |SELECT CAST(len(bin(n_b)) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n_b) AS BIGINT) AS n_docs,
+        |  CAST(max(n_b) AS BIGINT) AS max_bucket
+        |FROM sstat GROUP BY 1""".stripMargin)),
+
     // SimHash: 16-bit signature from per-word sha256 bit votes.
     QueryDef("dedup_simhash",
       (s, d) => simhashBits(s, d, hexDigits = 4),

@@ -1114,6 +1114,55 @@ object SimilarityQueries {
         |      / CAST(count(*) AS DOUBLE) END AS recall
         |FROM truep t LEFT JOIN lshp l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b""".stripMargin)),
 
+    // Bucket OCCUPANCY histogram for the embedding-LSH band table — the
+    // twin of dedup_simhash_occupancy on the vector side, and the
+    // measurement behind the LshBucketCap saturation claim: candidate
+    // work is Σ min(n_b, cap)·n_b per (table, bucket), so the occupancy
+    // distribution (how much mass sits in the top bins, above the cap)
+    // is the number that says whether star-linking is carrying a
+    // constant corpus fraction or a vanishing one. Bucket sizes bin by
+    // bit length (integer-exact via length(bin(n))); one groupBy over
+    // the banding the candidate join already computes.
+    QueryDef("ann_lsh_occupancy",
+      (s, d) => {
+        graft.functions.LshBits.register(s)
+        val b = lshTableBits(s, d)
+        val tb = table(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr(s"lsh_bits(embedding, ${4 * b})").as("bits"))
+          .select(col("vec_id"),
+            explode(sequence(lit(0L), lit(3L))).as("t"), col("bits"))
+          .withColumn("bucket", expr(s"(bits >> (t * $b)) & ${(1 << b) - 1}"))
+        val stats = tb.groupBy("t", "bucket").agg(count(lit(1)).as("n_b"))
+        stats.groupBy(length(bin(col("n_b"))).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum("n_b").cast("long").as("n_vectors"),
+            max("n_b").cast("long").as("max_bucket"))
+      },
+      Some(s"""WITH planes AS (
+        |  SELECT p, dim,
+        |    CASE WHEN instr('02468ace',
+        |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS p),
+        |       (SELECT unnest(range(1, 65)) AS dim)),
+        |comps AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |proj AS MATERIALIZED (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+        |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
+        |tb AS (SELECT vec_id, p // 4 AS t,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |tstat AS (SELECT t, bucket, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM tb GROUP BY t, bucket)
+        |SELECT CAST(len(bin(n_b)) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n_b) AS BIGINT) AS n_vectors,
+        |  CAST(max(n_b) AS BIGINT) AS max_bucket
+        |FROM tstat GROUP BY 1""".stripMargin)),
+
 
     // Corpus clustering profile over the TRAINED codebook: every vector
     // assigned to its nearest list, then per-list sizes and per-mille
