@@ -312,6 +312,85 @@ object IvfCodebook {
       .select(col("vec_id"), col("cent_id").as("list_id"))
   }
 
+  /** Third quantizer level: per-MID sub-codebooks of ~`k3` centroids each
+    * — children of the two-level tree's children, trained by the same
+    * deterministic grouped Lloyd. This is the dial past [[trainChildren]]
+    * (SCALING.md §5): once list count k grows to where even √k exceeds
+    * the flat-Lloyd comfort zone (k1 > FlatKMax at k > 4096 lists,
+    * n ≈ 512 k vectors at the 125-vectors/list target), the two-level
+    * tree's own super codebook hits the wall the tree was built to
+    * avoid. A third level restores the bound: k1 ≈ k2 ≈ k3 ≈ ∛k, so
+    * training touches O(sample·3∛k) centroid pairs per iteration and
+    * full-corpus assignment costs O(n·3∛k).
+    *
+    * `mids` is the (grp=super, cent_id=mid, dim, cs) output of
+    * [[trainChildren]]; the sample descends the two-level tree
+    * ([[assignTwoLevel]] — the exact serving path, so train and serve
+    * catchments match by construction), then a grouped Lloyd keyed by
+    * mid trains ~k3 children per mid. Returns (grp=mid, cent_id, dim,
+    * cs) with globally-unique cent_ids (seeds are member vec_ids and
+    * the mid assignment partitions vectors). Mids with no sample
+    * members produce no grandchildren — [[assignThreeLevel]] restricts
+    * its descent to grandchild-bearing mids, so every vector still
+    * lands in a real list.
+    */
+  def trainGrandChildren(spark: SparkSession, embeddings: DataFrame,
+      superCents: DataFrame, mids: DataFrame, k3: Int, iters: Int,
+      sampleEvery: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = comps(embeddings)
+    val c = if (sampleEvery <= 1) all
+      else all.filter(col("vec_id") % sampleEvery === 0)
+    val sa = assignTwoLevel(c, norms(c), superCents, mids)
+    val gc = c.join(sa, "vec_id")
+      .select(col("list_id").as("grp"), col("vec_id"), col("dim"),
+        col("qx"))
+    // per-group seed: the k3 lowest vec_ids WITHIN each mid list
+    val ranked = sa
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("list_id").orderBy("vec_id")))
+      .filter(col("rk") <= k3)
+      .select(col("list_id").as("grp"), col("vec_id"))
+    val seed = gc.join(ranked, Seq("grp", "vec_id"))
+      .select(col("grp"), col("vec_id").as("cent_id"), col("dim"),
+        col("qx").as("cs"))
+    trainGrouped(spark, gc, k3, iters, sampleEvery = 1, seed = Some(seed))
+  }
+
+  /** Three-level nearest-list assignment: the two-level descent
+    * ([[assignTwoLevel]], restricted to grandchild-bearing mids) picks a
+    * mid, then an argmax over that mid's grandchildren picks the list —
+    * O(n·(k1 + k2 + k3)) per corpus pass. Same exact-integer arithmetic
+    * and cent_id tiebreaks as every other level; output schema
+    * identical: (vec_id, list_id) with list_id a grandchild cent_id.
+    */
+  def assignThreeLevel(comps: DataFrame, norms: DataFrame,
+      superCents: DataFrame, mids: DataFrame,
+      grandChildren: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val midOk = mids.join(
+      grandChildren.select(col("grp").as("cent_id")).distinct(),
+      Seq("cent_id"), "left_semi")
+    val sa = assignTwoLevel(comps, norms, superCents, midOk)
+      .withColumnRenamed("list_id", "grp")
+    val cn = grandChildren.groupBy("cent_id")
+      .agg(sum(col("cs") * col("cs")).as("cn2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    comps.join(sa, "vec_id")
+      .join(broadcast(grandChildren), Seq("grp", "dim"))
+      .groupBy("vec_id", "cent_id")
+      .agg(sum(col("qx") * col("cs")).as("dot"))
+      .join(norms, "vec_id")
+      .join(broadcast(cn), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list_id"))
+  }
+
   /** One grouped Lloyd update — [[step]] with `grp` carried through every
     * key: per-group assignment argmax, per-group member sums, empty lists
     * keep their previous centroid. */

@@ -99,6 +99,28 @@ object SimilarityQueries {
     if (r.toLong * r >= k) r else r + 1
   }
 
+  private def ceilCbrt(k: Int): Int = {
+    var r = math.max(1, math.cbrt(k.toDouble).toInt - 1)
+    while (r.toLong * r * r < k) r += 1
+    r
+  }
+
+  /** Coarse-quantizer DEPTH, derived from the list count — the dial
+    * ladder SCALING.md §5 documents, each level engaging exactly where
+    * the previous level's own codebook would hit the flat-Lloyd wall:
+    * depth 1 (flat) through k = FlatKMax lists; depth 2 (two-level
+    * IMI-style tree, k1 ≈ √k supers) while √k itself stays ≤ FlatKMax,
+    * i.e. through k = 4096 lists ≈ 512 k vectors at the 125-vectors/
+    * list target; depth 3 (a third per-mid level, k1 ≈ k2 ≈ k3 ≈ ∛k)
+    * past that — training cost O(sample·3∛k) and descent O(n·3∛k) where
+    * depth 2 would pay O(√k) per row with a quadratically-trained super
+    * codebook. INERT at every standard fixture (k = 16, depth 1) and at
+    * the x100 sweep point (k = 1600, depth 2); spec-pinned breakpoints
+    * in IvfSpec.
+    */
+  private[graft] def imiDepth(k: Int): Int =
+    if (k <= FlatKMax) 1 else if (ceilSqrt(k) <= FlatKMax) 2 else 3
+
   /** Trained IVF codebook (ivfLists(n) lists, 2 Lloyd iterations on a
     * 1-in-4 sample), persisted once per (session, dataset) and SHARED by
     * `ann_ivf_topk` and `corpus_embedding_clusters` — training is the
@@ -106,18 +128,22 @@ object SimilarityQueries {
     * k·dims-row result.
     */
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
-    if (ivfLists(s, d) <= FlatKMax)
-      trainedArtifact(s, d, "ivf_codebook") {
-        graft.operators.IvfCodebook.train(s,
-          table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          k = ivfLists(s, d), iters = 2, sampleEvery = 4)
-      }
-    else
-      // hierarchical regime: the flat (cent_id, dim, cs) view every
-      // probe-side consumer broadcasts is the tree's children minus the
-      // parent column — no second disk artifact, the tree already
-      // persists
-      cached(s, d, "ivf_codebook_flat")(trainedTree(s, d).drop("grp"))
+    imiDepth(ivfLists(s, d)) match {
+      case 1 =>
+        trainedArtifact(s, d, "ivf_codebook") {
+          graft.operators.IvfCodebook.train(s,
+            table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+            k = ivfLists(s, d), iters = 2, sampleEvery = 4)
+        }
+      case 2 =>
+        // hierarchical regime: the flat (cent_id, dim, cs) view every
+        // probe-side consumer broadcasts is the tree's children minus the
+        // parent column — no second disk artifact, the tree already
+        // persists
+        cached(s, d, "ivf_codebook_flat")(trainedTree(s, d).drop("grp"))
+      case _ =>
+        cached(s, d, "ivf_codebook_flat")(trainedGrand3(s, d).drop("grp"))
+    }
 
   /** Level-1 (super) codebook of the hierarchical coarse quantizer:
     * ~√k lists trained by the same deterministic sampled Lloyd. */
@@ -171,6 +197,39 @@ object SimilarityQueries {
     }
   }
 
+  /** Depth-3 coarse quantizer (engages past 4096 lists — [[imiDepth]]):
+    * ∛k super codebook, ∛k mids per super via the grouped Lloyd, and the
+    * remaining ∛k grandchildren per mid trained through the SERVING
+    * two-level descent, so train and serve catchments match at every
+    * level. No refinement dial at this depth yet (the depth-2 refine
+    * passes repair the √n-supers approximation; at depth 3 the supers
+    * stay ∛n — document before dialing).
+    */
+  private def trainedSuper3(s: SparkSession, d: String): DataFrame =
+    trainedArtifact(s, d, "ivf_super3") {
+      graft.operators.IvfCodebook.train(s,
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        k = ceilCbrt(ivfLists(s, d)), iters = 2, sampleEvery = 4)
+    }
+
+  private def trainedMids3(s: SparkSession, d: String): DataFrame =
+    trainedArtifact(s, d, "ivf_mids3") {
+      graft.operators.IvfCodebook.trainChildren(s,
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        trainedSuper3(s, d), k2 = ceilCbrt(ivfLists(s, d)), iters = 2,
+        sampleEvery = 4)
+    }
+
+  private def trainedGrand3(s: SparkSession, d: String): DataFrame =
+    trainedArtifact(s, d, "ivf_grand3") {
+      val k = ivfLists(s, d)
+      val c = ceilCbrt(k)
+      graft.operators.IvfCodebook.trainGrandChildren(s,
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        trainedSuper3(s, d), trainedMids3(s, d),
+        k3 = (k + c * c - 1) / (c * c), iters = 2, sampleEvery = 4)
+    }
+
   /** Full-corpus nearest-centroid assignment over the shared trained
     * codebook, persisted once per (session, dataset): `ann_ivf_topk`'s
     * list structure, `corpus_embedding_clusters`' profile input, and
@@ -182,15 +241,21 @@ object SimilarityQueries {
       import graft.operators.IvfCodebook
       val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val cm = IvfCodebook.comps(v)
-      if (ivfLists(s, d) <= FlatKMax)
-        IvfCodebook.assign(cm, IvfCodebook.norms(cm),
-          broadcast(trainedCodebook(s, d)))
-      else
-        // O(n·2√k) two-level descent instead of the O(n·k) flat argmax —
-        // the full-corpus assignment is the other quadratic the measured
-        // sweep caught (n·k join rows with k ∝ n)
-        IvfCodebook.assignTwoLevel(cm, IvfCodebook.norms(cm),
-          trainedSuper(s, d), trainedTree(s, d))
+      imiDepth(ivfLists(s, d)) match {
+        case 1 =>
+          IvfCodebook.assign(cm, IvfCodebook.norms(cm),
+            broadcast(trainedCodebook(s, d)))
+        case 2 =>
+          // O(n·2√k) two-level descent instead of the O(n·k) flat argmax —
+          // the full-corpus assignment is the other quadratic the measured
+          // sweep caught (n·k join rows with k ∝ n)
+          IvfCodebook.assignTwoLevel(cm, IvfCodebook.norms(cm),
+            trainedSuper(s, d), trainedTree(s, d))
+        case _ =>
+          // O(n·3∛k) three-level descent
+          IvfCodebook.assignThreeLevel(cm, IvfCodebook.norms(cm),
+            trainedSuper3(s, d), trainedMids3(s, d), trainedGrand3(s, d))
+      }
     }
 
   /** The nprobe nearest coarse lists per query vector (the standing

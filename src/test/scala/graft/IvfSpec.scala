@@ -192,6 +192,88 @@ class IvfSpec extends SparkSpec {
     assert(graft.queries.SimilarityQueries.imiRefinePasses(Long.MaxValue / 2) == 2)
   }
 
+  test("three-level coarse quantizer: depth derivation, tree shape, " +
+      "descent optimality, determinism") {
+    import org.apache.spark.sql.expressions.Window
+    // depth derivation breakpoints: flat through 64 lists, two-level
+    // while sqrt(k) <= 64 (k <= 4096), three-level past that — each
+    // level engages exactly where the previous level's own codebook
+    // would hit the flat-Lloyd wall. Standard fixtures (k = 16) and the
+    // x100 point (k = 1600) stay below depth 3: the third level is
+    // inert at every currently-measured scale.
+    assert(graft.queries.SimilarityQueries.imiDepth(16) == 1)
+    assert(graft.queries.SimilarityQueries.imiDepth(64) == 1)
+    assert(graft.queries.SimilarityQueries.imiDepth(65) == 2)
+    assert(graft.queries.SimilarityQueries.imiDepth(1600) == 2) // x100 point
+    assert(graft.queries.SimilarityQueries.imiDepth(4096) == 2)
+    assert(graft.queries.SimilarityQueries.imiDepth(4097) == 3)
+    assert(graft.queries.SimilarityQueries.imiDepth(1000000) == 3)
+
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (k1, k2, k3) = (3, 2, 2) // small 3-level tree, same code path
+    val sup = IvfCodebook.train(spark, v, k = k1, iters = 2, sampleEvery = 4)
+    val mids = IvfCodebook.trainChildren(spark, v, sup, k2 = k2, iters = 2,
+      sampleEvery = 4)
+    val grand = IvfCodebook.trainGrandChildren(spark, v, sup, mids, k3 = k3,
+      iters = 2, sampleEvery = 4)
+
+    // tree shape: <= k3 grandchildren per mid, globally unique ids (the
+    // flat-codebook view depends on that), every grp a real mid
+    val perMid = grand.select("grp", "cent_id").distinct()
+      .groupBy("grp").count().select("count").as[Long].collect().toSeq
+    assert(perMid.nonEmpty && perMid.forall(n => n >= 1 && n <= k3),
+      s"grandchildren per mid out of bounds: $perMid")
+    val gIds = grand.select("cent_id").distinct().as[Long].collect()
+    assert(gIds.length ==
+      grand.select("grp", "cent_id").distinct().count(),
+      "grandchild cent_ids must be globally unique across mids")
+    val midIds = mids.select("cent_id").as[Long].collect().toSet
+    assert(grand.select("grp").distinct().as[Long].collect()
+      .forall(midIds.contains), "every grandchild group must be a mid")
+
+    // assignment: total, every assigned list a real grandchild of the
+    // vector's mid
+    val cm = IvfCodebook.comps(v)
+    val nm = IvfCodebook.norms(cm)
+    val asg = IvfCodebook.assignThreeLevel(cm, nm, sup, mids, grand)
+    val n = v.count()
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+    val parentOf = grand.select(col("cent_id").as("list_id"),
+      col("grp").as("parent")).distinct()
+    assert(asg.join(parentOf, "list_id").count() == n,
+      "every assigned list must exist in the grandchild tree")
+
+    // descent optimality: within the CHOSEN mid, the assigned grandchild
+    // is the argmax over that mid's grandchildren (recomputed
+    // independently from flat similarities + the level-1/2 descent)
+    val midOk = mids.join(
+      grand.select(col("grp").as("cent_id")).distinct(),
+      Seq("cent_id"), "left_semi")
+    val level2 = IvfCodebook.assignTwoLevel(cm, nm, sup, midOk)
+      .select(col("vec_id"), col("list_id").as("mid"))
+    val want = IvfCodebook.similarities(cm, nm, grand.drop("grp"))
+      .join(parentOf.withColumnRenamed("list_id", "cent_id"), "cent_id")
+      .join(level2, "vec_id").filter(col("parent") === col("mid"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("want"))
+    assert(asg.join(want, "vec_id")
+      .filter(col("list_id") =!= col("want")).count() == 0,
+      "three-level descent disagreed with the per-mid argmax")
+
+    // determinism: training + assignment replay bit-identically
+    val grand2 = IvfCodebook.trainGrandChildren(spark, v, sup, mids, k3 = k3,
+      iters = 2, sampleEvery = 4)
+    assert(grand.orderBy("grp", "cent_id", "dim").collect().toSeq ==
+      grand2.orderBy("grp", "cent_id", "dim").collect().toSeq)
+    val asg2 = IvfCodebook.assignThreeLevel(cm, nm, sup, mids, grand2)
+    assert(asg.orderBy("vec_id").collect().toSeq ==
+      asg2.orderBy("vec_id").collect().toSeq)
+  }
+
   test("LSH recall audit finds most true pairs and never over-counts") {
     val r = SparkEntry.queries("ann_recall_audit")(spark, dir).collect().head
     val total = r.getAs[Long]("total_true")

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Direct-JVM Bench launcher (builder-side): runs graft.Bench from the
+# compiled classes without sbt — no build-tool startup inside the timing
+# window and no sbt target-lock contention with a concurrent test run.
+# Same JVM options build.sbt's `run / fork` applies (JDK-17 add-opens +
+# driver heap), so timings are comparable with sbt-launched sweeps.
+#
+# Usage: SPARK_GRAFT_SF_DIR=... [SPARK_GRAFT_ONLY=...] [SPARK_GRAFT_SETS=...]
+#        [SPARK_GRAFT_INDEX_DIR=...] tools/bench_direct.sh [main-class]
+set -euo pipefail
+MAIN="${1:-graft.Bench}"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "${@:2}"
