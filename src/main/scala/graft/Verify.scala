@@ -44,9 +44,16 @@ object Verify {
         .filter(name => only.forall(_.contains(name)))
         .foreach { name =>
           val fn = SparkEntry.queries(name)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // per-query wall to stderr: the gate's time budget is finite
+            // (round 9 lost its correctness artifact to one silently-slow
+            // component), so every Verify row is attributable
+            System.err.println(
+              f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
