@@ -799,6 +799,30 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
 
+    // Band-bucket OCCUPANCY histogram for the MinHash band table — the
+    // third of the occupancy triple (simhash / embedding-LSH / minhash):
+    // the same measured distribution behind MinhashBandCap's star-link
+    // bound, over the exact band table the candidate join and the
+    // incremental probe share. Bit-length bins, integer-exact in both
+    // engines.
+    QueryDef("dedup_minhash_occupancy",
+      (s, d) => {
+        val stats = minhashBands(s, d).groupBy("band", "bv")
+          .agg(count(lit(1)).as("n_b"))
+        stats.groupBy(length(bin(col("n_b"))).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum("n_b").cast("long").as("n_docs"),
+            max("n_b").cast("long").as("max_bucket"))
+      },
+      Some(s"""$MinhashBandsSql,
+        |mstat AS (SELECT band, bv, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM bands GROUP BY band, bv)
+        |SELECT CAST(len(bin(n_b)) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n_b) AS BIGINT) AS n_docs,
+        |  CAST(max(n_b) AS BIGINT) AS max_bucket
+        |FROM mstat GROUP BY 1""".stripMargin)),
+
     // Band-bucket OCCUPANCY histogram for the simhash band table — the
     // measurement behind the star-link saturation claim (SCALING.md §6):
     // pair work in the banded join is Σ min(n_b, cap)·n_b per bucket, so
