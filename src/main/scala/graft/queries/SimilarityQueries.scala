@@ -698,26 +698,26 @@ object SimilarityQueries {
       |    unnest(range(1, len(embedding) + 1)) AS dim,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qx
       |  FROM embeddings),
-      |proj AS (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
+      |proj AS MATERIALIZED (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
       |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
-      |tb AS (SELECT vec_id, p // 4 AS t,
+      |tb AS MATERIALIZED (SELECT vec_id, p // 4 AS t,
       |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
       |  FROM proj GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |ve AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
       |  FROM embeddings),
-      |n AS (SELECT vec_id, qe,
+      |n AS MATERIALIZED (SELECT vec_id, qe,
       |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM ve),
-      |sp AS (SELECT vec_a, vec_b,
+      |sp AS MATERIALIZED (SELECT vec_a, vec_b,
       |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
       |    i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
       |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
-      |sym AS (SELECT vec_a AS src, vec_b AS dst, sim FROM sp
+      |sym AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst, sim FROM sp
       |  UNION ALL SELECT vec_b AS src, vec_a AS dst, sim FROM sp),
-      |adjt AS (SELECT src, dst, sim FROM (
+      |adjt AS MATERIALIZED (SELECT src, dst, sim FROM (
       |    SELECT src, dst, sim, row_number() OVER (PARTITION BY src
       |      ORDER BY sim DESC, dst) AS rn FROM sym) z WHERE rn <= 6)""".stripMargin
 
@@ -1526,9 +1526,9 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
       },
       Some(s"""WITH RECURSIVE $NswAdjSql,
-        |edges AS (SELECT src AS u, dst AS w FROM adjt WHERE sim >= 0.4
+        |edges AS MATERIALIZED (SELECT src AS u, dst AS w FROM adjt WHERE sim >= 0.4
         |  UNION SELECT dst, src FROM adjt WHERE sim >= 0.4),
-        |verts AS (SELECT DISTINCT u AS v FROM edges),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM edges),
         |reach(v, r) AS (
         |  SELECT v, v FROM verts
         |  UNION
