@@ -324,9 +324,9 @@ object SimilarityQueries {
   private lazy val pcaCtes: String = {
     val dims = 1 to PcaDims
     val sb = new StringBuilder
-    sb.append(s"""WITH pcn AS (SELECT CAST(count(*) AS BIGINT) AS n
+    sb.append(s"""WITH pcn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n
       |  FROM embeddings),
-      |pv0 AS (SELECT ${dims.map(j => s"1.0 AS v$j").mkString(", ")})"""
+      |pv0 AS MATERIALIZED (SELECT ${dims.map(j => s"1.0 AS v$j").mkString(", ")})"""
       .stripMargin)
     for (r <- 1 to PcaRounds) {
       val dot = dims.map(j =>
@@ -338,10 +338,10 @@ object SimilarityQueries {
                s"AS BIGINT)) AS s$j").mkString(",\n    ")}
         |  FROM (SELECT embedding, ($dot) AS s, 1000000.0 / pcn.n AS kf
         |        FROM embeddings, pv${r - 1} v, pcn)),
-        |pnm$r AS (SELECT sqrt(${dims.map(j =>
+        |pnm$r AS MATERIALIZED (SELECT sqrt(${dims.map(j =>
                s"CAST(s$j AS DOUBLE) * s$j").mkString(" + ")}) AS nrm
         |  FROM pp$r),
-        |pv$r AS (SELECT ${dims.map(j =>
+        |pv$r AS MATERIALIZED (SELECT ${dims.map(j =>
                s"CAST(s$j AS DOUBLE) / nrm AS v$j").mkString(", ")}
         |  FROM pp$r, pnm$r)""".stripMargin)
     }
