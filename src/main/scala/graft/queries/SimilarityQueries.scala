@@ -828,6 +828,131 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Depth-3 CONTRACT parameters: a FORCED small three-level tree
+    * (4 supers × 3 mids × 3 grandchildren ≈ 36 leaf lists) on the
+    * standard fixture, so trainGrandChildren / assignThreeLevel — the
+    * code path that carries IVF once even √k crosses FlatKMax — gets a
+    * DuckDB hash-green oracle row at every standard scale, exactly the
+    * treatment ann_imi_assign gives depth 2.
+    */
+  private val Imi3K1 = 4
+  private val Imi3K2 = 3
+  private val Imi3K3 = 3
+
+  /** DuckDB replay of [[graft.operators.IvfCodebook.trainGrandChildren]]
+    * + [[assignThreeLevel]]: a CTE suffix to append after
+    * `lloydCtesFor("sup", …)` + [[imiCtes]] (whose sample `suptc`, full
+    * components `supcomps`, norms `supnq`, final super scores
+    * `sups<iters>`, child-bearing supers `supok`, final mid centroids
+    * `chc<iters>` and mid norms `chcnf` it consumes), ending in
+    * `assign3(vec_id, list_id)`. Stage for stage in lockstep with the
+    * Scala: the SAMPLE descends the two-level tree (level-1 argmax over
+    * child-bearing supers, level-2 over the winner's mids — the exact
+    * serving path trainGrandChildren assigns through), per-mid grouped
+    * components/norms/seed (k3 lowest member vec_ids), `iters` grouped
+    * Lloyd rounds with empty-list carry-over, then the FULL corpus
+    * three-level descent restricted at level 2 to grandchild-bearing
+    * mids and at level 1 to supers that still have such mids — the
+    * midOk/supOk discipline of assignThreeLevel — with the same
+    * exact-integer dots/norms and (sim DESC, cent_id) tiebreaks
+    * everywhere. All MATERIALIZED (the round-10 oracle-CTE rule).
+    */
+  private def imi3Ctes(k3: Int, iters: Int, sampleEvery: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""g3l1 AS MATERIALIZED (SELECT vec_id, cent_id AS sgrp FROM (
+        |  SELECT s.vec_id, s.cent_id,
+        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cent_id) AS rn
+        |  FROM sups$iters s JOIN supok o ON s.cent_id = o.cent_id
+        |  WHERE s.vec_id % $sampleEvery = 0) WHERE rn = 1),
+        |g3l2d AS MATERIALIZED (SELECT c.vec_id, ch.cent_id,
+        |    CAST(sum(c.qx * ch.cs) AS BIGINT) AS dot
+        |  FROM suptc c JOIN g3l1 ON c.vec_id = g3l1.vec_id
+        |  JOIN chc$iters ch ON ch.grp = g3l1.sgrp AND ch.dim = c.dim
+        |  GROUP BY 1, 2),
+        |g3l2s AS MATERIALIZED (SELECT d.vec_id, d.cent_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+        |  FROM g3l2d d JOIN supnq n ON d.vec_id = n.vec_id
+        |  JOIN chcnf cc ON d.cent_id = cc.cent_id),
+        |g3ma AS MATERIALIZED (SELECT vec_id, cent_id AS grp FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM g3l2s) WHERE rn = 1),
+        |g3gc AS MATERIALIZED (SELECT ma.grp, c.vec_id, c.dim, c.qx
+        |  FROM suptc c JOIN g3ma ma USING (vec_id)),
+        |g3n AS MATERIALIZED (SELECT grp, vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+        |  FROM g3gc GROUP BY 1, 2),
+        |g3seed AS MATERIALIZED (SELECT grp, vec_id,
+        |    row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rk
+        |  FROM g3ma),
+        |g3c0 AS MATERIALIZED (SELECT g.grp, g.vec_id AS cent_id, g.dim, g.qx AS cs
+        |  FROM g3gc g JOIN g3seed r ON g.grp = r.grp AND g.vec_id = r.vec_id
+        |  WHERE r.rk <= $k3)""".stripMargin)
+    for (t <- 0 until iters) {
+      sb.append(s""",
+        |g3cn$t AS MATERIALIZED (SELECT grp, cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+        |  FROM g3c$t GROUP BY 1, 2),
+        |g3d$t AS MATERIALIZED (SELECT g.grp, g.vec_id, c.cent_id,
+        |    CAST(sum(g.qx * c.cs) AS BIGINT) AS dot
+        |  FROM g3gc g JOIN g3c$t c ON g.grp = c.grp AND g.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |g3s$t AS MATERIALIZED (SELECT d.grp, d.vec_id, d.cent_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+        |  FROM g3d$t d JOIN g3n n ON d.grp = n.grp AND d.vec_id = n.vec_id
+        |  JOIN g3cn$t cc ON d.grp = cc.grp AND d.cent_id = cc.cent_id),
+        |g3r$t AS MATERIALIZED (SELECT grp, vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY grp, vec_id ORDER BY sim DESC, cent_id) AS rn
+        |  FROM g3s$t),
+        |g3a$t AS MATERIALIZED (SELECT grp, vec_id, cent_id AS list_id FROM g3r$t WHERE rn = 1),
+        |g3m${t + 1} AS MATERIALIZED (SELECT g.grp, a.list_id AS cent_id, g.dim,
+        |    CAST(sum(g.qx) AS BIGINT) AS cs_new
+        |  FROM g3gc g JOIN g3a$t a ON g.grp = a.grp AND g.vec_id = a.vec_id
+        |  GROUP BY 1, 2, 3),
+        |g3c${t + 1} AS MATERIALIZED (SELECT c.grp, c.cent_id, c.dim,
+        |    coalesce(m.cs_new, c.cs) AS cs
+        |  FROM g3c$t c LEFT JOIN g3m${t + 1} m
+        |    ON c.grp = m.grp AND c.cent_id = m.cent_id AND c.dim = m.dim)""".stripMargin)
+    }
+    sb.append(s""",
+      |g3midok AS MATERIALIZED (SELECT DISTINCT grp AS cent_id FROM g3c$iters),
+      |g3supok AS MATERIALIZED (SELECT DISTINCT ch.grp AS cent_id
+      |  FROM chc$iters ch JOIN g3midok mo ON ch.cent_id = mo.cent_id),
+      |g3fl1 AS MATERIALIZED (SELECT vec_id, cent_id AS sgrp FROM (
+      |  SELECT s.vec_id, s.cent_id,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cent_id) AS rn
+      |  FROM sups$iters s JOIN g3supok o ON s.cent_id = o.cent_id) WHERE rn = 1),
+      |g3fl2d AS MATERIALIZED (SELECT c.vec_id, ch.cent_id,
+      |    CAST(sum(c.qx * ch.cs) AS BIGINT) AS dot
+      |  FROM supcomps c JOIN g3fl1 ON c.vec_id = g3fl1.vec_id
+      |  JOIN chc$iters ch ON ch.grp = g3fl1.sgrp AND ch.dim = c.dim
+      |  JOIN g3midok mo ON ch.cent_id = mo.cent_id
+      |  GROUP BY 1, 2),
+      |g3fl2s AS MATERIALIZED (SELECT d.vec_id, d.cent_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+      |  FROM g3fl2d d JOIN supnq n ON d.vec_id = n.vec_id
+      |  JOIN chcnf cc ON d.cent_id = cc.cent_id),
+      |g3fmid AS MATERIALIZED (SELECT vec_id, cent_id AS grp FROM (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |  FROM g3fl2s) WHERE rn = 1),
+      |g3cnf AS MATERIALIZED (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+      |  FROM g3c$iters GROUP BY 1),
+      |g3l3d AS MATERIALIZED (SELECT c.vec_id, gc.cent_id,
+      |    CAST(sum(c.qx * gc.cs) AS BIGINT) AS dot
+      |  FROM supcomps c JOIN g3fmid ON c.vec_id = g3fmid.vec_id
+      |  JOIN g3c$iters gc ON gc.grp = g3fmid.grp AND gc.dim = c.dim
+      |  GROUP BY 1, 2),
+      |g3l3s AS MATERIALIZED (SELECT d.vec_id, d.cent_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) AS sim
+      |  FROM g3l3d d JOIN supnq n ON d.vec_id = n.vec_id
+      |  JOIN g3cnf cc ON d.cent_id = cc.cent_id),
+      |assign3 AS MATERIALIZED (SELECT vec_id, cent_id AS list_id FROM (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |  FROM g3l3s) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
   /** [[lloydCtes]] generalized for product quantization: every CTE name
     * carries `pfx` so several independent Lloyd chains (one per PQ
     * subspace, each over a SLICED embedding relation `srcRel`) can share
@@ -1288,6 +1413,45 @@ object SimilarityQueries {
         |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors,
         |  min(vec_id) AS min_vec
         |FROM assign2 GROUP BY 1""".stripMargin)),
+
+    // Depth-3 coarse-quantizer CONTRACT query — ann_imi_assign's twin
+    // one level down: a FORCED small three-level tree (4 supers × 3 mids
+    // × 3 grandchildren) on the standard fixture, so trainGrandChildren
+    // (sample descends the SERVING two-level path, then per-mid grouped
+    // Lloyd) and assignThreeLevel (midOk/supOk-restricted three-level
+    // descent) — the code that carries IVF once even √k crosses
+    // FlatKMax — produce a DuckDB-oracled result at every standard
+    // scale, not only inside the unoracled x300 sweep that first
+    // engaged the depth dial. Output is the per-list assignment profile
+    // (all-BIGINT; floats enter argmax comparisons only — the
+    // established Lloyd-oracle discipline). The oracle replays super
+    // training, mid training, the sample's two-level descent, per-mid
+    // seeded grouped Lloyd, and the full three-level descent stage for
+    // stage (imi3Ctes).
+    QueryDef("ann_imi3_assign",
+      (s, d) => {
+        import graft.operators.IvfCodebook
+        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val sup = cached(s, d, "imi3_contract_super")(
+          IvfCodebook.train(s, v, k = Imi3K1, iters = 2, sampleEvery = 4))
+        val mids = cached(s, d, "imi3_contract_mids")(
+          IvfCodebook.trainChildren(s, v, sup, k2 = Imi3K2, iters = 2,
+            sampleEvery = 4))
+        val grand = cached(s, d, "imi3_contract_grand")(
+          IvfCodebook.trainGrandChildren(s, v, sup, mids, k3 = Imi3K3,
+            iters = 2, sampleEvery = 4))
+        val cm = IvfCodebook.comps(v)
+        IvfCodebook.assignThreeLevel(cm, IvfCodebook.norms(cm), sup, mids,
+            grand)
+          .groupBy("list_id")
+          .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+      },
+      Some(s"""WITH ${lloydCtesFor("sup", "embeddings", Imi3K1, 2, 4)},
+        |${imiCtes(Imi3K2, 2, 4)},
+        |${imi3Ctes(Imi3K3, 2, 4)}
+        |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(vec_id) AS min_vec
+        |FROM assign3 GROUP BY 1""".stripMargin)),
 
     // Semantic deduplication (SemDeDup-style): partition the corpus by the
     // trained k-means codebook, then WITHIN each cluster drop every vector
