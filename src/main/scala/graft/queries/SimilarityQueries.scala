@@ -1398,9 +1398,9 @@ object SimilarityQueries {
       (s, d) => {
         import graft.operators.IvfCodebook
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val sup = cached(s, d, "imi_contract_super")(
+        val sup = trainedArtifact(s, d, "imi_contract_super")(
           IvfCodebook.train(s, v, k = ImiK1, iters = 2, sampleEvery = 4))
-        val tree = cached(s, d, "imi_contract_tree")(
+        val tree = trainedArtifact(s, d, "imi_contract_tree")(
           IvfCodebook.trainChildren(s, v, sup, k2 = ImiK2, iters = 2,
             sampleEvery = 4))
         val cm = IvfCodebook.comps(v)
@@ -1432,12 +1432,12 @@ object SimilarityQueries {
       (s, d) => {
         import graft.operators.IvfCodebook
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val sup = cached(s, d, "imi3_contract_super")(
+        val sup = trainedArtifact(s, d, "imi3_contract_super")(
           IvfCodebook.train(s, v, k = Imi3K1, iters = 2, sampleEvery = 4))
-        val mids = cached(s, d, "imi3_contract_mids")(
+        val mids = trainedArtifact(s, d, "imi3_contract_mids")(
           IvfCodebook.trainChildren(s, v, sup, k2 = Imi3K2, iters = 2,
             sampleEvery = 4))
-        val grand = cached(s, d, "imi3_contract_grand")(
+        val grand = trainedArtifact(s, d, "imi3_contract_grand")(
           IvfCodebook.trainGrandChildren(s, v, sup, mids, k3 = Imi3K3,
             iters = 2, sampleEvery = 4))
         val cm = IvfCodebook.comps(v)
