@@ -141,19 +141,33 @@ object Bench {
     // file: the driver's BENCH capture truncates to the tail, which in
     // round 7 made the first sets' per-query times unrecoverable and
     // left a dedup-set drift unattributable. One small JSON file per
-    // sweep, timestamped, under the repo's bench/ dir.
+    // sweep, timestamped, under the repo's bench/ dir — plus a stable
+    // `last_sweep.json` alias so the round artifact always names one
+    // readable per-query record.
+    var sweepRef = "bench/last_sweep.json"
+    var lastRef = "bench/last_sweep.json"
     try {
       val dir = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
       dir.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(dir,
-          s"sweep-${System.currentTimeMillis()}.json").toPath,
-        (line + "\n").getBytes("UTF-8"))
+      val ts = new java.io.File(dir, s"sweep-${System.currentTimeMillis()}.json")
+      java.nio.file.Files.write(ts.toPath, (line + "\n").getBytes("UTF-8"))
+      val last = new java.io.File(dir, "last_sweep.json")
+      java.nio.file.Files.write(last.toPath, (line + "\n").getBytes("UTF-8"))
+      sweepRef = ts.getPath
+      lastRef = last.getPath
       ()
     } catch { case e: Exception =>
       System.err.println(s"[bench] sweep persist failed: ${e.getMessage}")
     }
+    // The driver keeps only the last ~2000 chars of stdout, so the full
+    // per-query line above never survives into BENCH_r{N}.json (rounds
+    // 8-10 all graded from a truncated tail string, "parsed": null). The
+    // FINAL line is therefore a compact self-contained record — totals,
+    // per-set sums, failures — that fits the tail window even with sbt's
+    // trailing "[success]" line, and names the committed full record.
+    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"build_total":$buildTotal%.3f,"sets":$sets,"failed":$failed,"sf":"$sfDir","queries_file":"$lastRef","sweep_file":"$sweepRef"}"""
+    println(short)
     spark.stop()
   }
 }

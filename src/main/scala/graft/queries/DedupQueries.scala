@@ -113,6 +113,18 @@ object DedupQueries {
     */
   val MinhashBandCap = 64
 
+  /** DuckDB rendering of `simhashBandBits`: the oracle derives the band
+    * width from the corpus row count with the SAME integer formula the
+    * Spark side uses (bit-length of max(256, n/20) - 1, capped at 16),
+    * so fixtures past the 5120-doc dial breakpoint keep the oracle and
+    * the engine on one signature width instead of hash-mismatching on a
+    * correct result (round-10 advice). `length(bin(x))` is DuckDB's
+    * integer bit-length, exactly `64 - numberOfLeadingZeros(x)`.
+    */
+  private val SimhashDialSql: String =
+    """dial AS MATERIALIZED (SELECT least(16, length(bin(
+      |  greatest(256, (SELECT count(*) FROM documents) // 20) - 1))) AS bw)""".stripMargin
+
   /** SimHash signature of `hexDigits * 4` bits per document: each word
     * votes its sha256-prefix bits ±1 per position; the signature's bit b is
     * 1 iff the vote is positive. Computed by the native fused
@@ -766,9 +778,10 @@ object DedupQueries {
     // candidates+verify dedup built on it.
     QueryDef("dedup_simhash_pairs",
       (s, d) => simhashPairs(s, d, simhashTables(docCount(s, d))),
-      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |h AS (SELECT doc_id, substr(sha256(w), 1, 8) AS hx FROM w WHERE len(w) > 0),
-        |e AS (SELECT doc_id, hx, unnest(range(0, 32)) AS b FROM h),
+      Some(s"""WITH $SimhashDialSql,
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, substr(sha256(w), 1, (SELECT bw FROM dial)) AS hx FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, hx, unnest(range(0, 4 * (SELECT bw FROM dial))) AS b FROM h),
         |v AS (SELECT doc_id, b,
         |  ((instr('$Hex', substr(hx, (b // 4) + 1, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
         |  FROM e),
@@ -777,7 +790,8 @@ object DedupQueries {
         |sh AS (SELECT doc_id,
         |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
         |  FROM votes GROUP BY doc_id),
-        |bands0 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+        |bands0 AS (SELECT doc_id, simhash, b,
+        |  (simhash >> (b * (SELECT bw FROM dial))) & ((CAST(1 AS BIGINT) << (SELECT bw FROM dial)) - 1) AS bv
         |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
         |sstat AS (SELECT b, bv, count(*) AS n_b, min(doc_id) AS rep
         |  FROM bands0 GROUP BY b, bv),
@@ -847,9 +861,10 @@ object DedupQueries {
             sum("n_b").cast("long").as("n_docs"),
             max("n_b").cast("long").as("max_bucket"))
       },
-      Some(s"""WITH w AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |h AS MATERIALIZED (SELECT doc_id, substr(sha256(w), 1, 8) AS hx FROM w WHERE len(w) > 0),
-        |e AS (SELECT doc_id, hx, unnest(range(0, 32)) AS b FROM h),
+      Some(s"""WITH $SimhashDialSql,
+        |w AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS MATERIALIZED (SELECT doc_id, substr(sha256(w), 1, (SELECT bw FROM dial)) AS hx FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, hx, unnest(range(0, 4 * (SELECT bw FROM dial))) AS b FROM h),
         |v AS (SELECT doc_id, b,
         |  ((instr('$Hex', substr(hx, (b // 4) + 1, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
         |  FROM e),
@@ -858,7 +873,8 @@ object DedupQueries {
         |sh AS MATERIALIZED (SELECT doc_id,
         |  CAST(sum((CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b) AS BIGINT) AS simhash
         |  FROM votes GROUP BY doc_id),
-        |bands0 AS (SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
+        |bands0 AS (SELECT doc_id, b,
+        |  (simhash >> (b * (SELECT bw FROM dial))) & ((CAST(1 AS BIGINT) << (SELECT bw FROM dial)) - 1) AS bv
         |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
         |sstat AS (SELECT b, bv, CAST(count(*) AS BIGINT) AS n_b
         |  FROM bands0 GROUP BY b, bv)

@@ -53,6 +53,16 @@ object SimilarityQueries {
     math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(target - 1))
   }
 
+  /** DuckDB rendering of `lshTableBits`: the oracle derives bits-per-table
+    * from the embeddings row count with the SAME integer formula as the
+    * Spark dial (bit-length of max(16, n/125) - 1, capped at 15), so a
+    * fixture past the 2000-vector breakpoint keeps both engines on one
+    * banding instead of hash-mismatching on a correct result (round-10
+    * advice; twin of DedupQueries.SimhashDialSql). */
+  private val LshDialSql: String =
+    """dial AS MATERIALIZED (SELECT least(15, length(bin(
+      |  greatest(16, (SELECT count(*) FROM embeddings) // 125) - 1))) AS bw)""".stripMargin
+
   /** In-JVM memo (one materialization per sweep) over the disk store (one
     * TRAINING per fixture ever) — the layering every trained artifact in
     * this file uses. */
@@ -1329,12 +1339,13 @@ object SimilarityQueries {
             sum("n_b").cast("long").as("n_vectors"),
             max("n_b").cast("long").as("max_bucket"))
       },
-      Some(s"""WITH planes AS (
+      Some(s"""WITH $LshDialSql,
+        |planes AS (
         |  SELECT p, dim,
         |    CASE WHEN instr('02468ace',
         |      substr(sha256(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)) > 0
         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
-        |  FROM (SELECT unnest(range(0, 16)) AS p),
+        |  FROM (SELECT unnest(range(0, 4 * (SELECT bw FROM dial))) AS p),
         |       (SELECT unnest(range(1, 65)) AS dim)),
         |comps AS (SELECT vec_id,
         |    unnest(range(1, len(embedding) + 1)) AS dim,
@@ -1342,8 +1353,8 @@ object SimilarityQueries {
         |  FROM embeddings),
         |proj AS MATERIALIZED (SELECT vec_id, p, CAST(sum(w * qx) AS BIGINT) AS proj
         |  FROM comps JOIN planes USING (dim) GROUP BY 1, 2),
-        |tb AS (SELECT vec_id, p // 4 AS t,
-        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % 4 AS INT)) AS BIGINT) AS bucket
+        |tb AS (SELECT vec_id, p // (SELECT bw FROM dial) AS t,
+        |  CAST(sum((CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << CAST(p % (SELECT bw FROM dial) AS INT)) AS BIGINT) AS bucket
         |  FROM proj GROUP BY 1, 2),
         |tstat AS (SELECT t, bucket, CAST(count(*) AS BIGINT) AS n_b
         |  FROM tb GROUP BY t, bucket)
@@ -1394,13 +1405,19 @@ object SimilarityQueries {
     // discipline). The oracle replays super training, sample super
     // assignment, per-super seeded grouped Lloyd, and the two-level
     // descent stage for stage (imiCtes).
+    // Contract artifact tags carry a VERSION suffix (_v1): the IndexStore
+    // keeps trained artifacts on disk across binary changes, so a change
+    // to train/trainChildren/trainGrandChildren must bump the suffix or
+    // the gate replays the NEW algorithm in DuckDB against a STALE
+    // pre-change artifact — the same dial-in-tag discipline as
+    // ivf_tree_r${passes}s2 (round-10 advice).
     QueryDef("ann_imi_assign",
       (s, d) => {
         import graft.operators.IvfCodebook
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val sup = trainedArtifact(s, d, "imi_contract_super")(
+        val sup = trainedArtifact(s, d, "imi_contract_super_v1")(
           IvfCodebook.train(s, v, k = ImiK1, iters = 2, sampleEvery = 4))
-        val tree = trainedArtifact(s, d, "imi_contract_tree")(
+        val tree = trainedArtifact(s, d, "imi_contract_tree_v1")(
           IvfCodebook.trainChildren(s, v, sup, k2 = ImiK2, iters = 2,
             sampleEvery = 4))
         val cm = IvfCodebook.comps(v)
@@ -1432,12 +1449,12 @@ object SimilarityQueries {
       (s, d) => {
         import graft.operators.IvfCodebook
         val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val sup = trainedArtifact(s, d, "imi3_contract_super")(
+        val sup = trainedArtifact(s, d, "imi3_contract_super_v1")(
           IvfCodebook.train(s, v, k = Imi3K1, iters = 2, sampleEvery = 4))
-        val mids = trainedArtifact(s, d, "imi3_contract_mids")(
+        val mids = trainedArtifact(s, d, "imi3_contract_mids_v1")(
           IvfCodebook.trainChildren(s, v, sup, k2 = Imi3K2, iters = 2,
             sampleEvery = 4))
-        val grand = trainedArtifact(s, d, "imi3_contract_grand")(
+        val grand = trainedArtifact(s, d, "imi3_contract_grand_v1")(
           IvfCodebook.trainGrandChildren(s, v, sup, mids, k3 = Imi3K3,
             iters = 2, sampleEvery = 4))
         val cm = IvfCodebook.comps(v)

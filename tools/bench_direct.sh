@@ -8,6 +8,12 @@
 # Usage: SPARK_GRAFT_SF_DIR=... [SPARK_GRAFT_ONLY=...] [SPARK_GRAFT_SETS=...]
 #        [SPARK_GRAFT_INDEX_DIR=...] tools/bench_direct.sh [main-class]
 set -euo pipefail
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+CLASSES=$(ls -d "$REPO"/target/scala-*/classes 2>/dev/null | head -1)
+if [ -z "$CLASSES" ]; then
+  echo "bench_direct.sh: no compiled classes under $REPO/target — run sbt compile first" >&2
+  exit 1
+fi
 MAIN="${1:-graft.Bench}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -18,5 +24,5 @@ done
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "${@:2}"

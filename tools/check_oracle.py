@@ -16,7 +16,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
-    con.execute(f"create view {name} as select * from '{p}'")
+    # driver testdata is flat files; ScaleGen fixtures are Spark
+    # directory-parquet — accept both
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"create view {name} as select * from '{pat}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []

@@ -19,7 +19,7 @@ qs = sweep["queries"]
 train = sweep.get("train", {})
 build = sweep.get("build", {})
 rows, flags = [], []
-tot, ftot = 0.0, 0.0
+tot, ftot, fp_covered = 0.0, 0.0, 0.0
 for k, v in qs.items():
     if v is None or v < 0:
         continue
@@ -29,15 +29,24 @@ for k, v in qs.items():
     if f and f > 0:
         tot += v
         ftot += f
+        fp_covered += fp
         r = steady / f
         if r > thr and steady >= min_sec:
             flags.append((r, k, v, fp, steady, f))
-print(f"sweep total {sweep['value']:.1f}s; floor-covered total {tot:.1f}s "
-      f"vs floor sum {ftot:.1f}s = {tot/ftot:.2f}x")
+if ftot > 0:
+    print(f"sweep total {sweep['value']:.1f}s; floor-covered total {tot:.1f}s "
+          f"vs floor sum {ftot:.1f}s = {tot/ftot:.2f}x")
+else:
+    print(f"sweep total {sweep['value']:.1f}s; no sweep query has a committed floor")
 bt = sweep.get("build_total", 0.0)
 tt = sweep.get("train_total", 0.0)
-print(f"first-payer: build_total {bt:.1f}s, train_total {tt:.1f}s "
-      f"(steady total ~{tot - bt:.1f}s = {(tot - bt)/ftot:.2f}x floor)")
+if ftot > 0:
+    # first-payer share summed over floor-covered rows only, so the steady
+    # multiple compares like with like
+    print(f"first-payer: build_total {bt:.1f}s, train_total {tt:.1f}s "
+          f"(steady total ~{tot - fp_covered:.1f}s = {(tot - fp_covered)/ftot:.2f}x floor)")
+else:
+    print(f"first-payer: build_total {bt:.1f}s, train_total {tt:.1f}s")
 if flags:
     print(f"\n{len(flags)} rows with steady-state > {thr}x floor "
           f"(steady = total - first-payer share):")
