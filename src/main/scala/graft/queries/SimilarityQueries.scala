@@ -1008,6 +1008,98 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Contrastive-mining anchor batch (`vec_id < 8`) and probe width —
+    * shared by the exact and probe-bounded paths so their outputs are
+    * comparable pair-for-pair. */
+  private val ContrastiveAnchors = 8
+  private val ContrastiveNprobe = 4
+
+  /** Contrastive pair mining, EXACT path: every anchor scored against the
+    * full corpus. Broadcast anchors, rank truncation per (anchor, role).
+    * O(|anchors|·n) per batch — kept as the recall GROUND TRUTH the
+    * probe-bounded plan (`contrastiveProbePairs`) is audited against,
+    * the same discipline as `ann_recall_audit`'s exact fixture. */
+  private def contrastiveExactPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val va = corpusAssignment(s, d).join(v, "vec_id")
+    val anchors = va.filter(col("vec_id") < ContrastiveAnchors)
+      .select(col("vec_id").as("anchor_id"), col("list_id").as("list_a"),
+        col("embedding").as("ea"))
+    val cand = va.select(col("vec_id").as("pair_id"),
+      col("list_id").as("list_b"), col("embedding").as("eb"))
+    val scored = broadcast(anchors)
+      .join(cand, col("anchor_id") =!= col("pair_id"))
+      .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+      .withColumn("role",
+        when(col("list_a") === col("list_b"), lit("pos"))
+          .otherwise(lit("neg")))
+    val w = Window.partitionBy("anchor_id", "role")
+      .orderBy(col("cosine").desc, col("pair_id"))
+    scored.select(col("anchor_id"), col("pair_id"), col("role"),
+        col("cosine"), row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 2)
+  }
+
+  /** Contrastive pair mining, PROBE-BOUNDED path: hard-negative
+    * candidates come from the anchor's nprobe nearest IVF lists under the
+    * shared trained codebook — the `ann_ivfpq_topk` shape (probe lists →
+    * shortlist → exact re-rank) applied to mining instead of search.
+    * Per-anchor cost is k centroid dots + ~|corpus|·nprobe/lists exact
+    * cosines, never a full corpus scan — the 100 TB plan for every
+    * training mini-batch. Positives are by construction identical to the
+    * exact path's: the anchor's own list IS its probe rank 1, and 'pos'
+    * candidates are exactly that list's members either way. Only the
+    * negative set is approximate; `corpus_contrastive_recall` measures it. */
+  private def contrastiveProbePairs(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfCodebook
+    graft.functions.VectorFunctions.register(s)
+    val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val asg = corpusAssignment(s, d)
+    val anchors = v.filter(col("vec_id") < ContrastiveAnchors)
+    // per-anchor nprobe nearest coarse lists: k centroid dots per anchor
+    // against the broadcast trained codebook (probeLists' computation,
+    // widened to the mining anchor batch)
+    val cm = IvfCodebook.comps(anchors)
+    val sims = IvfCodebook.similarities(cm, IvfCodebook.norms(cm),
+      broadcast(trainedCodebook(s, d)))
+    val wNearest = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val probe = sims.withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") <= ContrastiveNprobe)
+      .select(col("vec_id").as("anchor_id"), col("cent_id").as("list_id"))
+    val alist = asg.filter(col("vec_id") < ContrastiveAnchors)
+      .select(col("vec_id").as("anchor_id"), col("list_id").as("list_a"))
+    // candidates = members of the probed lists only (each corpus vector
+    // lives in exactly one list, so no (anchor, pair) duplicates); the
+    // tiny probe table broadcasts into the partitioned assignment — the
+    // corpus is never re-shuffled
+    val cand = broadcast(probe).join(asg, "list_id")
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .join(broadcast(alist), "anchor_id")
+      .withColumn("role",
+        when(col("list_id") === col("list_a"), lit("pos"))
+          .otherwise(lit("neg")))
+      .select(col("anchor_id"), col("vec_id").as("pair_id"), col("role"))
+    val ae = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("ea"))
+    val pe = v.select(col("vec_id").as("pair_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy("anchor_id", "role")
+      .orderBy(col("cosine").desc, col("pair_id"))
+    cand.join(broadcast(ae), "anchor_id").join(pe, "pair_id")
+      .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
+      .select(col("anchor_id"), col("pair_id"), col("role"), col("cosine"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 2)
+  }
+
+  // test-only visibility bridges (CorpusOpsSpec asserts probe positives
+  // match the exact path's and the negative candidate set stayed bounded)
+  private[graft] def contrastiveExactForTest(s: SparkSession, d: String): DataFrame =
+    contrastiveExactPairs(s, d)
+  private[graft] def contrastiveProbeForTest(s: SparkSession, d: String): DataFrame =
+    contrastiveProbePairs(s, d)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 for query vectors vec_id < 5, via the
@@ -1533,33 +1625,13 @@ object SimilarityQueries {
     // the gradient signal; random negatives are trivially separable).
     // Composes the shared corpus assignment with the exact
     // integer-quantized cosine, so the whole mining run is bit-
-    // deterministic and the oracle replays it. Scale shape: the anchor
-    // mini-batch BROADCASTS against the corpus — O(|anchors|·n) scored
-    // per batch, embarrassingly parallel, rank truncation per (anchor,
-    // role) window; at 100 TB the same plan runs per training batch with
-    // the IVF lists optionally pruning the negative scan.
+    // deterministic and the oracle replays it. This is the EXACT path —
+    // the anchor mini-batch BROADCASTS against the full corpus,
+    // O(|anchors|·n) per batch — kept as the recall ground truth for the
+    // probe-bounded production plan (`corpus_contrastive_probe`); the
+    // audit between them is `corpus_contrastive_recall`.
     QueryDef("corpus_contrastive_pairs",
-      (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val v = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val va = corpusAssignment(s, d).join(v, "vec_id")
-        val anchors = va.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("anchor_id"), col("list_id").as("list_a"),
-            col("embedding").as("ea"))
-        val cand = va.select(col("vec_id").as("pair_id"),
-          col("list_id").as("list_b"), col("embedding").as("eb"))
-        val scored = broadcast(anchors)
-          .join(cand, col("anchor_id") =!= col("pair_id"))
-          .withColumn("cosine", expr("quant_cosine_sim(ea, eb)"))
-          .withColumn("role",
-            when(col("list_a") === col("list_b"), lit("pos"))
-              .otherwise(lit("neg")))
-        val w = Window.partitionBy("anchor_id", "role")
-          .orderBy(col("cosine").desc, col("pair_id"))
-        scored.select(col("anchor_id"), col("pair_id"), col("role"),
-            col("cosine"), row_number().over(w).cast("long").as("rank"))
-          .filter(col("rank") <= 2)
-      },
+      (s, d) => contrastiveExactPairs(s, d),
       Some(s"""WITH ${lloydCtes(16, 2, 4)},
         |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
         |v AS (SELECT vec_id,
@@ -1581,6 +1653,112 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY anchor_id, role
         |    ORDER BY cosine DESC, pair_id) AS BIGINT) AS rank
         |  FROM r) WHERE rank <= 2""".stripMargin)),
+
+    // Contrastive mining, PROBE-BOUNDED (the scale path): hard-negative
+    // candidates come from the anchor's nprobe=4 nearest IVF lists under
+    // the shared trained codebook instead of the full corpus — probe
+    // lists → shortlist → exact quantized-cosine re-rank, exactly
+    // `ann_ivfpq_topk`'s candidate-generation shape applied to mining.
+    // Per anchor: k centroid dots + ~|corpus|·nprobe/lists re-ranks; the
+    // corpus is scanned by LIST, never in full, so a 100 TB corpus costs
+    // each training mini-batch only its probed fraction. Positives are
+    // identical to the exact path's by construction (the anchor's own
+    // list is probe rank 1). The oracle replays codebook training, the
+    // probe ranking, and the bounded re-rank.
+    QueryDef("corpus_contrastive_probe",
+      (s, d) => contrastiveProbePairs(s, d),
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |probe AS (SELECT vec_id AS anchor_id, cent_id AS list_id
+        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe),
+        |alist AS (SELECT vec_id AS anchor_id, list_id AS list_a
+        |  FROM assign WHERE vec_id < $ContrastiveAnchors),
+        |cand AS (SELECT p.anchor_id, a.vec_id AS pair_id,
+        |    CASE WHEN a.list_id = al.list_a THEN 'pos' ELSE 'neg' END AS role
+        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
+        |  JOIN alist al ON p.anchor_id = al.anchor_id
+        |  WHERE a.vec_id <> p.anchor_id),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |r AS (SELECT anchor_id, pair_id, role,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM cand JOIN n q ON anchor_id = q.vec_id JOIN n b ON pair_id = b.vec_id)
+        |SELECT * FROM (SELECT anchor_id, pair_id, role, cosine,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id, role
+        |    ORDER BY cosine DESC, pair_id) AS BIGINT) AS rank
+        |  FROM r) WHERE rank <= 2""".stripMargin)),
+
+    // Recall audit closing the mining loop (the `ann_recall_audit`
+    // discipline): the exact path's top hard negatives are ground truth;
+    // how many does the probe-bounded path recover? Both sides are
+    // deterministic, so found/total is exact-oracled — recall collapse
+    // after a (codebook, nprobe) change becomes a gate number, not a
+    // guess. Positives are excluded: they match by construction.
+    QueryDef("corpus_contrastive_recall",
+      (s, d) => {
+        val exact = contrastiveExactPairs(s, d)
+          .filter(col("role") === "neg")
+          .select(col("anchor_id"), col("pair_id"))
+        val probe = contrastiveProbePairs(s, d)
+          .filter(col("role") === "neg")
+          .select(col("anchor_id").as("p_a"), col("pair_id").as("p_b"))
+        exact.join(probe,
+            col("anchor_id") === col("p_a") && col("pair_id") === col("p_b"),
+            "left")
+          .agg(count(lit(1)).cast("long").as("total_true"),
+            sum(when(col("p_a").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("found"))
+          .select(col("total_true"), col("found"),
+            when(col("total_true") === 0, lit(0.0))
+              .otherwise(col("found").cast("double") /
+                col("total_true").cast("double")).as("recall"))
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |exsc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pair_id,
+        |  CASE WHEN sa.list_id = sb.list_id THEN 'pos' ELSE 'neg' END AS role,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < $ContrastiveAnchors AND a.vec_id <> b.vec_id
+        |  JOIN assign sa ON sa.vec_id = a.vec_id
+        |  JOIN assign sb ON sb.vec_id = b.vec_id),
+        |ex AS (SELECT anchor_id, pair_id FROM (SELECT anchor_id, pair_id, role,
+        |    row_number() OVER (PARTITION BY anchor_id, role
+        |      ORDER BY cosine DESC, pair_id) AS rank FROM exsc) z
+        |  WHERE role = 'neg' AND rank <= 2),
+        |probe AS (SELECT vec_id AS anchor_id, cent_id AS list_id
+        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe),
+        |alist AS (SELECT vec_id AS anchor_id, list_id AS list_a
+        |  FROM assign WHERE vec_id < $ContrastiveAnchors),
+        |pcand AS (SELECT p.anchor_id, a.vec_id AS pair_id,
+        |    CASE WHEN a.list_id = al.list_a THEN 'pos' ELSE 'neg' END AS role
+        |  FROM probe p JOIN assign a ON p.list_id = a.list_id
+        |  JOIN alist al ON p.anchor_id = al.anchor_id
+        |  WHERE a.vec_id <> p.anchor_id),
+        |prsc AS (SELECT anchor_id, pair_id, role,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM pcand JOIN n q ON anchor_id = q.vec_id JOIN n b ON pair_id = b.vec_id),
+        |pr AS (SELECT anchor_id, pair_id FROM (SELECT anchor_id, pair_id, role,
+        |    row_number() OVER (PARTITION BY anchor_id, role
+        |      ORDER BY cosine DESC, pair_id) AS rank FROM prsc) z
+        |  WHERE role = 'neg' AND rank <= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS total_true,
+        |  CAST(sum(CASE WHEN pr.anchor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found,
+        |  CASE WHEN count(*) = 0 THEN 0.0
+        |    ELSE CAST(sum(CASE WHEN pr.anchor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |  END AS recall
+        |FROM ex LEFT JOIN pr
+        |  ON ex.anchor_id = pr.anchor_id AND ex.pair_id = pr.pair_id""".stripMargin)),
 
     // LSH bucketing: 8 deterministic pseudo-random hyperplanes (signs from
     // sha256(plane-dim)), bucket = sign-bit signature. Vectors sharing a

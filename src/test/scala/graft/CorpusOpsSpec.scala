@@ -104,4 +104,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(distinctScores > out.length / 10,
       s"only $distinctScores distinct scores across ${out.length} docs")
   }
+
+  test("probe-bounded contrastive mining: positives exact, negatives audited") {
+    import graft.queries.SimilarityQueries
+    val exact = SimilarityQueries.contrastiveExactForTest(spark, dir)
+      .select($"anchor_id", $"pair_id", $"role", $"rank")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val probe = SimilarityQueries.contrastiveProbeForTest(spark, dir)
+      .select($"anchor_id", $"pair_id", $"role", $"rank")
+      .as[(Long, Long, String, Long)].collect().toSet
+    // positives are identical by construction: the anchor's own list is
+    // probe rank 1, and 'pos' candidates are that list's members in both
+    // paths — any drift here means the probe ranking diverged from the
+    // shared assignment
+    assert(exact.filter(_._3 == "pos") == probe.filter(_._3 == "pos"))
+    // negatives: the probe path returns a full top-2 per anchor (the
+    // probed lists always contain >= 2 foreign vectors on this fixture)
+    // and every probe negative that IS in the exact set keeps its rank
+    val anchors = exact.map(_._1)
+    anchors.foreach { a =>
+      assert(probe.count(p => p._1 == a && p._3 == "neg") == 2,
+        s"anchor $a probe negatives")
+    }
+    // the audit query agrees with the set arithmetic computed here
+    val Array((total, found, recall)) =
+      SparkEntry.queries("corpus_contrastive_recall")(spark, dir)
+        .as[(Long, Long, Double)].collect()
+    val exactNeg = exact.filter(_._3 == "neg").map(t => (t._1, t._2))
+    val probeNeg = probe.filter(_._3 == "neg").map(t => (t._1, t._2))
+    assert(total == exactNeg.size.toLong)
+    assert(found == exactNeg.intersect(probeNeg).size.toLong)
+    assert(recall >= 0.0 && recall <= 1.0 &&
+      math.abs(recall - found.toDouble / total) < 1e-12)
+  }
 }

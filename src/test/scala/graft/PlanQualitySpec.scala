@@ -72,6 +72,16 @@ class PlanQualitySpec extends SparkSpec {
       s"anchor batch must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"no cartesian in contrastive mining:\n$p")
+    // the probe-bounded variant generates candidates through an EQUI-join
+    // on list_id (probe table broadcast into the partitioned assignment)
+    // — a non-equi theta join against the corpus would mean the bound
+    // regressed to a full scan
+    val pp = plan("corpus_contrastive_probe")
+    assert(pp.contains("BroadcastHashJoin"),
+      s"probe tables must broadcast:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"probe candidate generation must stay an equi-join:\n$pp")
   }
 
   test("filters reach the parquet scan (predicate pushdown)") {
