@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-admission throughput measurement (builder-side): drives the
+  * micro-batch admission functions in [[graft.streaming.StreamingDedup]]
+  * batch after batch over a scaled corpus and records the per-batch wall
+  * clock, docs/s, and the signature-index growth — the 100 TB story for
+  * CONTINUOUS ingestion, where the correctness-oracled
+  * `st_dedup_admission*` queries only ever exercise fixture scale.
+  *
+  * What the curve shows: the batch side of every admission join is one
+  * micro-batch, but the EVIDENCE side is the accumulated index, re-read
+  * per batch — so per-batch cost has a floor of O(index size on disk).
+  * The index carries bytes per document (hash or 16 band values), never
+  * text, which bounds state at ~100 B/doc (exact) / ~500 B/doc (near):
+  * the measured bytes/doc is part of the record. Mode and batch sizes
+  * come from the environment:
+  *
+  *   SPARK_GRAFT_SF_DIR       fixture dir (documents.parquet [+ embeddings])
+  *   SPARK_GRAFT_MODE         exact | near | semantic   (default near)
+  *   SPARK_GRAFT_BATCH_SIZES  comma ints                (default 1000,4000)
+  */
+object AdmissionBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "near")
+    val batchSizes = sys.env.getOrElse("SPARK_GRAFT_BATCH_SIZES", "1000,4000")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val runs = batchSizes.map { bs =>
+      val work = new java.io.File(s"target/admission/$mode-$bs")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      if (work.exists()) rm(work)
+      work.mkdirs()
+      val indexDir = s"$work/index"
+      val bandDir = s"$work/bands"
+      val outDir = s"$work/out"
+
+      // UNTIMED preparation: assign every row a batch id and write the
+      // batches hive-partitioned, so each timed step reads exactly one
+      // batch partition — the arrival data of one trigger.
+      val (src, nRows) = mode match {
+        case "semantic" =>
+          val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+          // offline-trained coarse quantizer (the production shape): the
+          // training is index BUILD, not admission, so it is untimed here
+          import graft.operators.IvfCodebook
+          val cb = IvfCodebook.train(spark, v, k = 16, iters = 2,
+            sampleEvery = 4)
+          val cm = IvfCodebook.comps(v)
+          val asg = IvfCodebook.assign(cm, IvfCodebook.norms(cm),
+            broadcast(cb))
+          (v.join(asg, "vec_id")
+            .select(col("vec_id"), col("list_id"), col("embedding"),
+              pmod(col("vec_id"), lit(1000000)).as("oid")),
+            v.count())
+        case _ =>
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          (d.withColumn("oid", col("doc_id")), d.count())
+      }
+      val nBatches = math.max(1, ((nRows + bs - 1) / bs).toInt)
+      val batchesDir = s"$work/batches"
+      src.withColumn("batch", pmod(col("oid"), lit(nBatches))).drop("oid")
+        .write.partitionBy("batch").parquet(batchesDir)
+
+      // TIMED: admit batch after batch; each step reads its partition
+      // (the arriving trigger data) and runs the admission function.
+      val perBatch = (0 until nBatches).map { b =>
+        val t0 = System.nanoTime()
+        val batch = spark.read.parquet(s"$batchesDir/batch=$b")
+        mode match {
+          case "exact" =>
+            graft.streaming.StreamingDedup.processBatch(
+              spark, batch, b.toLong, indexDir, outDir)
+          case "near" =>
+            graft.streaming.StreamingDedup.processBatchNearDup(
+              spark, batch, b.toLong, indexDir, bandDir, outDir)
+          case "semantic" =>
+            graft.streaming.StreamingDedup.processBatchSemantic(
+              spark, batch, b.toLong, indexDir, outDir, simThreshold = 0.4)
+          case other => sys.error(s"unknown mode $other")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (b % math.max(1, nBatches / 10) == 0)
+          System.err.println(f"[admission] $mode bs=$bs batch $b/$nBatches " +
+            f"$sec%.2fs")
+        sec
+      }
+
+      // index state after the run: rows + bytes on disk (the state-size
+      // bound the curve is quoted with)
+      def duBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.exists()) 0L
+        else if (f.isFile) f.length()
+        else f.listFiles().map(x => duBytes(x.getPath)).sum
+      }
+      val idxRows = spark.read.parquet(indexDir).count()
+      val idxBytes = duBytes(indexDir) +
+        (if (mode == "near") duBytes(bandDir) else 0L)
+      val admitted = spark.read.parquet(outDir).count()
+      val total = perBatch.sum
+      val half = perBatch.drop(nBatches / 2)
+      System.err.println(f"[admission] $mode bs=$bs DONE " +
+        f"total $total%.1fs ${nRows / total}%.0f docs/s " +
+        f"(last-half ${half.length * bs / half.sum}%.0f docs/s) " +
+        f"index $idxRows rows ${idxBytes / 1024} KiB admitted $admitted")
+      (bs, nBatches, total, perBatch, idxRows, idxBytes, admitted, nRows)
+    }
+
+    def jarr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val line = runs.map { case (bs, nb, tot, pb, ir, ib, adm, n) =>
+      s"""{"mode":"$mode","batch_size":$bs,"n_batches":$nb,"n_rows":$n,""" +
+        f""""total_sec":$tot%.2f,"rows_per_sec":${n / tot}%.1f,""" +
+        f""""last_half_rows_per_sec":${
+          pb.drop(nb / 2).length * bs / pb.drop(nb / 2).sum}%.1f,""" +
+        s""""index_rows":$ir,"index_bytes":$ib,"admitted":$adm,""" +
+        s""""per_batch_sec":${jarr(pb)}}"""
+    }.mkString("[", ",", "]")
+    val rec = s"""{"metric":"admission","sf":"$sfDir","runs":$line}"""
+    println(rec)
+    try {
+      val dir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
+      dir.mkdirs()
+      val f = new java.io.File(dir,
+        s"admission-$mode-${System.currentTimeMillis()}.json")
+      java.nio.file.Files.write(f.toPath, (rec + "\n").getBytes("UTF-8"))
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[admission] persist failed: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

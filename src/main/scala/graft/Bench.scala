@@ -7,6 +7,28 @@ import org.apache.spark.sql.SparkSession
   * foreach (not `count()`, which would let Catalyst prune the computed
   * columns away and under-measure).
   */
+/** Whole-sweep shuffle/spill accumulator: per-query deltas (sampled
+  * around each run, after a listener-bus drain) catch the memory cliffs
+  * a wall-time-only sweep misses — a query whose shuffle partitions stop
+  * fitting in executor memory shows up as spill bytes one scale step
+  * BEFORE it shows up as a wall-time cliff. */
+private class BenchTelemetry extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val shuffleBytes = new AtomicLong
+  val spillDiskBytes = new AtomicLong
+  val spillMemBytes = new AtomicLong
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillDiskBytes.addAndGet(m.diskBytesSpilled)
+      spillMemBytes.addAndGet(m.memoryBytesSpilled)
+      ()
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +73,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telem = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telem)
     // Untimed warmup: pays session/JIT/codegen startup once so the first
     // timed query measures the query, not the JVM.
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).foreach(_ => ())
@@ -79,6 +103,13 @@ object Bench {
         // first payer of a shared intermediate; steady-state query cost
         // is total - build. Note build ⊇ train when a cached build
         // trains an IndexStore artifact.
+        // shuffle/spill deltas: drain the async listener bus before each
+        // sample so stage events attribute to the row that produced them
+        // (the drain is sweep bookkeeping, OUTSIDE the timing window)
+        org.apache.spark.sql.GraftInternal.drainListenerBus(spark, 10000L)
+        val sh0 = telem.shuffleBytes.get()
+        val sd0 = telem.spillDiskBytes.get()
+        val sm0 = telem.spillMemBytes.get()
         val tr0 = graft.operators.IndexStore.trainNanos
         val bu0 = graft.queries.Q.buildNanos
         val t0 = System.nanoTime()
@@ -91,7 +122,11 @@ object Bench {
         val total = (System.nanoTime() - t0) / 1e9
         val train = (graft.operators.IndexStore.trainNanos - tr0) / 1e9
         val build = (graft.queries.Q.buildNanos - bu0) / 1e9
-        (q.name, total, ok, train, build)
+        org.apache.spark.sql.GraftInternal.drainListenerBus(spark, 10000L)
+        val shuffleMb = (telem.shuffleBytes.get() - sh0) / 1048576.0
+        val spillDiskMb = (telem.spillDiskBytes.get() - sd0) / 1048576.0
+        val spillMemMb = (telem.spillMemBytes.get() - sm0) / 1048576.0
+        (q.name, total, ok, train, build, shuffleMb, spillDiskMb, spillMemMb)
       }
       graft.queries.Q.release(spark, SparkEntry.keepTagsAfter(i))
       // Spark's ContextCleaner frees shuffle files, broadcast blocks and
@@ -109,24 +144,41 @@ object Bench {
     val results = bySet.flatMap(_._2)
     // A failed query reports -1 (not its near-zero elapsed time) and lands
     // in `failed`, so a regression can't masquerade as a speedup.
-    val qs = results.map { case (k, v, ok, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect {
+      case (k, _, false, _, _, _, _, _) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // Artifact-training seconds per query (only queries that actually
     // trained this sweep): query-side steady-state cost is
     // queries[k] - train[k]. A record with an empty train map IS the
     // warm-artifact statement the baseline contract asks for.
-    val train = results.collect { case (k, _, true, tr, _) if tr > 0.0005 =>
-      "\"" + k + "\":" + f"$tr%.3f"
+    val train = results.collect {
+      case (k, _, true, tr, _, _, _, _) if tr > 0.0005 =>
+        "\"" + k + "\":" + f"$tr%.3f"
     }.mkString("{", ",", "}")
     // First-payer seconds per query (Q.cached memo misses this query paid
     // for): a >2x-vs-floor row whose inflation sits in `build` is a shared
     // intermediate materialization, not a plan regression.
-    val build = results.collect { case (k, _, true, _, bu) if bu > 0.0005 =>
-      "\"" + k + "\":" + f"$bu%.3f"
+    val build = results.collect {
+      case (k, _, true, _, bu, _, _, _) if bu > 0.0005 =>
+        "\"" + k + "\":" + f"$bu%.3f"
     }.mkString("{", ",", "}")
+    // Shuffle/spill telemetry (MB, per query; rows above 1 MB shuffle or
+    // any spill): the memory-cliff early-warning a wall-time-only sweep
+    // misses. Spill is split disk vs in-memory (different units of harm:
+    // disk spill is I/O paid, memory spill is pressure observed).
+    val shuffle = results.collect {
+      case (k, _, true, _, _, sh, _, _) if sh > 1.0 =>
+        "\"" + k + "\":" + f"$sh%.1f"
+    }.mkString("{", ",", "}")
+    val spill = results.collect {
+      case (k, _, true, _, _, _, sd, sm) if sd > 0.01 || sm > 0.01 =>
+        "\"" + k + "\":[" + f"$sd%.1f,$sm%.1f" + "]"
+    }.mkString("{", ",", "}")
+    val spillDiskTotal = results.filter(_._3).map(_._7).sum
+    val shuffleTotal = results.filter(_._3).map(_._6).sum
     // per-set sums, directly comparable to BASELINE.md's per-set table
     // (failed queries excluded, same as the total)
     val sets = bySet.map { case (sn, rs) =>
@@ -135,7 +187,7 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     val trainTotal = results.filter(_._3).map(_._4).sum
     val buildTotal = results.filter(_._3).map(_._5).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"build_total":$buildTotal%.3f,"queries":$qs,"train":$train,"build":$build,"sets":$sets,"failed":$failed,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"build_total":$buildTotal%.3f,"queries":$qs,"train":$train,"build":$build,"shuffle_mb":$shuffle,"spill_mb":$spill,"shuffle_total_mb":$shuffleTotal%.1f,"spill_disk_total_mb":$spillDiskTotal%.1f,"sets":$sets,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Persist the FULL per-query record of every sweep to a committed
     // file: the driver's BENCH capture truncates to the tail, which in
@@ -166,7 +218,7 @@ object Bench {
     // FINAL line is therefore a compact self-contained record — totals,
     // per-set sums, failures — that fits the tail window even with sbt's
     // trailing "[success]" line, and names the committed full record.
-    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"build_total":$buildTotal%.3f,"sets":$sets,"failed":$failed,"sf":"$sfDir","queries_file":"$lastRef","sweep_file":"$sweepRef"}"""
+    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","train_total":$trainTotal%.3f,"build_total":$buildTotal%.3f,"shuffle_total_mb":$shuffleTotal%.1f,"spill_disk_total_mb":$spillDiskTotal%.1f,"sets":$sets,"failed":$failed,"sf":"$sfDir","queries_file":"$lastRef","sweep_file":"$sweepRef"}"""
     println(short)
     spark.stop()
   }

@@ -47,6 +47,9 @@ object SparkEntry {
     // built by dedup (dedup_winnow_pairs), read again by text
     // (text_winnow_fingerprint)
     "winnow_fps" -> "text",
+    // built by dedup (corpus_curation_funnel / corpus_build_manifest),
+    // read again by text (corpus_decontaminate + its Bloom form)
+    "doc_grams8" -> "text",
     // first built by pipeline (st_dedup_admission_semantic's offline
     // coarse quantizer), read again throughout the similarity set
     "ivf_codebook" -> "similarity",
@@ -175,6 +178,9 @@ object SparkEntry {
     "multimodal_video_frames" -> Seq("doc_id", "frame_idx"),
     "multimodal_mp4_index" -> Seq("doc_id", "sample_idx"),
     "corpus_contrastive_pairs" -> Seq("anchor_id", "role", "rank"),
+    "corpus_contrastive_probe" -> Seq("anchor_id", "role", "rank"),
+    "corpus_contrastive_recall" -> Seq("total_true"),
+    "corpus_build_manifest" -> Seq("bin"),
     "corpus_quality_prune" -> Seq("doc_id"),
     "st_dedup_admission_semantic" -> Seq("vec_id"),
     "text_bpe_train" -> Seq("merge_rank"),

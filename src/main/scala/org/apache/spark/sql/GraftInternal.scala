@@ -31,6 +31,15 @@ object GraftInternal {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Drain the async listener bus (`private[spark]` — stage-completed
+    * events are delivered asynchronously), so the per-query
+    * shuffle/spill deltas Bench samples attribute to the query that
+    * produced them instead of leaking into the next row. Sampling only;
+    * never inside a timing window. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
 
 /** Bridge into `private[sql]` SparkSessionExtensions builders — used only
