@@ -48,7 +48,7 @@ for M in $MULTS; do
     SPARK_GRAFT_SETS="$SETS" \
     SPARK_GRAFT_INDEX_DIR="$PWD/$IDX/x$M" \
       sbt -batch "runMain graft.Bench" 2>&1 |
-      grep '"metric"' | sed 's/^\[info\] *//' > "$LOGS/x$M-$MODE.json"
+      grep '"queries":' | sed 's/^\[info\] *//' | head -1 > "$LOGS/x$M-$MODE.json"
     python3 - "$LOGS/x$M-$MODE.json" <<'EOF'
 import json, sys
 d = json.loads(open(sys.argv[1]).read())
