@@ -34,9 +34,10 @@ object CorpusBuild {
     try spark.read.parquet(s"$sfDir/documents.parquet").foreach(_ => ())
     catch { case _: Throwable => () }
     val stages = graft.queries.DedupQueries.corpusBuildStages(spark, sfDir)
-    val rows = stages.map { case (name, df) =>
+    val rows = stages.map { case (name, thunk) =>
       val bu0 = graft.queries.Q.buildNanos
       val t0 = System.nanoTime()
+      val df = thunk()
       df.foreach(_ => ())
       val total = (System.nanoTime() - t0) / 1e9
       val build = (graft.queries.Q.buildNanos - bu0) / 1e9
