@@ -64,9 +64,16 @@ object Bench {
     // silently read artifacts a previous standard-fixture sweep trained.
     sys.env.get("SPARK_GRAFT_INDEX_DIR")
       .foreach(p => sys.props("graft.index.dir") = p)
+    // Shuffle-partition dial for the scaling harness: the standard sweep
+    // pins partitions = threads (so per-partition scale effects stay
+    // visible), but a scaled standalone run can override it the way a
+    // real cluster would size partitions to the input — the x300 spill
+    // telemetry (SCALING.md §9) is exactly the signal this dial answers.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
