@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked runMain's stdout verbatim instead of through sbt's
+// "[info] "-prefixed logger: Bench/Verify print machine-readable JSON
+// lines that downstream tooling parses, and the prefix breaks any
+// parser that expects a line to BE a JSON document.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

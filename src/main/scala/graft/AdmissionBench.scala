@@ -31,7 +31,10 @@ object AdmissionBench {
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // input-derived shuffle width (Autoscale): floors at the core
+      // count on standard fixtures, widens on scaled ones — see Bench
+      .config("spark.sql.shuffle.partitions",
+        graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -77,12 +80,22 @@ object AdmissionBench {
       val batchesDir = s"$work/batches"
       src.withColumn("batch", pmod(col("oid"), lit(nBatches))).drop("oid")
         .write.partitionBy("batch").parquet(batchesDir)
+      // actual rows per batch (untimed bookkeeping, bounded by nBatches):
+      // pmod of the raw id makes batch sizes nRows/nBatches, NOT bs, and a
+      // sparse id space (filtered corpora) can leave a residue class empty
+      // — throughput is computed from these counts, never from bs.
+      val batchRows: Map[Int, Long] = spark.read.parquet(batchesDir)
+        .groupBy("batch").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
       // TIMED: admit batch after batch; each step reads its partition
-      // (the arriving trigger data) and runs the admission function.
+      // (the arriving trigger data) and runs the admission function. The
+      // read goes through a partition-pruned filter, so an empty residue
+      // class is an empty batch, not a missing-path crash.
       val perBatch = (0 until nBatches).map { b =>
         val t0 = System.nanoTime()
-        val batch = spark.read.parquet(s"$batchesDir/batch=$b")
+        val batch = spark.read.parquet(batchesDir)
+          .filter(col("batch") === b).drop("batch")
         mode match {
           case "exact" =>
             graft.streaming.StreamingDedup.processBatch(
@@ -115,21 +128,30 @@ object AdmissionBench {
         (if (mode == "near") duBytes(bandDir) else 0L)
       val admitted = spark.read.parquet(outDir).count()
       val total = perBatch.sum
-      val half = perBatch.drop(nBatches / 2)
+      // first/last-half throughput from ACTUAL per-batch rows (pmod makes
+      // batch sizes nRows/nBatches, not bs): flat last-half vs first-half
+      // is the O(1)-per-batch evidence claim this curve exists to check
+      val rowsSeq = (0 until nBatches).map(b => batchRows.getOrElse(b, 0L))
+      val halfSec = perBatch.drop(nBatches / 2).sum
+      val halfRows = rowsSeq.drop(nBatches / 2).sum
+      val firstSec = perBatch.take(nBatches / 2).sum
+      val firstRows = rowsSeq.take(nBatches / 2).sum
       System.err.println(f"[admission] $mode bs=$bs DONE " +
         f"total $total%.1fs ${nRows / total}%.0f docs/s " +
-        f"(last-half ${half.length * bs / half.sum}%.0f docs/s) " +
+        f"(first-half ${if (firstSec > 0) firstRows / firstSec else 0.0}%.0f," +
+        f" last-half ${if (halfSec > 0) halfRows / halfSec else 0.0}%.0f docs/s) " +
         f"index $idxRows rows ${idxBytes / 1024} KiB admitted $admitted")
-      (bs, nBatches, total, perBatch, idxRows, idxBytes, admitted, nRows)
+      (bs, nBatches, total, perBatch, idxRows, idxBytes, admitted, nRows,
+        firstRows / math.max(firstSec, 1e-9), halfRows / math.max(halfSec, 1e-9))
     }
 
     def jarr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val line = runs.map { case (bs, nb, tot, pb, ir, ib, adm, n) =>
+    val line = runs.map { case (bs, nb, tot, pb, ir, ib, adm, n, fh, lh) =>
       s"""{"mode":"$mode","batch_size":$bs,"n_batches":$nb,"n_rows":$n,""" +
         f""""total_sec":$tot%.2f,"rows_per_sec":${n / tot}%.1f,""" +
-        f""""last_half_rows_per_sec":${
-          pb.drop(nb / 2).length * bs / pb.drop(nb / 2).sum}%.1f,""" +
+        f""""first_half_rows_per_sec":$fh%.1f,""" +
+        f""""last_half_rows_per_sec":$lh%.1f,""" +
         s""""index_rows":$ir,"index_bytes":$ib,"admitted":$adm,""" +
         s""""per_batch_sec":${jarr(pb)}}"""
     }.mkString("[", ",", "]")

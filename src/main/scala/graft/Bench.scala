@@ -64,13 +64,15 @@ object Bench {
     // silently read artifacts a previous standard-fixture sweep trained.
     sys.env.get("SPARK_GRAFT_INDEX_DIR")
       .foreach(p => sys.props("graft.index.dir") = p)
-    // Shuffle-partition dial for the scaling harness: the standard sweep
-    // pins partitions = threads (so per-partition scale effects stay
-    // visible), but a scaled standalone run can override it the way a
-    // real cluster would size partitions to the input — the x300 spill
-    // telemetry (SCALING.md §9) is exactly the signal this dial answers.
+    // Shuffle-partition width: derived from the fixture's input bytes
+    // (graft.operators.Autoscale — the engine-side form of the round-11
+    // manual dial; the x300 gram-join spill telemetry in SCALING.md §9
+    // is the signal it answers). At the standard sf0.1 fixture the
+    // derivation floors at the core count, so standard sweeps are
+    // unchanged; an explicit SPARK_GRAFT_SHUFFLE_PARTITIONS still wins
+    // for experiments.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

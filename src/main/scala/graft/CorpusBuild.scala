@@ -22,7 +22,10 @@ object CorpusBuild {
       .foreach(p => sys.props("graft.index.dir") = p)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // input-derived shuffle width (Autoscale): floors at the core
+      // count on standard fixtures, widens on scaled ones — see Bench
+      .config("spark.sql.shuffle.partitions",
+        graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

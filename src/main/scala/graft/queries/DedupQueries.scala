@@ -443,14 +443,26 @@ object DedupQueries {
     // untimed setup phase
     def docs = table(s, d, "documents")
     def quality = docs.filter(size(split(col("text"), " ")) >= 10)
-    def exact = quality
-      .groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    def curated = exact.join(
-      nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    def survivors = {
+    // each stage's SURVIVOR ID SET is memoized (id columns only — bytes
+    // per doc, never text), so a later stage consumes its predecessor's
+    // materialized output instead of re-executing the upstream groupBy /
+    // anti-join chain: per-stage walls are additive shuffle work, and the
+    // summed total is the end-to-end cost, not a prefix-inclusive
+    // overcount. What deliberately stays per-stage is the raw-corpus
+    // SCAN (quality's filter inside exact, the text join inside pack /
+    // shard): scans are the input each stage genuinely re-reads.
+    def exact = cached(s, d, "build_exact_ids") {
+      quality
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+    }
+    def curated = cached(s, d, "build_curated_ids") {
+      exact.join(
+        nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    def survivors = cached(s, d, "build_survivor_ids") {
       val g8 = TextQueries.docGrams8(s, d)
       val evalG = g8.filter(col("doc_id") < 20).select("gram").distinct()
       val flagged = g8.filter(col("doc_id") >= 20)

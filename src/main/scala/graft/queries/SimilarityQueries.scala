@@ -1010,9 +1010,17 @@ object SimilarityQueries {
 
   /** Contrastive-mining anchor batch (`vec_id < 8`) and probe width —
     * shared by the exact and probe-bounded paths so their outputs are
-    * comparable pair-for-pair. */
+    * comparable pair-for-pair. nprobe=8 is the STATED operating point
+    * (round-12): the measured dial curve at sf0.01 is nprobe 2/4/6/8 →
+    * hard-negative recall 0.06/0.44/0.50/0.63 vs the exact path
+    * (SCALING.md §8), and the adopted target is recall ≥ 0.6 — hard
+    * negatives need hardness, not completeness, but below ~0.6 the
+    * probe path starts replacing near-boundary negatives with easier
+    * ones from farther lists, which dilutes the gradient signal the
+    * mining exists to capture. `corpus_contrastive_recall` re-attests
+    * the number every gate run. */
   private val ContrastiveAnchors = 8
-  private val ContrastiveNprobe = 4
+  private val ContrastiveNprobe = 8
 
   /** Contrastive pair mining, EXACT path: every anchor scored against the
     * full corpus. Broadcast anchors, rank truncation per (anchor, role).
@@ -1048,7 +1056,10 @@ object SimilarityQueries {
     * Per-anchor cost is k centroid dots + ~|corpus|·nprobe/lists exact
     * cosines, never a full corpus scan — the 100 TB plan for every
     * training mini-batch. Positives are by construction identical to the
-    * exact path's: the anchor's own list IS its probe rank 1, and 'pos'
+    * exact path's: the anchor's ASSIGNED list is explicitly unioned into
+    * the probe set (standard IVF practice — in the flat regime it is
+    * probe rank 1 anyway, but the union keeps the invariant when the
+    * corpus assignment runs multi-level descent at scale), and 'pos'
     * candidates are exactly that list's members either way. Only the
     * negative set is approximate; `corpus_contrastive_recall` measures it. */
   private def contrastiveProbePairs(s: SparkSession, d: String): DataFrame = {
@@ -1065,11 +1076,21 @@ object SimilarityQueries {
       broadcast(trainedCodebook(s, d)))
     val wNearest = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id"))
-    val probe = sims.withColumn("rn", row_number().over(wNearest))
+    val probeRanked = sims.withColumn("rn", row_number().over(wNearest))
       .filter(col("rn") <= ContrastiveNprobe)
       .select(col("vec_id").as("anchor_id"), col("cent_id").as("list_id"))
     val alist = asg.filter(col("vec_id") < ContrastiveAnchors)
       .select(col("vec_id").as("anchor_id"), col("list_id").as("list_a"))
+    // standard IVF practice: the anchor's ASSIGNED list is always probed.
+    // In the flat regime (imiDepth=1, k ≤ 64) it is probe rank 1 anyway,
+    // but at scaled sweeps corpusAssignment switches to multi-level
+    // descent while this ranking is flat over the flattened codebook —
+    // without the union an anchor's own list could fall outside the
+    // probe set and its positives silently vanish.
+    val probe = probeRanked
+      .unionByName(alist.select(col("anchor_id"),
+        col("list_a").as("list_id")))
+      .distinct()
     // candidates = members of the probed lists only (each corpus vector
     // lives in exactly one list, so no (anchor, pair) duplicates); the
     // tiny probe table broadcasts into the partitioned assignment — the
@@ -1655,7 +1676,7 @@ object SimilarityQueries {
         |  FROM r) WHERE rank <= 2""".stripMargin)),
 
     // Contrastive mining, PROBE-BOUNDED (the scale path): hard-negative
-    // candidates come from the anchor's nprobe=4 nearest IVF lists under
+    // candidates come from the anchor's nprobe=8 nearest IVF lists under
     // the shared trained codebook instead of the full corpus — probe
     // lists → shortlist → exact quantized-cosine re-rank, exactly
     // `ann_ivfpq_topk`'s candidate-generation shape applied to mining.
@@ -1670,7 +1691,9 @@ object SimilarityQueries {
       Some(s"""WITH ${lloydCtes(16, 2, 4)},
         |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
         |probe AS (SELECT vec_id AS anchor_id, cent_id AS list_id
-        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe),
+        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe
+        |  UNION SELECT vec_id AS anchor_id, list_id
+        |  FROM assign WHERE vec_id < $ContrastiveAnchors),
         |alist AS (SELECT vec_id AS anchor_id, list_id AS list_a
         |  FROM assign WHERE vec_id < $ContrastiveAnchors),
         |cand AS (SELECT p.anchor_id, a.vec_id AS pair_id,
@@ -1736,7 +1759,9 @@ object SimilarityQueries {
         |      ORDER BY cosine DESC, pair_id) AS rank FROM exsc) z
         |  WHERE role = 'neg' AND rank <= 2),
         |probe AS (SELECT vec_id AS anchor_id, cent_id AS list_id
-        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe),
+        |  FROM r2 WHERE vec_id < $ContrastiveAnchors AND rn <= $ContrastiveNprobe
+        |  UNION SELECT vec_id AS anchor_id, list_id
+        |  FROM assign WHERE vec_id < $ContrastiveAnchors),
         |alist AS (SELECT vec_id AS anchor_id, list_id AS list_a
         |  FROM assign WHERE vec_id < $ContrastiveAnchors),
         |pcand AS (SELECT p.anchor_id, a.vec_id AS pair_id,

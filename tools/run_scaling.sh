@@ -12,9 +12,13 @@
 # tools/scaling_report.py, which emits the SCALING.md table and flags
 # super-linear growth.
 #
-# All scale points run under identical session config (local[32],
-# shuffle.partitions=32, AQE on, 48g driver) so the only variable is
-# data volume.
+# All scale points run under identical session config (local[32], AQE
+# on, 48g driver) so the only variable is data volume — except the
+# shuffle width, which graft.operators.Autoscale now derives from each
+# fixture's bytes (floors at 32 on x1/x10; widens where the round-11
+# x300 spill telemetry showed 32 partitions overflowing the gram-join
+# buffer). Pin SPARK_GRAFT_SHUFFLE_PARTITIONS to reproduce the old
+# fixed-width behavior.
 set -euo pipefail
 cd /root/repo
 
