@@ -31,15 +31,23 @@ object AdmissionBench {
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // input-derived shuffle width (Autoscale): floors at the core
-      // count on standard fixtures, widens on scaled ones — see Bench
-      .config("spark.sql.shuffle.partitions",
-        graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString)
+      // Admission shuffles are TRIGGER-bounded, not corpus-bounded: the
+      // accumulated index is only ever scanned (scan parallelism comes
+      // from file splits, not shuffle width), so every Exchange in the
+      // admission plan carries at most one micro-batch of rows. The
+      // width is therefore derived from the BATCH bytes per run below —
+      // deriving it from the fixture (what batch analytics over the
+      // whole corpus wants, and what this main did first) measured
+      // 3197 → 4005 docs/s at x100/bs=16000 just from undoing the
+      // 160-partition overwidth. Session default = core-count floor;
+      // an explicit SPARK_GRAFT_SHUFFLE_PARTITIONS still wins.
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val fixtureBytes = graft.operators.Autoscale.dirBytes(sfDir)
 
     val runs = batchSizes.map { bs =>
       val work = new java.io.File(s"target/admission/$mode-$bs")
@@ -77,6 +85,19 @@ object AdmissionBench {
           (d.withColumn("oid", col("doc_id")), d.count())
       }
       val nBatches = math.max(1, ((nRows + bs - 1) / bs).toInt)
+      // trigger-derived shuffle width (see the session comment): size the
+      // Exchanges to one batch's bytes — Autoscale's same 8 MB/partition
+      // target, applied to the trigger, flooring at the core count for
+      // every local batch size; env override wins as everywhere
+      val batchBytes =
+        if (nRows > 0) fixtureBytes * bs / math.max(1L, nRows) else 0L
+      val width = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        .map(_.trim.toInt)
+        .getOrElse(graft.operators.Autoscale.shufflePartitions(
+          batchBytes, cpus.toInt))
+      spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+      System.err.println(s"[admission] $mode bs=$bs shuffle width $width " +
+        s"(~${batchBytes >> 20} MB/trigger)")
       val batchesDir = s"$work/batches"
       src.withColumn("batch", pmod(col("oid"), lit(nBatches))).drop("oid")
         .write.partitionBy("batch").parquet(batchesDir)

@@ -78,9 +78,17 @@ object StreamingDedup {
       outputPartitions: Int = DefaultOutputPartitions): Unit = {
     val sigs = batch
       .withColumn("content_hash", sha2(col("text"), 256))
-    // within-batch dedup: deterministic representative = min doc_id
+    // within-batch dedup: deterministic representative = min doc_id.
+    // Checkpointed EAGERLY: `reps` feeds three plan branches (the
+    // broadcast probe set, the anti-join left side, the admitted join),
+    // and without materialization each branch — the broadcast ones run
+    // as separate subjobs, where Exchange reuse cannot apply — re-reads
+    // the batch and re-hashes it. A micro-batch is bounded, so one
+    // batch-sized checkpoint per trigger buys flat per-batch cost
+    // (measured round 12: the recompute tax was ~2x per-batch wall).
     val reps = sigs.groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true)
     // cross-batch dedup: evidence = every OTHER batch's signatures. The
     // index only SCANS (see the evidence-side discipline above): semi-join
     // it against the broadcast batch hash set, then anti-join the batch
@@ -174,10 +182,21 @@ object StreamingDedup {
       outDir: String,
       outputPartitions: Int = DefaultOutputPartitions): Unit = {
     val sigs = batch.withColumn("content_hash", sha2(col("text"), 256))
+    // within-batch representatives, checkpointed EAGERLY (see
+    // [[processBatch]]): `reps` and `repBands` each feed a broadcast
+    // probe subjob AND the final admission plan — without
+    // materialization every subjob re-reads the batch, re-hashes, and
+    // re-minhashes it (Exchange reuse does not cross job boundaries),
+    // and the nested broadcasts serialize those recomputes. Both frames
+    // are batch-bounded, so this is two batch-sized checkpoints per
+    // trigger in exchange for flat per-batch cost.
     val reps = sigs.groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"))
       .join(sigs.select("doc_id", "text", "content_hash")
         .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
+      .localCheckpoint(true)
+    val repBands = docBands(spark, reps.select("doc_id", "text"))
+      .localCheckpoint(true)
     // both evidence indexes only SCAN (evidence-side discipline above):
     // each semi-joins against a broadcast of the batch's bounded key set,
     // and the resulting hit sets (≤ batch size) drive broadcast anti-joins
@@ -191,7 +210,6 @@ object StreamingDedup {
     val bandEvidence = readBandIndex(spark, bandIndexDir)
       .filter(col("ingest_batch") =!= batchId)
       .select("band", "bv")
-    val repBands = docBands(spark, reps.select("doc_id", "text"))
     val bandHits = bandEvidence
       .join(broadcast(repBands.select("band", "bv").distinct()),
         Seq("band", "bv"), "left_semi")
@@ -272,9 +290,14 @@ object StreamingDedup {
       simThreshold: Double,
       outputPartitions: Int = DefaultOutputPartitions): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    val a = batch.select(col("vec_id").as("id_a"), col("list_id"),
+    // checkpoint the batch EAGERLY (see [[processBatch]]): it feeds the
+    // in-batch self-join twice, the broadcast probe subjob, and the
+    // admitted plan — four source re-reads per trigger without
+    // materialization, one bounded checkpoint with it
+    val bch = batch.localCheckpoint(true)
+    val a = bch.select(col("vec_id").as("id_a"), col("list_id"),
       col("embedding").as("ea"))
-    val b = batch.select(col("vec_id").as("id_b"), col("list_id").as("lb"),
+    val b = bch.select(col("vec_id").as("id_b"), col("list_id").as("lb"),
       col("embedding").as("eb"))
     val inBatchDrop = a
       .join(b, col("list_id") === col("lb") && col("id_a") < col("id_b"))
@@ -288,11 +311,11 @@ object StreamingDedup {
       .filter(col("ingest_batch") =!= batchId)
       .select(col("list_id"), col("embedding").as("ev"))
     val evHit = evidence
-      .join(broadcast(batch.select(col("vec_id"), col("list_id"),
+      .join(broadcast(bch.select(col("vec_id"), col("list_id"),
         col("embedding"))), Seq("list_id"))
       .filter(expr(s"quant_cosine_sim(embedding, ev) >= $simThreshold"))
       .select("vec_id").distinct()
-    val admitted = batch
+    val admitted = bch
       .join(inBatchDrop, Seq("vec_id"), "left_anti")
       .join(evHit, Seq("vec_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
