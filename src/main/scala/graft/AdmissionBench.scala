@@ -148,6 +148,51 @@ object AdmissionBench {
       val idxBytes = duBytes(indexDir) +
         (if (mode == "near") duBytes(bandDir) else 0L)
       val admitted = spark.read.parquet(outDir).count()
+
+      // REDELIVERY convergence, measured at scale: Pub/Sub-style
+      // at-least-once delivery re-runs already-processed triggers, and
+      // the admission design's exactly-once claim is that a redelivered
+      // batch overwrites exactly its own partitions with the SAME
+      // decision (its own prior output is excluded as evidence while
+      // re-deciding). The specs pin this at fixture scale; here it is
+      // asserted against the full scaled run — first, middle, and last
+      // batch are re-delivered and the admitted set must be bit-stable
+      // (count + order-independent id/batch hash). Untimed for the
+      // throughput curve; per-redelivery wall recorded separately (the
+      // cost of one trigger at final index size).
+      // bit_xor, not sum: order-independent like sum but cannot overflow
+      // under ANSI mode, and admitted (id, batch) pairs are unique so
+      // xor cancellation cannot mask a difference
+      val idCol = if (mode == "semantic") "vec_id" else "doc_id"
+      def admittedFingerprint(): (Long, Long) = {
+        val r = spark.read.parquet(outDir)
+          .agg(count(lit(1)).as("n"),
+            expr(s"bit_xor(xxhash64($idCol, ingest_batch))").as("h"))
+          .collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val fpBefore = admittedFingerprint()
+      val redeliverIds = Seq(0, nBatches / 2, nBatches - 1).distinct
+      val redeliverSec = redeliverIds.map { b =>
+        val t0 = System.nanoTime()
+        val batch = spark.read.parquet(batchesDir)
+          .filter(col("batch") === b).drop("batch")
+        mode match {
+          case "exact" => graft.streaming.StreamingDedup.processBatch(
+            spark, batch, b.toLong, indexDir, outDir)
+          case "near" => graft.streaming.StreamingDedup.processBatchNearDup(
+            spark, batch, b.toLong, indexDir, bandDir, outDir)
+          case _ => graft.streaming.StreamingDedup.processBatchSemantic(
+            spark, batch, b.toLong, indexDir, outDir, simThreshold = 0.4)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val fpAfter = admittedFingerprint()
+      val redeliveryStable = fpBefore == fpAfter
+      if (!redeliveryStable)
+        System.err.println(s"[admission] REDELIVERY UNSTABLE: " +
+          s"$fpBefore -> $fpAfter (batches $redeliverIds)")
+
       val total = perBatch.sum
       // first/last-half throughput from ACTUAL per-batch rows (pmod makes
       // batch sizes nRows/nBatches, not bs): flat last-half vs first-half
@@ -161,19 +206,23 @@ object AdmissionBench {
         f"total $total%.1fs ${nRows / total}%.0f docs/s " +
         f"(first-half ${if (firstSec > 0) firstRows / firstSec else 0.0}%.0f," +
         f" last-half ${if (halfSec > 0) halfRows / halfSec else 0.0}%.0f docs/s) " +
-        f"index $idxRows rows ${idxBytes / 1024} KiB admitted $admitted")
+        f"index $idxRows rows ${idxBytes / 1024} KiB admitted $admitted " +
+        s"redelivery_stable=$redeliveryStable")
       (bs, nBatches, total, perBatch, idxRows, idxBytes, admitted, nRows,
-        firstRows / math.max(firstSec, 1e-9), halfRows / math.max(halfSec, 1e-9))
+        firstRows / math.max(firstSec, 1e-9), halfRows / math.max(halfSec, 1e-9),
+        redeliveryStable, redeliverSec)
     }
 
     def jarr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val line = runs.map { case (bs, nb, tot, pb, ir, ib, adm, n, fh, lh) =>
+    val line = runs.map {
+      case (bs, nb, tot, pb, ir, ib, adm, n, fh, lh, rs, rsec) =>
       s"""{"mode":"$mode","batch_size":$bs,"n_batches":$nb,"n_rows":$n,""" +
         f""""total_sec":$tot%.2f,"rows_per_sec":${n / tot}%.1f,""" +
         f""""first_half_rows_per_sec":$fh%.1f,""" +
         f""""last_half_rows_per_sec":$lh%.1f,""" +
         s""""index_rows":$ir,"index_bytes":$ib,"admitted":$adm,""" +
+        s""""redelivery_stable":$rs,"redelivery_sec":${jarr(rsec)},""" +
         s""""per_batch_sec":${jarr(pb)}}"""
     }.mkString("[", ",", "]")
     val rec = s"""{"metric":"admission","sf":"$sfDir","runs":$line}"""

@@ -52,6 +52,25 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
+  /** Run one micro-batch's admission body and RELEASE the checkpoint
+    * blocks it pinned. Each trigger eagerly localCheckpoints its bounded
+    * batch-side frames (see the call sites); without release those
+    * blocks accumulate across the run — hundreds of pinned RDDs after a
+    * long stream — and the block-manager pressure shows up as an
+    * end-of-run per-batch cliff (measured round 12: the last decile of
+    * a 125-batch x100 run was 2.5× the flat body). The snapshot-diff
+    * unpersists exactly the RDDs this batch created, after its writes
+    * have landed; a concurrently-materialized caller cache would merely
+    * re-persist on next use. */
+  private def releasingCheckpoints[A](spark: SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
+  }
+
   private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     if (fs(spark, indexDir).exists(new org.apache.hadoop.fs.Path(indexDir)))
       spark.read.schema(indexSchema).parquet(indexDir)
@@ -75,7 +94,8 @@ object StreamingDedup {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String,
-      outputPartitions: Int = DefaultOutputPartitions): Unit = {
+      outputPartitions: Int = DefaultOutputPartitions): Unit =
+      releasingCheckpoints(spark) {
     val sigs = batch
       .withColumn("content_hash", sha2(col("text"), 256))
     // within-batch dedup: deterministic representative = min doc_id.
@@ -180,7 +200,8 @@ object StreamingDedup {
   def processBatchNearDup(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexDir: String, bandIndexDir: String,
       outDir: String,
-      outputPartitions: Int = DefaultOutputPartitions): Unit = {
+      outputPartitions: Int = DefaultOutputPartitions): Unit =
+      releasingCheckpoints(spark) {
     val sigs = batch.withColumn("content_hash", sha2(col("text"), 256))
     // within-batch representatives, checkpointed EAGERLY (see
     // [[processBatch]]): `reps` and `repBands` each feed a broadcast
@@ -288,7 +309,8 @@ object StreamingDedup {
   def processBatchSemantic(spark: SparkSession, batch: DataFrame,
       batchId: Long, vecIndexDir: String, outDir: String,
       simThreshold: Double,
-      outputPartitions: Int = DefaultOutputPartitions): Unit = {
+      outputPartitions: Int = DefaultOutputPartitions): Unit =
+      releasingCheckpoints(spark) {
     graft.functions.VectorFunctions.register(spark)
     // checkpoint the batch EAGERLY (see [[processBatch]]): it feeds the
     // in-batch self-join twice, the broadcast probe subjob, and the
