@@ -65,12 +65,32 @@ object AdmissionBench {
       // batch partition — the arrival data of one trigger.
       val (src, nRows) = mode match {
         case "semantic" =>
+          // repartitioned at read: a scaled fixture is one or two parquet
+          // files, and both Lloyd training and the full-corpus assignment
+          // below would otherwise run their k×rows work on 1-2 tasks
           val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
             .select(col("vec_id"), col("embedding"))
+            .repartition(cpus.toInt)
           // offline-trained coarse quantizer (the production shape): the
-          // training is index BUILD, not admission, so it is untimed here
+          // training is index BUILD, not admission, so it is untimed here.
+          // k scales as sqrt(n) — the same discipline as the batch IVF
+          // family: semantic admission evaluates cosines against the
+          // evidence rows of the batch's lists, so per-batch work is
+          // O(admitted · batch / k); a FIXED k turns that into a linear
+          // per-batch drift (measured round 12: k=16 at x300 decayed
+          // 1810 → 1263 docs/s over the run), while k ∝ sqrt(n) keeps
+          // the per-list population — and so the per-batch term — flat
+          // as the corpus grows.
           import graft.operators.IvfCodebook
-          val cb = IvfCodebook.train(spark, v, k = 16, iters = 2,
+          val nVec = v.count()
+          val k = math.min(256,
+            math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt))
+          System.err.println(s"[admission] semantic quantizer k=$k " +
+            s"($nVec vectors)")
+          // the 256 cap keeps the untimed single-node build tractable;
+          // on a cluster the same sqrt(n) dial runs uncapped as offline
+          // index build
+          val cb = IvfCodebook.train(spark, v, k = k, iters = 2,
             sampleEvery = 4)
           val cm = IvfCodebook.comps(v)
           val asg = IvfCodebook.assign(cm, IvfCodebook.norms(cm),
