@@ -137,4 +137,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0 &&
       math.abs(recall - found.toDouble / total) < 1e-12)
   }
+
+  test("contrastive positives stay exact in the multi-level descent regime") {
+    import graft.queries.SimilarityQueries
+    // 10k vectors -> ivfLists = 80 > FlatKMax -> two-level descent: the
+    // corpus assignment walks the IMI tree while the mining probe ranks
+    // flat over the flattened codebook. This is the regime where, without
+    // the anchor's assigned list unioned into the probe set, an anchor's
+    // own list can fall outside its flat top-nprobe and its positives
+    // silently vanish — the fixture-scale test above (k = 16, flat)
+    // cannot catch that.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imi2").toFile
+    val dims = 16
+    val vecs = spark.range(10000).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${dims - 1}),
+        d -> CAST(pmod(vec_id * 37 + d * 101, 97) - 48 AS FLOAT))""")
+        .as("embedding"))
+    vecs.write.parquet(s"${tmp.getPath}/embeddings.parquet")
+    val d = tmp.getPath
+    // the regime actually engaged: more coarse lists than the flat cap
+    val nLists = SimilarityQueries.corpusAssignmentForTest(spark, d)
+      .select("list_id").distinct().count()
+    assert(nLists > 64, s"expected multi-level regime, got $nLists lists")
+    val exactPos = SimilarityQueries.contrastiveExactForTest(spark, d)
+      .filter($"role" === "pos")
+      .select($"anchor_id", $"pair_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val probePos = SimilarityQueries.contrastiveProbeForTest(spark, d)
+      .filter($"role" === "pos")
+      .select($"anchor_id", $"pair_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exactPos == probePos,
+      s"positive drift under two-level descent: exact ${exactPos.size}, " +
+        s"probe ${probePos.size}")
+  }
 }
