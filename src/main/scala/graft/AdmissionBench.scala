@@ -47,7 +47,18 @@ object AdmissionBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fixtureBytes = graft.operators.Autoscale.dirBytes(sfDir)
+    // bytes of the table the batches are actually CUT from — semantic
+    // admission streams embeddings.parquet, exact/near stream
+    // documents.parquet. Whole-fixture bytes overstated semantic
+    // triggers ~5× (documents dominate the fixture while nRows counts
+    // vectors), re-widening shuffles at large semantic batch sizes —
+    // the same overwidth regression the trigger-derived width fixed.
+    val fixtureBytes = mode match {
+      case "semantic" =>
+        graft.operators.Autoscale.dirBytes(s"$sfDir/embeddings.parquet")
+      case _ =>
+        graft.operators.Autoscale.dirBytes(s"$sfDir/documents.parquet")
+    }
 
     val runs = batchSizes.map { bs =>
       val work = new java.io.File(s"target/admission/$mode-$bs")
@@ -98,7 +109,7 @@ object AdmissionBench {
           (v.join(asg, "vec_id")
             .select(col("vec_id"), col("list_id"), col("embedding"),
               pmod(col("vec_id"), lit(1000000)).as("oid")),
-            v.count())
+            nVec)
         case _ =>
           val d = spark.read.parquet(s"$sfDir/documents.parquet")
             .select(col("doc_id"), col("text"))

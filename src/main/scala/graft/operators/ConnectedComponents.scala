@@ -50,37 +50,66 @@ object ConnectedComponents {
     *         connected component; rounds = propagation rounds executed
     *         (tests assert the O(log diameter) bound holds)
     */
+  /** In-memory unsafe-row bytes per propagated edge/label row (two longs
+    * + row overhead), used to size the per-loop shuffle width below. */
+  private val BytesPerEdgeRow = 64L
+
   def run(pairs: DataFrame, maxRounds: Int = 16): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val e = pairs.toDF("u", "w")
     val edges = e.union(e.select(col("w"), col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // lazy checkpoints: the per-round checksum action materializes them,
-    // so each round runs ONE job instead of checkpoint + checksum
-    var labels = edges.select(col("u").as("v")).distinct()
-      .withColumn("component", col("v"))
-      .localCheckpoint(false)
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head.getLong(0)
-    var prev = checksum(labels)
-    var rounds = 0
-    var converged = labels.head(1).isEmpty
-    while (!converged && rounds < maxRounds) {
-      val viaNbr = edges.join(labels.withColumnRenamed("v", "w"), "w")
-        .select(col("u").as("v"), col("component"))
-      val merged = labels.union(viaNbr)
-        .groupBy("v").agg(min("component").as("component"))
-      val jumped = merged
-        .join(merged.select(col("v").as("component"),
-          col("component").as("c2")), "component")
-        .select(col("v"), col("c2").as("component"))
-        .localCheckpoint(false) // truncate: see scaladoc (iterative plan)
-      val cur = checksum(jumped)
-      labels = jumped
-      rounds += 1
-      converged = cur == prev
-      prev = cur
-    }
-    edges.unpersist()
-    (labels, rounds)
+    // Per-LOOP shuffle width: every shuffle in the loop carries O(|E|)
+    // rows of two longs — the pair list, not the corpus — so the
+    // session width (Autoscale derives it from CORPUS bytes for the
+    // full-scan families) over-partitions the loop's tiny per-round
+    // exchanges by 10-20x at the scaled fixtures. AQE's coalescing
+    // cannot rescue it here: each round's localCheckpoint materializes
+    // the map outputs at the configured width before the next query
+    // begins, and with parallelismFirst semantics the coalesced reads
+    // still pay the 500+ map-output files per round. Measured x300:
+    // 13.4 s under the session's 544 vs 8.6 s under 32. Derive the
+    // width from the counted edge rows instead (the count is one scan
+    // of the already-persisted edge RDD, paid once, and doubles as the
+    // materialization the first round needs anyway), floored at the
+    // core count, and restore the session width after the loop — run()
+    // is called from single-threaded query bodies, so the temporary
+    // session-conf override cannot race another query.
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = Autoscale.shufflePartitions(
+      edges.count() * BytesPerEdgeRow,
+      spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(sessionWidth.toInt, loopWidth).toString)
+    try {
+      // lazy checkpoints: the per-round checksum action materializes them,
+      // so each round runs ONE job instead of checkpoint + checksum
+      var labels = edges.select(col("u").as("v")).distinct()
+        .withColumn("component", col("v"))
+        .localCheckpoint(false)
+      def checksum(df: DataFrame): Long =
+        df.agg(coalesce(sum("component"), lit(0L))).head.getLong(0)
+      var prev = checksum(labels)
+      var rounds = 0
+      var converged = labels.head(1).isEmpty
+      while (!converged && rounds < maxRounds) {
+        val viaNbr = edges.join(labels.withColumnRenamed("v", "w"), "w")
+          .select(col("u").as("v"), col("component"))
+        val merged = labels.union(viaNbr)
+          .groupBy("v").agg(min("component").as("component"))
+        val jumped = merged
+          .join(merged.select(col("v").as("component"),
+            col("component").as("c2")), "component")
+          .select(col("v"), col("c2").as("component"))
+          .localCheckpoint(false) // truncate: see scaladoc (iterative plan)
+        val cur = checksum(jumped)
+        labels = jumped
+        rounds += 1
+        converged = cur == prev
+        prev = cur
+      }
+      edges.unpersist()
+      (labels, rounds)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
   }
 }

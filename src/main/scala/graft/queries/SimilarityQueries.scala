@@ -294,6 +294,13 @@ object SimilarityQueries {
     probeLists(s, d, nprobe)
   private[graft] def corpusAssignmentForTest(s: SparkSession, d: String): DataFrame =
     corpusAssignment(s, d)
+  // CorpusOpsSpec asserts the multi-level regime engaged via the
+  // CONFIGURED list count (imiDepth(ivfLists) >= 2) — a distinct-
+  // assignment count is a flaky proxy: Lloyd can leave lists empty, so
+  // a changed fixture/seed could drop below the threshold while the
+  // descent machinery is still fully engaged
+  private[graft] def ivfListsForTest(s: SparkSession, d: String): Int =
+    ivfLists(s, d)
 
   /** The shared (vec_id, list_id) assignment for cross-file consumers —
     * the streaming semantic admission in [[PipelineQueries]] treats it as

@@ -52,23 +52,35 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
-  /** Run one micro-batch's admission body and RELEASE the checkpoint
-    * blocks it pinned. Each trigger eagerly localCheckpoints its bounded
-    * batch-side frames (see the call sites); without release those
-    * blocks accumulate across the run — hundreds of pinned RDDs after a
-    * long stream — and the block-manager pressure shows up as an
-    * end-of-run per-batch cliff (measured round 12: the last decile of
-    * a 125-batch x100 run was 2.5× the flat body). The snapshot-diff
-    * unpersists exactly the RDDs this batch created, after its writes
-    * have landed; a concurrently-materialized caller cache would merely
-    * re-persist on next use. */
-  private def releasingCheckpoints[A](spark: SparkSession)(body: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try body
-    finally spark.sparkContext.getPersistentRDDs
-      .foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(blocking = false)
-      }
+  /** One trigger's checkpoint ledger: [[apply]] eagerly localCheckpoints
+    * a bounded batch-side frame and records the pinned RDD it created, so
+    * the end-of-trigger [[release]] frees exactly THOSE blocks. Without
+    * release, checkpoint blocks accumulate across the run — hundreds of
+    * pinned RDDs after a long stream — and the block-manager pressure
+    * shows up as an end-of-run per-batch cliff (measured round 12: the
+    * last decile of a 125-batch x100 run was 2.5× the flat body). The
+    * ledger replaced a `getPersistentRDDs` snapshot-diff: the diff also
+    * caught anything a CONCURRENT session thread persisted inside the
+    * trigger window, and for a caller's localCheckpoint that is
+    * destructive — its lineage is truncated, so unpersisting deletes the
+    * only copy and later use fails on a missing checkpoint block. */
+  private final class CkptScope {
+    private val rdds =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def apply(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      org.apache.spark.sql.GraftInternal.checkpointedRdd(out)
+        .foreach(rdds += _)
+      out
+    }
+    def release(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Run one micro-batch's admission body with a [[CkptScope]] and
+    * release its checkpoint blocks after the writes have landed. */
+  private def releasingCheckpoints[A](body: CkptScope => A): A = {
+    val scope = new CkptScope
+    try body(scope) finally scope.release()
   }
 
   private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
@@ -95,7 +107,7 @@ object StreamingDedup {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String,
       outputPartitions: Int = DefaultOutputPartitions): Unit =
-      releasingCheckpoints(spark) {
+      releasingCheckpoints { ckpt =>
     val sigs = batch
       .withColumn("content_hash", sha2(col("text"), 256))
     // within-batch dedup: deterministic representative = min doc_id.
@@ -106,9 +118,8 @@ object StreamingDedup {
     // the batch and re-hashes it. A micro-batch is bounded, so one
     // batch-sized checkpoint per trigger buys flat per-batch cost
     // (measured round 12: the recompute tax was ~2x per-batch wall).
-    val reps = sigs.groupBy("content_hash")
-      .agg(min(col("doc_id")).as("doc_id"))
-      .localCheckpoint(true)
+    val reps = ckpt(sigs.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id")))
     // cross-batch dedup: evidence = every OTHER batch's signatures. The
     // index only SCANS (see the evidence-side discipline above): semi-join
     // it against the broadcast batch hash set, then anti-join the batch
@@ -124,11 +135,11 @@ object StreamingDedup {
     // materialize the admission decision BEFORE writing: the index write
     // below overwrites a path this plan reads (Spark rejects that), and a
     // bounded micro-batch is exactly what localCheckpoint is for
-    val admitted = novel.join(sigs.select("doc_id", "text", "content_hash")
+    val admitted = ckpt(novel
+      .join(sigs.select("doc_id", "text", "content_hash")
         .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
       .withColumn("ingest_batch", lit(batchId))
-      .coalesce(outputPartitions)
-      .localCheckpoint(true)
+      .coalesce(outputPartitions))
     admitted.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(outDir)
@@ -201,7 +212,7 @@ object StreamingDedup {
       batchId: Long, indexDir: String, bandIndexDir: String,
       outDir: String,
       outputPartitions: Int = DefaultOutputPartitions): Unit =
-      releasingCheckpoints(spark) {
+      releasingCheckpoints { ckpt =>
     val sigs = batch.withColumn("content_hash", sha2(col("text"), 256))
     // within-batch representatives, checkpointed EAGERLY (see
     // [[processBatch]]): `reps` and `repBands` each feed a broadcast
@@ -211,13 +222,11 @@ object StreamingDedup {
     // and the nested broadcasts serialize those recomputes. Both frames
     // are batch-bounded, so this is two batch-sized checkpoints per
     // trigger in exchange for flat per-batch cost.
-    val reps = sigs.groupBy("content_hash")
+    val reps = ckpt(sigs.groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"))
       .join(sigs.select("doc_id", "text", "content_hash")
-        .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
-      .localCheckpoint(true)
-    val repBands = docBands(spark, reps.select("doc_id", "text"))
-      .localCheckpoint(true)
+        .dropDuplicates("doc_id"), Seq("content_hash", "doc_id")))
+    val repBands = ckpt(docBands(spark, reps.select("doc_id", "text")))
     // both evidence indexes only SCAN (evidence-side discipline above):
     // each semi-joins against a broadcast of the batch's bounded key set,
     // and the resulting hit sets (≤ batch size) drive broadcast anti-joins
@@ -238,12 +247,11 @@ object StreamingDedup {
     val nearHit = repBands
       .join(broadcast(bandHits), Seq("band", "bv"), "left_semi")
       .select("doc_id").distinct()
-    val admitted = reps
+    val admitted = ckpt(reps
       .join(broadcast(exactHits), Seq("content_hash"), "left_anti")
       .join(nearHit, Seq("doc_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
-      .coalesce(outputPartitions)
-      .localCheckpoint(true)
+      .coalesce(outputPartitions))
     admitted.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(outDir)
@@ -310,13 +318,13 @@ object StreamingDedup {
       batchId: Long, vecIndexDir: String, outDir: String,
       simThreshold: Double,
       outputPartitions: Int = DefaultOutputPartitions): Unit =
-      releasingCheckpoints(spark) {
+      releasingCheckpoints { ckpt =>
     graft.functions.VectorFunctions.register(spark)
     // checkpoint the batch EAGERLY (see [[processBatch]]): it feeds the
     // in-batch self-join twice, the broadcast probe subjob, and the
     // admitted plan — four source re-reads per trigger without
     // materialization, one bounded checkpoint with it
-    val bch = batch.localCheckpoint(true)
+    val bch = ckpt(batch)
     val a = bch.select(col("vec_id").as("id_a"), col("list_id"),
       col("embedding").as("ea"))
     val b = bch.select(col("vec_id").as("id_b"), col("list_id").as("lb"),
@@ -337,12 +345,11 @@ object StreamingDedup {
         col("embedding"))), Seq("list_id"))
       .filter(expr(s"quant_cosine_sim(embedding, ev) >= $simThreshold"))
       .select("vec_id").distinct()
-    val admitted = bch
+    val admitted = ckpt(bch
       .join(inBatchDrop, Seq("vec_id"), "left_anti")
       .join(evHit, Seq("vec_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
-      .coalesce(outputPartitions)
-      .localCheckpoint(true)
+      .coalesce(outputPartitions))
     admitted.select("vec_id", "list_id", "ingest_batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -32,6 +32,22 @@ object GraftInternal {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** The pinned RDD behind a `df.localCheckpoint(...)` result: checkpoint
+    * returns a Dataset wrapping a `LogicalRDD` over the materialized,
+    * persisted RDD. Callers that must RELEASE that storage (per-trigger
+    * checkpoint hygiene in [[graft.streaming.StreamingDedup]]) unpersist
+    * exactly this RDD — a `getPersistentRDDs` snapshot-diff would also
+    * catch (and destroy) checkpoints a CONCURRENT caller created, whose
+    * truncated lineage cannot be recomputed. None for a non-checkpointed
+    * frame, so a misuse degrades to "not released", never to "released
+    * someone else's". */
+  def checkpointedRdd(
+      df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Drain the async listener bus (`private[spark]` — stage-completed
     * events are delivered asynchronously), so the per-query
     * shuffle/spill deltas Bench samples attribute to the query that
