@@ -19,8 +19,23 @@ import org.apache.spark.sql.functions._
   * come from the environment:
   *
   *   SPARK_GRAFT_SF_DIR       fixture dir (documents.parquet [+ embeddings])
-  *   SPARK_GRAFT_MODE         exact | near | semantic   (default near)
+  *   SPARK_GRAFT_MODE         exact | near | semantic | refresh (default near)
   *   SPARK_GRAFT_BATCH_SIZES  comma ints                (default 1000,4000)
+  *   SPARK_GRAFT_KCAP         refresh mode: quantizer k cap (default none)
+  *   SPARK_GRAFT_STALENESS    refresh mode: staleness bound (default 4.0)
+  *
+  * `refresh` is the QUANTIZER-LIFECYCLE form of semantic admission
+  * ([[graft.streaming.SemanticAdmitter]]): no offline pre-assignment —
+  * the v0 codebook trains on the first batch, each batch pays its own
+  * assignment inside the timed window, and the k ∝ √n staleness trigger
+  * retrains + swaps the index mid-stream. Swap walls are recorded
+  * per-event and EXCLUDED from the per-batch admission curve (the
+  * retrain is an offline index build in production); the curve across
+  * the swap — before/after throughput — is the measurement the swap
+  * policy exists to protect. Redelivered batches replay via the
+  * completion-marker ledger, so redelivery here asserts marker
+  * semantics (bit-stable by construction even across swaps), not
+  * re-derivation.
   */
 object AdmissionBench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +69,7 @@ object AdmissionBench {
     // vectors), re-widening shuffles at large semantic batch sizes —
     // the same overwidth regression the trigger-derived width fixed.
     val fixtureBytes = mode match {
-      case "semantic" =>
+      case "semantic" | "refresh" =>
         graft.operators.Autoscale.dirBytes(s"$sfDir/embeddings.parquet")
       case _ =>
         graft.operators.Autoscale.dirBytes(s"$sfDir/documents.parquet")
@@ -110,6 +125,15 @@ object AdmissionBench {
             .select(col("vec_id"), col("list_id"), col("embedding"),
               pmod(col("vec_id"), lit(1000000)).as("oid")),
             nVec)
+        case "refresh" =>
+          // no offline assignment and no pre-trained quantizer: the
+          // admitter bootstraps v0 on the first batch and every later
+          // batch pays its own assignment in the timed window
+          val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+            .repartition(cpus.toInt)
+          (v.withColumn("oid", pmod(col("vec_id"), lit(1000000))),
+            v.count())
         case _ =>
           val d = spark.read.parquet(s"$sfDir/documents.parquet")
             .select(col("doc_id"), col("text"))
@@ -140,6 +164,21 @@ object AdmissionBench {
         .groupBy("batch").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+      // refresh-mode machinery: one admitter per run; swap events land
+      // in `swaps` and their walls are excluded from the per-batch curve
+      // (offline index build in production — recorded separately)
+      val kCap = sys.env.get("SPARK_GRAFT_KCAP").map(_.trim.toInt)
+        .getOrElse(Int.MaxValue)
+      val staleness = sys.env.get("SPARK_GRAFT_STALENESS")
+        .map(_.trim.toDouble).getOrElse(4.0)
+      val admitter =
+        if (mode == "refresh")
+          Some(new graft.streaming.SemanticAdmitter(spark, s"$work/sem",
+            simThreshold = 0.4, kCap = kCap, stalenessBound = staleness))
+        else None
+      val swaps = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, graft.streaming.SemanticAdmitter.RefreshInfo)]
+
       // TIMED: admit batch after batch; each step reads its partition
       // (the arriving trigger data) and runs the admission function. The
       // read goes through a partition-pruned filter, so an empty residue
@@ -148,6 +187,7 @@ object AdmissionBench {
         val t0 = System.nanoTime()
         val batch = spark.read.parquet(batchesDir)
           .filter(col("batch") === b).drop("batch")
+        var swapSec = 0.0
         mode match {
           case "exact" =>
             graft.streaming.StreamingDedup.processBatch(
@@ -158,9 +198,17 @@ object AdmissionBench {
           case "semantic" =>
             graft.streaming.StreamingDedup.processBatchSemantic(
               spark, batch, b.toLong, indexDir, outDir, simThreshold = 0.4)
+          case "refresh" =>
+            val o = admitter.get.admit(batch, b.toLong)
+            o.refreshed.foreach { info =>
+              swaps += ((b, info)); swapSec = info.seconds
+              System.err.println(f"[admission] refresh swap at batch $b: " +
+                f"k=${info.k} index=${info.indexRows} rows " +
+                f"${info.seconds}%.1fs")
+            }
           case other => sys.error(s"unknown mode $other")
         }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9 - swapSec
         if (b % math.max(1, nBatches / 10) == 0)
           System.err.println(f"[admission] $mode bs=$bs batch $b/$nBatches " +
             f"$sec%.2fs")
@@ -175,10 +223,12 @@ object AdmissionBench {
         else if (f.isFile) f.length()
         else f.listFiles().map(x => duBytes(x.getPath)).sum
       }
-      val idxRows = spark.read.parquet(indexDir).count()
-      val idxBytes = duBytes(indexDir) +
+      val effIndexDir = admitter.map(_.currentIndexDir).getOrElse(indexDir)
+      val effOutDir = admitter.map(_.admittedDir).getOrElse(outDir)
+      val idxRows = spark.read.parquet(effIndexDir).count()
+      val idxBytes = duBytes(effIndexDir) +
         (if (mode == "near") duBytes(bandDir) else 0L)
-      val admitted = spark.read.parquet(outDir).count()
+      val admitted = spark.read.parquet(effOutDir).count()
 
       // REDELIVERY convergence, measured at scale: Pub/Sub-style
       // at-least-once delivery re-runs already-processed triggers, and
@@ -194,9 +244,10 @@ object AdmissionBench {
       // bit_xor, not sum: order-independent like sum but cannot overflow
       // under ANSI mode, and admitted (id, batch) pairs are unique so
       // xor cancellation cannot mask a difference
-      val idCol = if (mode == "semantic") "vec_id" else "doc_id"
+      val idCol =
+        if (mode == "semantic" || mode == "refresh") "vec_id" else "doc_id"
       def admittedFingerprint(): (Long, Long) = {
-        val r = spark.read.parquet(outDir)
+        val r = spark.read.parquet(effOutDir)
           .agg(count(lit(1)).as("n"),
             expr(s"bit_xor(xxhash64($idCol, ingest_batch))").as("h"))
           .collect()(0)
@@ -213,6 +264,12 @@ object AdmissionBench {
             spark, batch, b.toLong, indexDir, outDir)
           case "near" => graft.streaming.StreamingDedup.processBatchNearDup(
             spark, batch, b.toLong, indexDir, bandDir, outDir)
+          case "refresh" =>
+            // the marker ledger must make redelivery a replay no-op —
+            // that IS the bit-stability mechanism across quantizer swaps
+            val o = admitter.get.admit(batch, b.toLong)
+            require(o.replayed,
+              s"redelivered batch $b must replay via its marker")
           case _ => graft.streaming.StreamingDedup.processBatchSemantic(
             spark, batch, b.toLong, indexDir, outDir, simThreshold = 0.4)
         }
@@ -233,27 +290,36 @@ object AdmissionBench {
       val halfRows = rowsSeq.drop(nBatches / 2).sum
       val firstSec = perBatch.take(nBatches / 2).sum
       val firstRows = rowsSeq.take(nBatches / 2).sum
+      val swapsJson = swaps.map { case (b, i) =>
+        f"""{"batch":$b,"k":${i.k},"index_rows":${i.indexRows},""" +
+          f""""sec":${i.seconds}%.2f}"""
+      }.mkString("[", ",", "]")
+      val finalK = admitter.map(_.currentK).getOrElse(0)
       System.err.println(f"[admission] $mode bs=$bs DONE " +
         f"total $total%.1fs ${nRows / total}%.0f docs/s " +
         f"(first-half ${if (firstSec > 0) firstRows / firstSec else 0.0}%.0f," +
         f" last-half ${if (halfSec > 0) halfRows / halfSec else 0.0}%.0f docs/s) " +
         f"index $idxRows rows ${idxBytes / 1024} KiB admitted $admitted " +
-        s"redelivery_stable=$redeliveryStable")
+        s"redelivery_stable=$redeliveryStable" +
+        (if (mode == "refresh") s" swaps=${swaps.size} final_k=$finalK"
+         else ""))
       (bs, nBatches, total, perBatch, idxRows, idxBytes, admitted, nRows,
         firstRows / math.max(firstSec, 1e-9), halfRows / math.max(halfSec, 1e-9),
-        redeliveryStable, redeliverSec)
+        redeliveryStable, redeliverSec, swapsJson, finalK)
     }
 
     def jarr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line = runs.map {
-      case (bs, nb, tot, pb, ir, ib, adm, n, fh, lh, rs, rsec) =>
+      case (bs, nb, tot, pb, ir, ib, adm, n, fh, lh, rs, rsec, sw, fk) =>
       s"""{"mode":"$mode","batch_size":$bs,"n_batches":$nb,"n_rows":$n,""" +
         f""""total_sec":$tot%.2f,"rows_per_sec":${n / tot}%.1f,""" +
         f""""first_half_rows_per_sec":$fh%.1f,""" +
         f""""last_half_rows_per_sec":$lh%.1f,""" +
         s""""index_rows":$ir,"index_bytes":$ib,"admitted":$adm,""" +
         s""""redelivery_stable":$rs,"redelivery_sec":${jarr(rsec)},""" +
+        (if (mode == "refresh")
+           s""""swaps":$sw,"final_k":$fk,""" else "") +
         s""""per_batch_sec":${jarr(pb)}}"""
     }.mkString("[", ",", "]")
     val rec = s"""{"metric":"admission","sf":"$sfDir","runs":$line}"""

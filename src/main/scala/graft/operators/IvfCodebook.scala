@@ -105,9 +105,17 @@ object IvfCodebook {
     * corpus against the trained codebook stays a single pass. The seed is
     * the k lowest-id vectors of the full corpus (deterministic whether or
     * not they fall in the sample).
+    *
+    * `seedDf` overrides the default `vec_id < k` seed — that filter means
+    * "the k lowest ids" only when ids are dense from 0, which holds for
+    * the generated fixtures but not for an admitted SUBSET of a corpus
+    * (rejections punch holes) or a micro-batch (ids are a residue class).
+    * Callers on such frames pass an explicit (cent_id, dim, cs) seed;
+    * cent_ids need only be distinct, not 0..k-1.
     */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int,
-      iters: Int, sampleEvery: Int = 1): DataFrame = {
+      iters: Int, sampleEvery: Int = 1,
+      seedDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val all = comps(embeddings)
     val c = (if (sampleEvery <= 1) all
@@ -118,7 +126,7 @@ object IvfCodebook {
       // each iteration materializes its k·dims centroid table locally
       // (bounded, the codebook) so iteration t+1 starts from a shallow
       // plan instead of re-running every earlier round's joins/windows
-      var cents = localize(spark, seed(all, k))
+      var cents = localize(spark, seedDf.getOrElse(seed(all, k)))
       for (_ <- 1 to iters) cents = localize(spark, step(c, n, cents))
       cents
     } finally { c.unpersist(); n.unpersist() }
