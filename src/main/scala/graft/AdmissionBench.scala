@@ -109,7 +109,13 @@ object AdmissionBench {
           // as the corpus grows.
           import graft.operators.IvfCodebook
           val nVec = v.count()
-          val k = math.min(256,
+          // the default 256 cap keeps the untimed flat-Lloyd build
+          // tractable locally; SPARK_GRAFT_KCAP lifts it to measure the
+          // k-scaling law past the cap (k = √n uncapped is the cluster
+          // setting, where training is an offline index build)
+          val kCapSem = sys.env.get("SPARK_GRAFT_KCAP")
+            .map(_.trim.toInt).getOrElse(256)
+          val k = math.min(kCapSem,
             math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt))
           System.err.println(s"[admission] semantic quantizer k=$k " +
             s"($nVec vectors)")

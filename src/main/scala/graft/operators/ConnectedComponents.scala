@@ -76,11 +76,18 @@ object ConnectedComponents {
     // is called from single-threaded query bodies, so the temporary
     // session-conf override cannot race another query.
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopWidth = Autoscale.shufflePartitions(
-      edges.count() * BytesPerEdgeRow,
-      spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(sessionWidth.toInt, loopWidth).toString)
+    // SPARK_GRAFT_CC_LOOP_WIDTH: the A/B lever for measuring this exact
+    // dial — "session" disables the override (the pre-round-13
+    // behavior), an int pins the loop width; unset = derive from edges.
+    val loopWidth = sys.env.get("SPARK_GRAFT_CC_LOOP_WIDTH") match {
+      case Some("session") => sessionWidth.toInt
+      case Some(v) => v.trim.toInt
+      case None => math.min(sessionWidth.toInt,
+        Autoscale.shufflePartitions(
+          edges.count() * BytesPerEdgeRow,
+          spark.sparkContext.defaultParallelism))
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
     try {
       // lazy checkpoints: the per-round checksum action materializes them,
       // so each round runs ONE job instead of checkpoint + checksum

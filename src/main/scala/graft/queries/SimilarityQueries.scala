@@ -1645,6 +1645,66 @@ object SimilarityQueries {
         |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM assign a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id""".stripMargin)),
 
+    // Recall audit for SEMANTIC dedup — the missing twin that completes
+    // the recall-audit family (MinHash has dedup_recall_audit, ANN has
+    // ann_recall_audit, IR has its eval): dedup_semantic's documented
+    // tradeoff is that the quadratic pair search runs only WITHIN a
+    // coarse list, so a similar pair split across two lists is never
+    // evaluated. This audit makes that tradeoff a number: on a bounded
+    // anchor sample (vec_id < 64 — the same broadcast-against-corpus
+    // shape as the contrastive exact path, O(|anchors|·n)), the exact
+    // corpus-wide quantized cosine is the ground truth for duplicate
+    // pairs (>= 0.4, the dedup threshold), and `found` counts how many
+    // of those pairs share a coarse list — i.e. are visible to the
+    // cluster-bounded candidate generation at all. Run whenever the
+    // codebook dial (lists, iters, sample) changes.
+    QueryDef("dedup_semantic_recall",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val anchors = v.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val tru = broadcast(anchors)
+          .join(v.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb")), col("vec_a") < col("vec_b"))
+          .filter(expr("quant_cosine_sim(ea, eb) >= 0.4"))
+          .select("vec_a", "vec_b")
+        val asg = corpusAssignment(s, d)
+        tru
+          .join(asg.select(col("vec_id").as("vec_a"),
+            col("list_id").as("la")), "vec_a")
+          .join(asg.select(col("vec_id").as("vec_b"),
+            col("list_id").as("lb")), "vec_b")
+          .agg(count(lit(1)).cast("long").as("total_true"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+              .cast("long").as("found"))
+          .select(col("total_true"), col("found"),
+            when(col("total_true") === 0, lit(0.0))
+              .otherwise(col("found").cast("double") /
+                col("total_true").cast("double")).as("recall"))
+      },
+      Some(s"""WITH ${lloydCtes(16, 2, 4)},
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM r2 WHERE rn = 1),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2 FROM v),
+        |tru AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM n a JOIN n b ON a.vec_id < 64 AND a.vec_id < b.vec_id
+        |  WHERE CAST(CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4),
+        |fnd AS (SELECT t.vec_a FROM tru t
+        |  JOIN assign sa ON sa.vec_id = t.vec_a
+        |  JOIN assign sb ON sb.vec_id = t.vec_b
+        |  WHERE sa.list_id = sb.list_id)
+        |SELECT CAST((SELECT count(*) FROM tru) AS BIGINT) AS total_true,
+        |  CAST((SELECT count(*) FROM fnd) AS BIGINT) AS found,
+        |  CASE WHEN (SELECT count(*) FROM tru) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST((SELECT count(*) FROM fnd) AS DOUBLE)
+        |      / (SELECT count(*) FROM tru) END AS recall""".stripMargin)),
+
     // Contrastive pair MINING — the training-data step for embedding
     // models (SimCLR/SBERT-style): for each anchor, the top positives
     // (nearest SAME-cluster vectors — semantically aligned under the
