@@ -49,6 +49,16 @@ object CorpusBuild {
       val n = df.count()
       System.err.println(f"[corpus-build] $name%-14s $total%8.2fs " +
         f"(build $build%6.2fs) $n%8d rows")
+      // Stage-boundary GC (untimed — same hygiene as Bench's set
+      // boundaries): shuffle files are deleted only when the driver GC
+      // collects their weak references, and a mostly-idle 64 GB heap may
+      // not GC for the whole build — so a single-JVM run ACCUMULATES
+      // every prior stage's dead shuffle files on disk. At x1000 that
+      // stacking killed the packing stage with ENOSPC (near-dedup's
+      // ~39 GB of spent shuffle still on disk under a 60 GB budget) —
+      // on a real cluster the same leak evicts healthy cache blocks and
+      // exhausts executor local disks.
+      System.gc()
       (name, total, build, n)
     }
     def jmap(xs: Seq[(String, String)]): String =

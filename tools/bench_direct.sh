@@ -21,8 +21,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_GRAFT_EXTRA_JAVA_OPTS: ad-hoc -D flags for an experiment (e.g.
+# -Dspark.io.compression.codec=zstd to shrink a disk-bounded shuffle).
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_GRAFT_EXTRA_JAVA_OPTS:-} \
   -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "${@:2}"
