@@ -59,33 +59,29 @@ object ConnectedComponents {
     val e = pairs.toDF("u", "w")
     val edges = e.union(e.select(col("w"), col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Per-LOOP shuffle width: every shuffle in the loop carries O(|E|)
-    // rows of two longs — the pair list, not the corpus — so the
-    // session width (Autoscale derives it from CORPUS bytes for the
-    // full-scan families) over-partitions the loop's tiny per-round
-    // exchanges by 10-20x at the scaled fixtures. AQE's coalescing
-    // cannot rescue it here: each round's localCheckpoint materializes
-    // the map outputs at the configured width before the next query
-    // begins, and with parallelismFirst semantics the coalesced reads
-    // still pay the 500+ map-output files per round. Measured x300:
-    // 13.4 s under the session's 544 vs 8.6 s under 32. Derive the
-    // width from the counted edge rows instead (the count is one scan
-    // of the already-persisted edge RDD, paid once, and doubles as the
-    // materialization the first round needs anyway), floored at the
-    // core count, and restore the session width after the loop — run()
-    // is called from single-threaded query bodies, so the temporary
-    // session-conf override cannot race another query.
+    // Loop shuffle width: the session default, deliberately. The loop's
+    // per-round exchanges carry O(|E|) rows of two longs — tiny next to
+    // the corpus-derived session width at scaled fixtures — but a
+    // same-window interleaved A/B at x300 (77 k pairs, graft.CcBench,
+    // SCALING.md §11) measured AQE's partition coalescing already
+    // engaging INSIDE the loop (localCheckpoint does not block it):
+    // session-width median 3.0 s vs a derived-width override's 3.7 s,
+    // where the override's own edge-count sizing job cost more than the
+    // narrower width saved. The earlier cross-window comparison that
+    // motivated an override (round-12: 8.6 s @32 vs 13.4 s @544) was
+    // host-window noise — the two windows differed 1.8× on
+    // byte-identical plans. SPARK_GRAFT_CC_LOOP_WIDTH remains the
+    // experiment lever: an int pins the loop width, "derived" re-enables
+    // the edges-count derivation; the session conf is restored after the
+    // loop (run() is called from single-threaded query bodies).
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    // SPARK_GRAFT_CC_LOOP_WIDTH: the A/B lever for measuring this exact
-    // dial — "session" disables the override (the pre-round-13
-    // behavior), an int pins the loop width; unset = derive from edges.
     val loopWidth = sys.env.get("SPARK_GRAFT_CC_LOOP_WIDTH") match {
-      case Some("session") => sessionWidth.toInt
-      case Some(v) => v.trim.toInt
-      case None => math.min(sessionWidth.toInt,
+      case Some("derived") => math.min(sessionWidth.toInt,
         Autoscale.shufflePartitions(
           edges.count() * BytesPerEdgeRow,
           spark.sparkContext.defaultParallelism))
+      case Some(v) if v != "session" => v.trim.toInt
+      case _ => sessionWidth.toInt
     }
     spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
     try {
