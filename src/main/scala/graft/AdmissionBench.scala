@@ -117,16 +117,26 @@ object AdmissionBench {
             .map(_.trim.toInt).getOrElse(256)
           val k = math.min(kCapSem,
             math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt))
+          // past FlatKMax the build is the two-level IMI tree — flat
+          // Lloyd is O(n·k)/iteration, the wrong complexity class at
+          // k = √n scale (SPARK_GRAFT_FLATKMAX overrides for the
+          // flat-vs-tree build A/B; huge value = force flat)
+          val flatKMax = sys.env.get("SPARK_GRAFT_FLATKMAX")
+            .map(_.trim.toInt)
+            .getOrElse(graft.streaming.SemanticAdmitter.FlatKMax)
           System.err.println(s"[admission] semantic quantizer k=$k " +
-            s"($nVec vectors)")
-          // the 256 cap keeps the untimed single-node build tractable;
-          // on a cluster the same sqrt(n) dial runs uncapped as offline
-          // index build
-          val cb = IvfCodebook.train(spark, v, k = k, iters = 2,
-            sampleEvery = 4)
+            s"($nVec vectors, ${if (k > flatKMax) "tree" else "flat"})")
+          val t0 = System.nanoTime()
+          // trainCoarse is eager (each Lloyd round localizes its
+          // centroids), so this wall IS the offline build cost — the
+          // number the flat-vs-tree A/B compares
+          val cb = graft.streaming.SemanticAdmitter.trainCoarse(spark, v,
+            k = k, iters = 2, sampleEvery = 4, flatKMax = flatKMax)
+          System.err.println(f"[admission] quantizer build " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1fs")
           val cm = IvfCodebook.comps(v)
-          val asg = IvfCodebook.assign(cm, IvfCodebook.norms(cm),
-            broadcast(cb))
+          val asg = graft.streaming.SemanticAdmitter.assignCoarse(
+            cm, IvfCodebook.norms(cm), cb)
           (v.join(asg, "vec_id")
             .select(col("vec_id"), col("list_id"), col("embedding"),
               pmod(col("vec_id"), lit(1000000)).as("oid")),
@@ -180,7 +190,10 @@ object AdmissionBench {
       val admitter =
         if (mode == "refresh")
           Some(new graft.streaming.SemanticAdmitter(spark, s"$work/sem",
-            simThreshold = 0.4, kCap = kCap, stalenessBound = staleness))
+            simThreshold = 0.4, kCap = kCap, stalenessBound = staleness,
+            flatKMax = sys.env.get("SPARK_GRAFT_FLATKMAX")
+              .map(_.trim.toInt)
+              .getOrElse(graft.streaming.SemanticAdmitter.FlatKMax)))
         else None
       val swaps = scala.collection.mutable.ArrayBuffer
         .empty[(Int, graft.streaming.SemanticAdmitter.RefreshInfo)]
@@ -337,7 +350,10 @@ object AdmissionBench {
       val f = new java.io.File(dir,
         s"admission-$mode-${System.currentTimeMillis()}.json")
       java.nio.file.Files.write(f.toPath, (rec + "\n").getBytes("UTF-8"))
-      ()
+      // machine-greppable: round_close.sh captures THIS path instead of
+      // globbing for the newest file (a best-effort persist failure
+      // would otherwise silently feed a stale record to the flag tool)
+      System.err.println(s"[admission] record ${f.getPath}")
     } catch { case e: Exception =>
       System.err.println(s"[admission] persist failed: ${e.getMessage}")
     }

@@ -313,11 +313,24 @@ object StreamingDedup {
     * vector is by construction dissimilar from every earlier admitted
     * vector (else it would have been rejected), so redelivered earlier
     * batches see no new rejecting evidence.
+    *
+    * `evidenceBatches`: restrict the evidence read to these COMPLETED
+    * batch partitions (partition-pruned — ingest_batch is the hive key).
+    * [[SemanticAdmitter]] passes its completion-marker ledger, so a
+    * crashed attempt's unmarked partial partitions can never serve as
+    * rejection evidence against another batch. None (the default, the
+    * fixed-quantizer oracled path) keeps the original
+    * everything-but-own-batch read.
+    *
+    * Returns the number of admitted vectors (the batch's index delta —
+    * already materialized on the checkpointed frame, so the count is a
+    * block read, not a recompute).
     */
   def processBatchSemantic(spark: SparkSession, batch: DataFrame,
       batchId: Long, vecIndexDir: String, outDir: String,
       simThreshold: Double,
-      outputPartitions: Int = DefaultOutputPartitions): Unit =
+      outputPartitions: Int = DefaultOutputPartitions,
+      evidenceBatches: Option[Seq[Long]] = None): Long =
       releasingCheckpoints { ckpt =>
     graft.functions.VectorFunctions.register(spark)
     // checkpoint the batch EAGERLY (see [[processBatch]]): it feeds the
@@ -338,7 +351,13 @@ object StreamingDedup {
     // the bounded batch, so similarity is evaluated list-bounded without
     // ever shuffling the accumulated vectors
     val evidence = readVecIndex(spark, vecIndexDir)
-      .filter(col("ingest_batch") =!= batchId)
+      .filter(evidenceBatches match {
+        case Some(marked) =>
+          val others = marked.filter(_ != batchId)
+          if (others.isEmpty) lit(false)
+          else col("ingest_batch").isin(others: _*)
+        case None => col("ingest_batch") =!= batchId
+      })
       .select(col("list_id"), col("embedding").as("ev"))
     val evHit = evidence
       .join(broadcast(bch.select(col("vec_id"), col("list_id"),
@@ -358,6 +377,7 @@ object StreamingDedup {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(vecIndexDir)
+    admitted.count()
   }
 
   /** Wire the semantic admission into a stream of
@@ -371,6 +391,7 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatchSemantic(spark, batch, id, vecIndexDir, outDir,
           simThreshold)
+        ()
       }
       .start()
 }

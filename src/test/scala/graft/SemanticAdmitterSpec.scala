@@ -42,8 +42,11 @@ class SemanticAdmitterSpec extends SparkSpec {
       (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
     val o0 = adm.admit(b0, 0L)
     assert(!o0.replayed && o0.refreshed.isEmpty)
-    assert(adm.currentVersion == 0 && adm.currentK >= SemanticAdmitter.MinK)
+    // a 3-row bootstrap trains 3 centroids — currentK records the k that
+    // EXISTS, not the MinK floor (which only applies once n >= MinK)
+    assert(adm.currentVersion == 0 && adm.currentK == 3)
     assert(admittedPairs(base).map(_._1) == Set(0L, 2L))
+    assert(o0.admitted == 2L)
 
     // cross-batch: v3 duplicates admitted v0 (same direction → same list
     // → cosine 1 against evidence); v4 is novel
@@ -132,5 +135,79 @@ class SemanticAdmitterSpec extends SparkSpec {
     val batch7 = admittedPairs(base).filter(_._2 == 7L).map(_._1)
     assert(!batch7.contains(777L), "stale partial row must be purged")
     assert(batch7.nonEmpty)
+  }
+
+  test("a crashed mid-refresh swap (orphan index_v1) converges on the" +
+      " next trigger") {
+    val base = tmpDir("sem-orphan")
+    val adm = new SemanticAdmitter(spark, base, simThreshold = 0.995,
+      stalenessBound = 1.2)
+    adm.admit(vecs(0, 300), 0L) // k=18, no swap yet
+    assert(adm.currentVersion == 0)
+    // plant the crash artifact: a refresh died AFTER starting its
+    // reassignment write into index_v1 but BEFORE the pointer landed —
+    // the pointer still names v0 and index_v1 holds partial garbage
+    Seq((31337L, 0L, Array(1f, 0f), 999L))
+      .toDF("vec_id", "list_id", "embedding", "ingest_batch")
+      .write.partitionBy("ingest_batch").parquet(s"$base/index_v1")
+    // the next staleness trigger recomputes newVersion = 1 and must
+    // OVERWRITE the orphan, not die on path-already-exists forever
+    val o1 = adm.admit(vecs(300, 600), 1L)
+    assert(o1.refreshed.nonEmpty, "refresh must succeed over the orphan")
+    assert(adm.currentVersion == 1)
+    val idx = spark.read.parquet(s"$base/index_v1")
+    assert(idx.filter(col("vec_id") === 31337L).isEmpty,
+      "the orphan's phantom rows must not survive the swap")
+    assert(idx.count() == o1.refreshed.get.indexRows)
+  }
+
+  test("a kCap-pinned quantizer never enters a per-batch retrain loop") {
+    val base = tmpDir("sem-kcap")
+    val adm = new SemanticAdmitter(spark, base, simThreshold = 0.995,
+      kCap = 16, stalenessBound = 1.2)
+    adm.admit(vecs(0, 300), 0L) // k pinned at the cap
+    assert(adm.currentK == 16)
+    // ratio 600/256 ≈ 2.3 is past the bound, but clampK(600) == 16 == k:
+    // a retrain cannot change a single list, so no refresh may fire —
+    // without the guard EVERY batch from here would pay O(index) retrain
+    val o1 = adm.admit(vecs(300, 600), 1L)
+    assert(o1.refreshed.isEmpty && adm.currentVersion == 0)
+    val o2 = adm.admit(vecs(600, 900), 2L)
+    assert(o2.refreshed.isEmpty && adm.currentVersion == 0)
+    assert(adm.stalenessRatio > 1.2) // stale by the ratio, pinned by k
+  }
+
+  test("past flatKMax the codebook trains as a two-level IMI tree;" +
+      " admission, swap and recovery hold") {
+    val base = tmpDir("sem-tree")
+    // flatKMax=4 forces the tree at fixture scale: bootstrap k=18 > 4
+    // trains k1=5 supers × k2=4 children
+    val adm = new SemanticAdmitter(spark, base, simThreshold = 0.995,
+      stalenessBound = 1.2, flatKMax = 4)
+    val o0 = adm.admit(vecs(0, 300), 0L)
+    assert(!o0.replayed && o0.admitted > 0)
+    assert(new java.io.File(s"$base/quantizer/v0/children").exists(),
+      "tree mode must persist the children codebook")
+    // swap under tree mode (same staleness dial as the flat test)
+    val o1 = adm.admit(vecs(300, 600), 1L)
+    val info = o1.refreshed.getOrElse(fail("expected a tree-mode refresh"))
+    assert(adm.currentVersion == 1 && info.k > 4)
+    assert(new java.io.File(s"$base/quantizer/v1/children").exists())
+    // an exact duplicate of an admitted vector descends to the same
+    // list under the two-level argmax and is rejected
+    val all = admittedPairs(base)
+    val dupOf = all.map(_._1).min
+    val dupEmb = spark.read.parquet(s"$base/index_v1")
+      .filter(col("vec_id") === dupOf)
+      .select("embedding").as[Array[Float]].head()
+    adm.admit(Seq((9000L, dupEmb)).toDF("vec_id", "embedding"), 2L)
+    assert(!admittedPairs(base).filter(_._2 == 2L).map(_._1)
+      .contains(9000L), "duplicate must be rejected under the tree")
+    // restart recovers the TREE codebook from disk and replays markers
+    val adm2 = new SemanticAdmitter(spark, base, simThreshold = 0.995,
+      stalenessBound = 1.2, flatKMax = 4)
+    assert(adm2.currentVersion == adm.currentVersion
+      && adm2.currentK == adm.currentK)
+    assert(adm2.admit(vecs(0, 300), 0L).replayed)
   }
 }
