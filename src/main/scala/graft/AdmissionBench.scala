@@ -44,7 +44,7 @@ object AdmissionBench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "near")
     val batchSizes = sys.env.getOrElse("SPARK_GRAFT_BATCH_SIZES", "1000,4000")
       .split(",").map(_.trim.toInt).toSeq
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       // Admission shuffles are TRIGGER-bounded, not corpus-bounded: the
       // accumulated index is only ever scanned (scan parallelism comes

@@ -73,7 +73,7 @@ object Bench {
     // for experiments.
     val shufflePartitions =
       graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

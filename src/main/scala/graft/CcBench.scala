@@ -26,7 +26,7 @@ object CcBench {
     val repeats = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val width = sys.env.getOrElse("SPARK_GRAFT_SESSION_WIDTH", "544")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,7 +20,13 @@ object CorpusBuild {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     sys.env.get("SPARK_GRAFT_INDEX_DIR")
       .foreach(p => sys.props("graft.index.dir") = p)
-    val spark = SparkSession.builder()
+    // Reliable-checkpoint the long-lived memoized artifacts by default:
+    // the build's survivor memos are exactly the lineage that pinned
+    // ~49 GB of spent near-dup shuffle at x1000 (two ENOSPC deaths
+    // before the stage-boundary GC alone got it through). Env wins.
+    if (!sys.env.contains("SPARK_GRAFT_MEMO_CHECKPOINT"))
+      sys.props("spark.graft.memo.checkpoint") = "1"
+    val spark = GraftSession.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       // input-derived shuffle width (Autoscale): floors at the core
       // count on standard fixtures, widens on scaled ones — see Bench

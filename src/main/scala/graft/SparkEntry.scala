@@ -183,6 +183,7 @@ object SparkEntry {
     "corpus_build_manifest" -> Seq("bin"),
     "corpus_quality_prune" -> Seq("doc_id"),
     "st_dedup_admission_semantic" -> Seq("vec_id"),
+    "st_dedup_admission_refresh" -> Seq("vec_id"),
     "text_bpe_train" -> Seq("merge_rank"),
     "text_bpe_encode" -> Seq("doc_id"),
     "text_tokenizer_fertility" -> Seq("lang"),

@@ -19,7 +19,7 @@ object Verify {
     // local-cluster worker JVM inherits neither our classpath nor the
     // JDK-17 --add-opens set, so both are forwarded explicitly.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder0 = SparkSession.builder()
+    val builder0 = GraftSession.tuned(SparkSession.builder())
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -292,6 +292,210 @@ object PipelineQueries {
         |  UNION ALL SELECT vec_id FROM aa2)
         |SELECT t.vec_id, CAST(t.list_id AS BIGINT) AS list_id,
         |  CAST(t.bt AS BIGINT) AS ingest_batch
-        |FROM tv t JOIN adm ON t.vec_id = adm.vec_id""".stripMargin))
+        |FROM tv t JOIN adm ON t.vec_id = adm.vec_id""".stripMargin)),
+
+    // QUANTIZER-LIFECYCLE streaming admission (graft.streaming
+    // .SemanticAdmitter): the refresh form of the semantic admission
+    // above — no offline codebook; the v0 quantizer bootstraps on the
+    // first batch (k = MinK = 16 for a 125-row batch), every batch pays
+    // its own assignment, and the staleness trigger retrains + swaps the
+    // index MID-RUN. The parameters pin the lifecycle so the oracle can
+    // unroll it statically at every scale: 500 vectors (present in all
+    // fixtures) in 4 batches of 125; kCap=18 with bound=1.2 fires the
+    // one-and-only swap after batch 2 (trigger at n ≥ ceil(1.2·16²) =
+    // 308 admitted, reachable only once three batches landed; k' =
+    // clampK(n ≥ 308) = 18 is cap-pinned for every n ≥ 290, so the
+    // retrained k is a constant, not data; after the swap k cannot grow
+    // past the cap, so the k-unchanged guard makes further refreshes
+    // impossible). Batches 0-2 are therefore decided under v0 and batch
+    // 3 under v1 — including the full-index reassignment between them —
+    // and the engine REQUIREs exactly that shape, so a fixture where the
+    // rejection rate broke the pinned unroll fails loudly instead of
+    // hash-mismatching. The DuckDB oracle replays both Lloyd trainings
+    // (v0 on batch 0, v1 on the admitted index, both at sampleEvery=1,
+    // 2 iterations, k-lowest-member seeds), both assignments, and the
+    // sequential admission unroll per quantizer version. Redelivery of a
+    // pre-swap batch after the swap must be a marker-ledger replay —
+    // the exactly-once-across-swaps discipline, now on the oracled
+    // surface.
+    QueryDef("st_dedup_admission_refresh",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft-sdr-").toString
+        val vecs = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 500)
+        val adm = new graft.streaming.SemanticAdmitter(s, tmp,
+          simThreshold = 0.4, kCap = 18, stalenessBound = 1.2,
+          lloydIters = 1, trainSampleEvery = 1)
+        val wave = (b: Long) => vecs.filter(col("vec_id") % 4 === b)
+        val outs = (0L to 3L).map(b => adm.admit(wave(b), b))
+        val swapAt = outs.zipWithIndex.collect {
+          case (o, i) if o.refreshed.nonEmpty => i
+        }
+        require(swapAt == Seq(2),
+          s"oracle unrolls one swap after batch 2, engine swapped at " +
+            s"$swapAt (admitted per batch: ${outs.map(_.admitted)})")
+        require(adm.currentVersion == 1 && adm.currentK == 18,
+          s"post-swap state v=${adm.currentVersion} k=${adm.currentK}")
+        // redelivery ACROSS the swap: batch 1 was decided under a
+        // quantizer that no longer exists — the completion marker makes
+        // it a replay no-op, which is the whole exactly-once mechanism
+        require(adm.admit(wave(1L), 1L).replayed,
+          "pre-swap batch must replay via its marker after the swap")
+        cleanupAfter(tmp) {
+          s.read.parquet(s"$tmp/out").select(col("vec_id"),
+            col("list_id").cast("long").as("list_id"),
+            col("ingest_batch").cast("long").as("ingest_batch"))
+        }
+      },
+      Some(refreshAdmissionOracleSql))
   )
+
+  // ---- st_dedup_admission_refresh oracle ------------------------------
+
+  /** Deterministic-Lloyd training replay over an arbitrary (vec_id, dim,
+    * qx) component relation `src` — the generic form of the fixed-corpus
+    * `lloydCtesFor` in [[SimilarityQueries]]: the seed is the `k`
+    * LOWEST-RANKED member vec_ids (the engine's `SemanticAdmitter.seedFor`
+    * — a `vec_id < k` filter would be wrong for residue-class batches and
+    * hole-punched admitted sets), the sample is the full relation
+    * (sampleEvery=1, what the admitter uses for both trainings here), and
+    * every CTE is MATERIALIZED (DuckDB inlines plain CTEs and re-executes
+    * the whole chain per reference — the round-9 gate-zeroing lesson).
+    * Ends with `<pfx>c<iters>` = the trained (cent_id, dim, cs) codebook.
+    */
+  private def sdrLloyd(pfx: String, src: String, k: Int,
+      iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${pfx}ids AS MATERIALIZED (SELECT vec_id,
+        |    row_number() OVER (ORDER BY vec_id) AS rk
+        |  FROM (SELECT DISTINCT vec_id FROM $src)),
+        |${pfx}n AS MATERIALIZED (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+        |  FROM $src GROUP BY 1),
+        |${pfx}c0 AS MATERIALIZED (SELECT c.vec_id AS cent_id, c.dim, c.qx AS cs
+        |  FROM $src c JOIN ${pfx}ids r USING (vec_id) WHERE r.rk <= $k)"""
+        .stripMargin)
+    for (t <- 0 until iters) {
+      sb.append(s""",
+        |${pfx}cn$t AS MATERIALIZED (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+        |  FROM ${pfx}c$t GROUP BY 1),
+        |${pfx}d$t AS MATERIALIZED (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
+        |  FROM $src JOIN ${pfx}c$t USING (dim) GROUP BY 1, 2),
+        |${pfx}a$t AS MATERIALIZED (SELECT vec_id, cent_id AS list_id FROM (
+        |  SELECT d.vec_id, d.cent_id, row_number() OVER (
+        |      PARTITION BY d.vec_id ORDER BY
+        |      CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) DESC,
+        |      d.cent_id) AS rn
+        |    FROM ${pfx}d$t d JOIN ${pfx}n n ON d.vec_id = n.vec_id
+        |    JOIN ${pfx}cn$t cc ON d.cent_id = cc.cent_id) WHERE rn = 1),
+        |${pfx}m${t + 1} AS MATERIALIZED (SELECT list_id AS cent_id, dim,
+        |    CAST(sum(qx) AS BIGINT) AS cs_new
+        |  FROM $src JOIN ${pfx}a$t USING (vec_id) GROUP BY 1, 2),
+        |${pfx}c${t + 1} AS MATERIALIZED (SELECT ${pfx}c$t.cent_id, ${pfx}c$t.dim,
+        |    coalesce(${pfx}m${t + 1}.cs_new, ${pfx}c$t.cs) AS cs
+        |  FROM ${pfx}c$t LEFT JOIN ${pfx}m${t + 1}
+        |    ON ${pfx}c$t.cent_id = ${pfx}m${t + 1}.cent_id
+        |   AND ${pfx}c$t.dim = ${pfx}m${t + 1}.dim)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Serving assignment of `target` (a component relation with norms in
+    * `normsRel`) against codebook `cb`: argmax with the family's
+    * (sim DESC, cent_id) tiebreak, ending in `<pfx>(vec_id, list_id)`. */
+  private def sdrAssign(pfx: String, cb: String, target: String,
+      normsRel: String): String =
+    s"""${pfx}cn AS MATERIALIZED (SELECT cent_id, CAST(sum(cs * cs) AS BIGINT) AS cn2
+      |  FROM $cb GROUP BY 1),
+      |${pfx}d AS MATERIALIZED (SELECT vec_id, cent_id, CAST(sum(qx * cs) AS BIGINT) AS dot
+      |  FROM $target JOIN $cb USING (dim) GROUP BY 1, 2),
+      |$pfx AS MATERIALIZED (SELECT vec_id, cent_id AS list_id FROM (
+      |  SELECT d.vec_id, d.cent_id, row_number() OVER (
+      |      PARTITION BY d.vec_id ORDER BY
+      |      CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cc.cn2 AS DOUBLE))) DESC,
+      |      d.cent_id) AS rn
+      |    FROM ${pfx}d d JOIN $normsRel n ON d.vec_id = n.vec_id
+      |    JOIN ${pfx}cn cc ON d.cent_id = cc.cent_id) WHERE rn = 1)"""
+      .stripMargin
+
+  /** The full lifecycle replay: v0 Lloyd on batch 0 (k=16) → v0
+    * assignment → batches 0-2 unrolled with within-batch lower-id and
+    * admitted-evidence rejection (list-bounded quantized cosine ≥ 0.4) →
+    * v1 Lloyd on the admitted index (k=18) → v1 reassignment → batch 3
+    * unrolled under v1 — the exact sequence the engine's staleness
+    * trigger and pinned parameters produce (see the QueryDef comment). */
+  private lazy val refreshAdmissionOracleSql: String = {
+    val th = 0.4
+    val simRel = (name: String, asg: String, members: String) =>
+      s"""$name AS MATERIALIZED (SELECT x.vec_id AS va, bx.bt AS ba,
+        |    y.vec_id AS vb, by_.bt AS bb,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(x.qe) + 1),
+        |      i -> x.qe[i] * y.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE))) AS sm
+        |  FROM $members x JOIN $asg ax ON x.vec_id = ax.vec_id
+        |  JOIN $members y ON x.vec_id <> y.vec_id
+        |  JOIN $asg ay ON y.vec_id = ay.vec_id AND ax.list_id = ay.list_id
+        |  JOIN sdrn nx ON nx.vec_id = x.vec_id
+        |  JOIN sdrn ny ON ny.vec_id = y.vec_id
+        |  JOIN sdrb bx ON bx.vec_id = x.vec_id
+        |  JOIN sdrb by_ ON by_.vec_id = y.vec_id)""".stripMargin
+    s"""WITH sdrq AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+      |  FROM embeddings WHERE vec_id < 500),
+      |sdrc AS MATERIALIZED (SELECT vec_id,
+      |    unnest(range(1, len(qe) + 1)) AS dim, unnest(qe) AS qx
+      |  FROM sdrq),
+      |sdrn AS MATERIALIZED (SELECT vec_id, CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n2
+      |  FROM sdrq),
+      |sdrb AS MATERIALIZED (SELECT vec_id, vec_id % 4 AS bt FROM sdrq),
+      |sdr0src AS MATERIALIZED (SELECT c.* FROM sdrc c JOIN sdrb b USING (vec_id)
+      |  WHERE b.bt = 0),
+      |${sdrLloyd("v0", "sdr0src", 16, 1)},
+      |${sdrAssign("asg0", "v0c1", "sdrc", "sdrn")},
+      |${simRel("sim0", "asg0", "sdrq")},
+      |wd0 AS MATERIALIZED (SELECT DISTINCT vb AS vec_id FROM sim0
+      |  WHERE ba = bb AND va < vb AND sm >= $th),
+      |aa0 AS MATERIALIZED (SELECT vec_id FROM sdrb WHERE bt = 0
+      |  AND vec_id NOT IN (SELECT vec_id FROM wd0)),
+      |h1 AS (SELECT DISTINCT vb AS vec_id FROM sim0 JOIN aa0
+      |    ON sim0.va = aa0.vec_id WHERE bb = 1 AND sm >= $th),
+      |aa1 AS MATERIALIZED (SELECT vec_id FROM sdrb WHERE bt = 1
+      |  AND vec_id NOT IN (SELECT vec_id FROM wd0)
+      |  AND vec_id NOT IN (SELECT vec_id FROM h1)),
+      |h2 AS (SELECT DISTINCT vb AS vec_id FROM sim0
+      |  WHERE bb = 2 AND sm >= $th
+      |    AND va IN (SELECT vec_id FROM aa0 UNION ALL SELECT vec_id FROM aa1)),
+      |aa2 AS MATERIALIZED (SELECT vec_id FROM sdrb WHERE bt = 2
+      |  AND vec_id NOT IN (SELECT vec_id FROM wd0)
+      |  AND vec_id NOT IN (SELECT vec_id FROM h2)),
+      |idx2 AS MATERIALIZED (SELECT vec_id FROM aa0
+      |  UNION ALL SELECT vec_id FROM aa1
+      |  UNION ALL SELECT vec_id FROM aa2),
+      |sdr1src AS MATERIALIZED (SELECT c.* FROM sdrc c JOIN idx2 USING (vec_id)),
+      |${sdrLloyd("v1", "sdr1src", 18, 1)},
+      |sdr1tgt AS MATERIALIZED (SELECT c.* FROM sdrc c
+      |  JOIN sdrb b USING (vec_id)
+      |  WHERE b.bt = 3 OR c.vec_id IN (SELECT vec_id FROM idx2)),
+      |${sdrAssign("asg1", "v1c1", "sdr1tgt", "sdrn")},
+      |sdr1mem AS MATERIALIZED (SELECT q.* FROM sdrq q JOIN sdrb b USING (vec_id)
+      |  WHERE b.bt = 3 OR q.vec_id IN (SELECT vec_id FROM idx2)),
+      |${simRel("sim1", "asg1", "sdr1mem")},
+      |wd3 AS MATERIALIZED (SELECT DISTINCT vb AS vec_id FROM sim1
+      |  WHERE ba = 3 AND bb = 3 AND va < vb AND sm >= $th),
+      |h3 AS (SELECT DISTINCT vb AS vec_id FROM sim1
+      |  WHERE bb = 3 AND sm >= $th
+      |    AND va IN (SELECT vec_id FROM idx2)),
+      |aa3 AS MATERIALIZED (SELECT vec_id FROM sdrb WHERE bt = 3
+      |  AND vec_id NOT IN (SELECT vec_id FROM wd3)
+      |  AND vec_id NOT IN (SELECT vec_id FROM h3))
+      |SELECT b.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+      |  CAST(b.bt AS BIGINT) AS ingest_batch
+      |FROM sdrb b JOIN idx2 USING (vec_id) JOIN asg0 a USING (vec_id)
+      |UNION ALL
+      |SELECT b.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+      |  CAST(3 AS BIGINT) AS ingest_batch
+      |FROM sdrb b JOIN aa3 USING (vec_id) JOIN asg1 a USING (vec_id)"""
+      .stripMargin
+  }
 }

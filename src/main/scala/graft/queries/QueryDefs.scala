@@ -111,6 +111,24 @@ object Q {
     * Persist is lazy and fault-tolerant; the eager `count()` only
     * guarantees the blocks exist before a self-join reads the same plan
     * from both sides.
+    *
+    * `SPARK_GRAFT_MEMO_CHECKPOINT=1` (env or `spark.graft.memo.checkpoint`
+    * system property) switches the materialization to a RELIABLE
+    * `checkpoint()` instead: the memo is written to stable storage and
+    * its lineage truncated, so the ShuffleDependencies of the BUILD
+    * become unreferenced and the shuffle files they pinned are freed
+    * (one GC nudge per miss makes the ContextCleaner see them promptly).
+    * This is the fix for the x1000 finding that long-lived persisted
+    * artifacts built through wide shuffles hold every upstream shuffle
+    * file hostage for the artifact's lifetime (SCALING.md §11: the
+    * composed corpus build died ENOSPC twice on ~49 GB of SPENT near-dup
+    * shuffle that a stage-boundary gc could not reclaim, because the
+    * survivor memo's lineage still referenced it). Fault tolerance is
+    * PRESERVED, unlike localCheckpoint: a lost block re-reads checkpoint
+    * files instead of failing the query. The cost — one extra write +
+    * read of the memo's own rows — is why it is opt-in: the scaled
+    * mains (CorpusBuild, the ladder harness) enable it, the standard
+    * bench/verify surface keeps the lazy persist.
     */
   private val memo =
     scala.collection.concurrent.TrieMap
@@ -135,6 +153,11 @@ object Q {
   }
   def buildNanos: Long = buildNanosAcc.get()
 
+  private def memoCheckpoint: Boolean =
+    sys.env.get("SPARK_GRAFT_MEMO_CHECKPOINT")
+      .orElse(sys.props.get("spark.graft.memo.checkpoint"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   def cached(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, d, tag), {
@@ -142,15 +165,39 @@ object Q {
       buildDepth.set(depth + 1)
       val t0 = System.nanoTime()
       try {
-        val df = build.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // populate blocks once; self-joins then read them
+        val ckpt = memoCheckpoint
+        val df = materialize(s, build, ckpt)
+        // the pre-checkpoint plan (and its ShuffleDependency refs) died
+        // with materialize's frame: one GC nudge hands the spent shuffle
+        // files to the ContextCleaner NOW, inside the build that freed
+        // them, instead of at the next periodic GC half an hour on
+        if (ckpt) System.gc()
         df
       } finally {
         buildDepth.set(depth)
         if (depth == 0) { buildNanosAcc.addAndGet(System.nanoTime() - t0); () }
       }
     })
+
+  /** Materialize one memo: lazy fault-tolerant persist (default), or the
+    * lineage-truncating reliable checkpoint (see the memo scaladoc). Its
+    * own stack frame is the scope of the pre-checkpoint plan — callers
+    * GC after return so the upstream shuffles actually free. */
+  private def materialize(s: SparkSession, build: => DataFrame,
+      ckpt: Boolean): DataFrame =
+    if (ckpt) {
+      val sc = s.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+            s"/graft-memo-ckpt-${sc.applicationId}")
+      build.checkpoint() // eager: writes files, truncates lineage
+    } else {
+      val df = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // populate blocks once; self-joins then read them
+      df
+    }
 
   /** Release every memoized intermediate held for `s` (all data dirs, all
     * tags): unpersist the blocks and drop the memo entries so the next

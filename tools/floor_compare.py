@@ -15,6 +15,14 @@ thr = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
 min_sec = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 base = json.load(open("/root/repo/BASELINE_QUERIES.json"))["queries"]
 
+# Mechanized window normalization: round_close brackets the med-3 sweep
+# with the graft.Calibrate battery and writes the resulting factor into
+# the record; steady-state times are divided by it before the floor
+# compare, so a 1.5x-slow host window stops reading as 1.5x inflation.
+wf = float(sweep.get("window_factor", 1.0)) or 1.0
+if wf != 1.0:
+    print(f"window factor {wf:.2f} (steady times normalized by it)")
+
 qs = sweep["queries"]
 train = sweep.get("train", {})
 build = sweep.get("build", {})
@@ -25,7 +33,7 @@ for k, v in qs.items():
         continue
     f = base.get(k)
     fp = max(train.get(k, 0.0), build.get(k, 0.0))  # build ⊇ train
-    steady = max(v - fp, 0.0)
+    steady = max(v - fp, 0.0) / wf
     if f and f > 0:
         tot += v
         ftot += f
