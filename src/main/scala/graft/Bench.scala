@@ -73,14 +73,27 @@ object Bench {
     // for experiments.
     val shufflePartitions =
       graft.operators.Autoscale.resolve(sfDir, cpus.toInt).toString
-    val spark = GraftSession.tuned(SparkSession.builder())
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: time a set under multi-process execution
+    // (`local-cluster[n,cores,mem_mb]`) — the process-boundary shuffle
+    // cost measurement that must exist before any real-cluster number is
+    // quoted. Same classpath/JDK-17-opens forwarding as Verify's smoke.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = GraftSession.tuned(SparkSession.builder())
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0
+          .config("spark.executor.extraClassPath",
+            sys.props("java.class.path"))
+          .config("spark.executor.extraJavaOptions",
+            sys.env.getOrElse("SPARK_GRAFT_EXEC_JAVA_OPTS", ""))
+      else builder0
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val telem = new BenchTelemetry
     spark.sparkContext.addSparkListener(telem)
