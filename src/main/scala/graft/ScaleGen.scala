@@ -72,9 +72,24 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, src: String, dest: String, m: Int): Unit = {
+    // Resume support: a multi-table gen at x1000 runs for an hour, and a
+    // mid-run kill (host restart, OOM-killer) leaves some tables complete
+    // and one partial. Each table commits atomically via the parquet
+    // _SUCCESS marker, and src+M determine the content, so a table that
+    // carries the marker is skipped and a partial one is overwritten —
+    // re-running the same command finishes the fixture instead of
+    // redoing it.
+    val hfs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(t: String): Boolean =
+      hfs.exists(new org.apache.hadoop.fs.Path(s"$dest/$t.parquet/_SUCCESS"))
+    def writeTable(t: String)(df: => DataFrame): Unit =
+      if (complete(t)) println(s"ScaleGen: $t.parquet already complete, skipping")
+      else df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dOff = offsetFor(docs, "doc_id")
-    replicate(docs, m)
+    writeTable("documents")(replicate(docs, m)
       .select(
         (col("doc_id") + col("r") * dOff).as("doc_id"),
         when(col("r") === 0, col("text")).otherwise(
@@ -95,13 +110,12 @@ object ScaleGen {
               lower(conv(crc32(concat(w, lit("§"), col("r"))),
                 10, 36)))), " ")).as("text"),
         col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+      .withColumn("n_chars", length(col("text"))))
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vOff = offsetFor(emb, "vec_id")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
-    replicate(emb, m)
+    writeTable("embeddings")(replicate(emb, m)
       .select(
         (col("vec_id") + col("r") * vOff).as("vec_id"),
         when(col("r") === 0, col("embedding")).otherwise(
@@ -113,19 +127,17 @@ object ScaleGen {
               lit(dims) - (col("r") % dims).cast("int")),
             slice(col("embedding"), lit(1), (col("r") % dims).cast("int"))))
           .as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+        col("label")))
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val eOff = offsetFor(ev, "event_id")
     val uOff = offsetFor(ev, "user_id")
-    replicate(ev, m)
+    writeTable("events")(replicate(ev, m)
       .select(
         (col("event_id") + col("r") * eOff).as("event_id"),
         col("ts"),
         (col("user_id") + col("r") * uOff).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+        col("event_type"), col("value"), col("props")))
 
     // TPC-H side: scale exactly the way the official generator does —
     // customer/supplier/part/orders/lineitem grow M×, region/nation stay
@@ -148,36 +160,30 @@ object ScaleGen {
     def offset(keyCol: String, off: Long) =
       (col(keyCol) + col("r") * off).as(keyCol)
 
-    replicate(cust, m)
+    writeTable("customer")(replicate(cust, m)
       .select(offset("c_custkey", cOff) +: cust.columns.toSeq
-        .filter(_ != "c_custkey").map(col): _*)
-      .write.mode("overwrite").parquet(s"$dest/customer.parquet")
-    replicate(supp, m)
+        .filter(_ != "c_custkey").map(col): _*))
+    writeTable("supplier")(replicate(supp, m)
       .select(offset("s_suppkey", sOff) +: supp.columns.toSeq
-        .filter(_ != "s_suppkey").map(col): _*)
-      .write.mode("overwrite").parquet(s"$dest/supplier.parquet")
-    replicate(prt, m)
+        .filter(_ != "s_suppkey").map(col): _*))
+    writeTable("part")(replicate(prt, m)
       .select(offset("p_partkey", pOff) +: prt.columns.toSeq
-        .filter(_ != "p_partkey").map(col): _*)
-      .write.mode("overwrite").parquet(s"$dest/part.parquet")
-    replicate(ord, m)
+        .filter(_ != "p_partkey").map(col): _*))
+    writeTable("orders")(replicate(ord, m)
       .select(
         offset("o_orderkey", oOff), offset("o_custkey", cOff),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$dest/orders.parquet")
-    replicate(li, m)
+        col("o_orderpriority")))
+    writeTable("lineitem")(replicate(li, m)
       .select(
         offset("l_orderkey", oOff), offset("l_partkey", pOff),
         offset("l_suppkey", sOff), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
-        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
 
     // fixed-size dims, 1:1 (the TPC-H spec keeps these constant across SF)
     for (t <- Seq("region", "nation")) {
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      writeTable(t)(spark.read.parquet(s"$src/$t.parquet"))
     }
   }
 }
