@@ -9,9 +9,10 @@
 # the decision measurement: the offline BUILD wall, flat vs tree, at
 # k>=775, interleaved A,B,A,B,A,B in one host window so drift cancels.
 #
-# The admission run after the build is deliberately minimized
-# (bs = nRows -> one batch): the build wall is the compared number;
-# per-batch curves live in the x300/x1000 grid records.
+# The admission run after the build uses the standard bs=16000 (the
+# grid's batch size): the build wall is the compared number, and the
+# within-batch admission term is O(batch^2/k) per trigger, so a single
+# giant batch would dwarf the build it is supposed to trail.
 #
 # Usage: tools/quantizer_ab.sh <fixture-dir> [kcap] [pairs]
 set -euo pipefail
@@ -31,7 +32,7 @@ run_one() { # mode-label flatkmax-env -> prints "label build_sec"
   SPARK_GRAFT_MODE=semantic \
   SPARK_GRAFT_KCAP="$KCAP" \
   SPARK_GRAFT_FLATKMAX="$fkm" \
-  SPARK_GRAFT_BATCH_SIZES=600000 \
+  SPARK_GRAFT_BATCH_SIZES=16000 \
     tools/bench_direct.sh graft.AdmissionBench >"$log.out" 2>"$log" || {
       echo "$label run $3 FAILED; tail:" >&2; tail -5 "$log" >&2; exit 1; }
   local sec
