@@ -9,10 +9,14 @@
 # the decision measurement: the offline BUILD wall, flat vs tree, at
 # k>=775, interleaved A,B,A,B,A,B in one host window so drift cancels.
 #
-# The admission run after the build uses the standard bs=16000 (the
-# grid's batch size): the build wall is the compared number, and the
-# within-batch admission term is O(batch^2/k) per trigger, so a single
-# giant batch would dwarf the build it is supposed to trail.
+# Each arm runs BUILD_ONLY: the build wall is the compared number and
+# everything after it (full-corpus list assignment, admission batches)
+# is identical across arms — paying the flat arm's O(n·k) assignment
+# (~25 min at k=775/600k) per run would just stretch the window the
+# interleaving is trying to keep tight. Timeouts are raised because a
+# 48 GB heap under the flat arm's allocation storm can pause past the
+# default 120 s heartbeat window (observed: a 174 s stall killed the
+# context mid-run).
 #
 # Usage: tools/quantizer_ab.sh <fixture-dir> [kcap] [pairs]
 set -euo pipefail
@@ -33,6 +37,8 @@ run_one() { # mode-label flatkmax-env -> prints "label build_sec"
   SPARK_GRAFT_KCAP="$KCAP" \
   SPARK_GRAFT_FLATKMAX="$fkm" \
   SPARK_GRAFT_BATCH_SIZES=16000 \
+  SPARK_GRAFT_BUILD_ONLY=1 \
+  SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.network.timeout=600s" \
     tools/bench_direct.sh graft.AdmissionBench >"$log.out" 2>"$log" || {
       echo "$label run $3 FAILED; tail:" >&2; tail -5 "$log" >&2; exit 1; }
   local sec

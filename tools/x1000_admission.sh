@@ -35,6 +35,7 @@ for MODE in $MODES; do
     SPARK_GRAFT_SF_DIR="$FIX" \
     SPARK_GRAFT_MODE="$MODE" \
     SPARK_GRAFT_BATCH_SIZES=16000 \
+    SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.network.timeout=600s" \
     "${KCAP_ENV[@]}" \
     tools/bench_direct.sh graft.AdmissionBench \
     >"$OUT/$MODE.out" 2>"$OUT/$MODE.err" || {
