@@ -23,6 +23,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 # SPARK_GRAFT_EXTRA_JAVA_OPTS: ad-hoc -D flags for an experiment (e.g.
 # -Dspark.io.compression.codec=zstd to shrink a disk-bounded shuffle).
+# SPARK_SCALA_VERSION: local-cluster workers build the executor command
+# through AbstractCommandBuilder.getScalaVersion, which dies with
+# "Cannot find any build directories" on a dist-layout SPARK_HOME
+# unless the version is pinned in the environment.
+export SPARK_SCALA_VERSION=2.13
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
