@@ -121,13 +121,20 @@ class CsvWarehouse(spark: SparkSession, warehouseDir: String,
           val overwriteMode =
             if (inferTypes && (anySkipped || holdsMissing)) "static"
             else "dynamic"
-          data.write
+          // row count rides the write job as an Observation metric —
+          // dynamic overwrite only ever REPLACES partitions of the uploads
+          // being written, so rows-written equals the table's post-load
+          // row count for them; a separate read-back count job per table
+          // would re-list and re-scan what was just written
+          val obs = org.apache.spark.sql.Observation()
+          data.observe(obs, count(lit(1)).as("n"))
+            .write
             .mode("overwrite")
             .option("partitionOverwriteMode", overwriteMode)
             .partitionBy("_upload_id")
             .parquet(target)
           tables += 1
-          rows += spark.read.parquet(target).count()
+          rows += obs.get("n").asInstanceOf[Long]
         }
       }
     }

@@ -93,8 +93,13 @@ class IngestPipeline(
     * content is fetched only for the files that survive the idempotency
     * anti-join.
     */
-  def processEvents(events: DataFrame): IngestResult = {
+  def processEvents(events0: DataFrame): IngestResult = {
     val ts = now()
+    // the discovered count rides the todo materialization job as an
+    // Observation metric (CollectMetrics sees every event row before the
+    // extension filter) instead of a separate count() job per pass
+    val eventsObs = org.apache.spark.sql.Observation()
+    val events = events0.observe(eventsObs, count(lit(1)).as("n"))
     val streamedContent = events.columns.contains("content")
     // Content-identity mode must hash the bytes before dedup can happen,
     // so it forfeits the metadata-only fast path by construction.
@@ -165,9 +170,11 @@ class IngestPipeline(
       .na.fill(0, Seq("prior_attempts"))
       .persist() // metadata-only rows (or +content in streaming) — small
 
-    // Listing-priced counts: content is never projected here.
-    val discovered = events.count()
+    // Listing-priced counts: content is never projected here. ONE job —
+    // todo.count() materializes the persist and fires the events
+    // Observation above, which yields `discovered` for free.
     val todoN = todo.count()
+    val discovered = eventsObs.get("n").asInstanceOf[Long]
 
     // Steady-state fast path: nothing new → zero ledger writes, zero
     // content reads. A scheduled re-run over an all-ingested inbox costs
@@ -211,16 +218,17 @@ class IngestPipeline(
       else {
         import spark.implicits._
         val normalize = (p: Column) => regexp_replace(p, "^file:/+", "file:/")
-        val small = todo.filter(col("file_size") <= wholeFileMaxBytes)
-        val big = todo.filter(col("file_size") > wholeFileMaxBytes)
         // Re-check existence at fetch time: a file deleted between listing
         // and read must degrade to THAT upload failing, not abort the pass
         // (load() on an explicit path list throws at resolution otherwise;
         // ignoreMissingFiles below covers the remaining read-time window).
-        val smallPaths = small.select("path").as[String].collect()
-          .filter(fileExists) // bounded per pass
-        val bigPaths = big.select("path").as[String].collect()
-          .filter(fileExists) // few, large
+        // ONE collect over the persisted todo rows (bounded per pass),
+        // partitioned by size driver-side — was two jobs.
+        val (bigAll, smallAll) = todo.select(col("path"), col("file_size"))
+          .as[(String, Long)].collect()
+          .partition(_._2 > wholeFileMaxBytes)
+        val smallPaths = smallAll.map(_._1).filter(fileExists)
+        val bigPaths = bigAll.map(_._1).filter(fileExists) // few, large
 
         val emptyCounts = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -278,16 +286,22 @@ class IngestPipeline(
         .otherwise(lit(null)).cast("int").as("attempts"))
       .persist()
 
-    // One aggregation for all outcome counters (was 4 separate counts).
-    val byStatus = updates.groupBy("status").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val doneN = byStatus.getOrElse(UploadStatus.Done, 0L)
-    val failedN = byStatus.getOrElse(UploadStatus.Failed, 0L)
+    // One aggregation for ALL outcome counters — done/failed/quarantined
+    // in a single job (was a groupBy-collect plus a separate quarantine
+    // count).
+    val counters = updates.agg(
+      count(when(col("status") === UploadStatus.Done, 1)).as("done"),
+      count(when(col("status") === UploadStatus.Failed, 1)).as("failed"),
+      count(when(col("status") === UploadStatus.Failed &&
+        col("attempts") >= maxAttempts, 1)).as("quarantined"))
+      .collect().head
+    val doneN = counters.getLong(0)
+    val failedN = counters.getLong(1)
+    val quarantinedN = counters.getLong(2)
 
     // S7 — quarantine (DLQ): failures that just exhausted their attempts.
     val quarantined = updates
       .filter(col("status") === UploadStatus.Failed && col("attempts") >= maxAttempts)
-    val quarantinedN = quarantined.count()
     if (quarantinedN > 0)
       quarantined.withColumn("quarantined_at", ts)
         .write.mode("append").parquet(quarantineDir)

@@ -295,26 +295,48 @@ class LedgerStore(spark: SparkSession, dir: String,
         else lit(null).cast(f.dataType).as(f.name)
       }
       updates.select(cols.toIndexedSeq: _*)
-    }.persist()
-    try {
-      // One job for the row count AND the status-domain check: an invalid
-      // incoming status must be rejected loudly, before anything is
-      // written, and can never remove or corrupt an existing ledger row.
-      val stats = aligned.agg(
-        count(lit(1)).as("n"),
-        max(when(col("status").isNotNull &&
-          !col("status").isin(UploadStatusValues: _*), col("status"))).as("bad"))
-        .collect().head
-      if (!stats.isNullAt(1))
-        throw new IllegalArgumentException(
-          s"ledger merge rejected: invalid status '${stats.getString(1)}' " +
-            s"(domain: ${UploadStatusValues.mkString("|")})")
-      val rows = stats.getLong(0)
+    }
+    {
+      // ONE job for the delta write, the row count AND the status-domain
+      // check (Observation metrics ride the write job — previously a
+      // separate validation job + a persist held across both). An invalid
+      // status still rejects loudly and can never remove or corrupt a
+      // ledger row: the delta dir is unreachable until the pointer CAS
+      // below publishes it, so on rejection it is simply deleted (a crash
+      // between write and delete leaves an unpublished orphan dir, which
+      // the retention sweep reclaims like any other superseded dir).
+      val obs = org.apache.spark.sql.Observation()
       val deltaName = s"d-${UUID.randomUUID().toString.take(12)}"
       val target = new Path(rootPath, deltaName)
-      val parts = math.max(1L,
-        (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
-      aligned.coalesce(parts).write.mode("overwrite").parquet(target.toString)
+      // updates are bounded per merge (callers reduce per-batch first), so
+      // one file is the right shape for the common case; the rare
+      // over-threshold merge is re-sharded from the written file below.
+      aligned.observe(obs,
+          count(lit(1)).as("n"),
+          max(when(col("status").isNotNull &&
+            !col("status").isin(UploadStatusValues: _*), col("status")))
+            .as("bad"))
+        .coalesce(1).write.mode("overwrite").parquet(target.toString)
+      val stats = obs.get
+      stats.get("bad").filter(_ != null).foreach { bad =>
+        fs.delete(target, true)
+        throw new IllegalArgumentException(
+          s"ledger merge rejected: invalid status '$bad' " +
+            s"(domain: ${UploadStatusValues.mkString("|")})")
+      }
+      val rows = stats("n").asInstanceOf[Long]
+      if (rows > rowsPerSnapshotFile) {
+        // rare: a merge bigger than one snapshot file — re-shard the
+        // already-written delta so no single file owns a multi-GB merge
+        val parts = math.max(1L,
+          (rows + rowsPerSnapshotFile - 1) / rowsPerSnapshotFile).toInt
+        val tmp = new Path(rootPath, s"$deltaName-shard")
+        spark.read.schema(schema).parquet(target.toString)
+          .repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"reshard rename failed: $tmp")
+      }
       val content = (if (requireExisting) "deltar:" else "delta:") + deltaName
       // A delta does not depend on the state it was pinned against, so the
       // head is read INSIDE the publish lock: same-JVM writers serialize
@@ -340,7 +362,7 @@ class LedgerStore(spark: SparkSession, dir: String,
       if (!published) { fs.delete(target, true); throw lastLoss }
       sweep()
       maybeCompact()
-    } finally aligned.unpersist()
+    }
   }
 
   /** Overwrite the ledger wholesale (tests / bootstrap). Subject to the

@@ -83,6 +83,29 @@ object StreamingDedup {
     try body(scope) finally scope.release()
   }
 
+  /** Run independent write actions CONCURRENTLY from driver threads (the
+    * overlap-independent-jobs discipline): a trigger's output/index/band
+    * writes all read the same already-checkpointed admitted blocks and
+    * write to disjoint directories, so running them serially just sums
+    * their per-job scheduling + commit latency. Spark's scheduler runs
+    * concurrent jobs FIFO; with single-digit tiny jobs this is pure
+    * latency overlap, not resource contention. Fails with the first
+    * body's exception if any body fails (all are awaited first, so no
+    * write is abandoned mid-flight).
+    */
+  private def concurrently(bodies: (() => Unit)*): Unit = {
+    if (bodies.sizeIs <= 1) { bodies.foreach(_.apply()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bodies.zipWithIndex.map { case (b, i) =>
+      val t = new Thread(() => {
+        try b() catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-batch-write-$i")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     if (fs(spark, indexDir).exists(new org.apache.hadoop.fs.Path(indexDir)))
       spark.read.schema(indexSchema).parquet(indexDir)
@@ -140,13 +163,14 @@ object StreamingDedup {
         .dropDuplicates("doc_id"), Seq("content_hash", "doc_id"))
       .withColumn("ingest_batch", lit(batchId))
       .coalesce(outputPartitions))
-    admitted.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(outDir)
-    admitted.select("content_hash", "doc_id", "ingest_batch")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(indexDir)
+    concurrently(
+      () => admitted.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(outDir),
+      () => admitted.select("content_hash", "doc_id", "ingest_batch")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(indexDir))
   }
 
   /** Wire into a stream of (doc_id, text) rows. */
@@ -252,18 +276,19 @@ object StreamingDedup {
       .join(nearHit, Seq("doc_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
       .coalesce(outputPartitions))
-    admitted.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(outDir)
-    admitted.select("content_hash", "doc_id", "ingest_batch")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(indexDir)
-    docBands(spark, admitted.select("doc_id", "text"))
-      .join(admitted.select("doc_id", "ingest_batch"), "doc_id")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(bandIndexDir)
+    concurrently(
+      () => admitted.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(outDir),
+      () => admitted.select("content_hash", "doc_id", "ingest_batch")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(indexDir),
+      () => docBands(spark, admitted.select("doc_id", "text"))
+        .join(admitted.select("doc_id", "ingest_batch"), "doc_id")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(bandIndexDir))
   }
 
   /** Wire the near-dup admission into a stream of (doc_id, text) rows. */
@@ -369,14 +394,15 @@ object StreamingDedup {
       .join(evHit, Seq("vec_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
       .coalesce(outputPartitions))
-    admitted.select("vec_id", "list_id", "ingest_batch")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(outDir)
-    admitted.select("vec_id", "list_id", "embedding", "ingest_batch")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(vecIndexDir)
+    concurrently(
+      () => admitted.select("vec_id", "list_id", "ingest_batch")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(outDir),
+      () => admitted.select("vec_id", "list_id", "embedding", "ingest_batch")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(vecIndexDir))
     admitted.count()
   }
 
