@@ -295,28 +295,48 @@ final class SemanticAdmitter(
     // own-partition-exclusion semantics key on ingest_batch)
     val cm = IvfCodebook.comps(vecs)
     val asg = assignCoarse(cm, IvfCodebook.norms(cm), cb)
-    idx.drop("list_id").join(asg, "vec_id")
-      .select(col("vec_id"), col("list_id"), col("embedding"),
-        col("ingest_batch"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("ingest_batch").parquet(indexDir(newVersion))
-    persistCodebook(newVersion, k, cb)
+    // the reassignment write and the codebook-parquet write are
+    // independent (both must land before the pointer, which
+    // persistCodebookFiles does NOT write) — overlap their job latency
+    // from driver threads, then publish the pointer last as before
+    StreamingDedup.concurrently(
+      () => idx.drop("list_id").join(asg, "vec_id")
+        .select(col("vec_id"), col("list_id"), col("embedding"),
+          col("ingest_batch"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("ingest_batch").parquet(indexDir(newVersion)),
+      () => persistCodebookFiles(newVersion, cb))
+    writePointer(newVersion, k)
     fs.delete(p(indexDir(s.version)), true)
     state = Some(QuantizerState(newVersion, k, cb))
     RefreshInfo(newVersion, k, n, (System.nanoTime() - t0) / 1e9)
   }
 
   private def persistCodebook(v: Int, k: Int, cb: Coarse): Unit = {
+    persistCodebookFiles(v, cb)
+    writePointer(v, k)
+  }
+
+  /** The codebook parquet files WITHOUT the pointer — split out so
+    * [[refresh]] can overlap this write with the index reassignment and
+    * still write the pointer strictly last (the crash-ordering
+    * invariant). */
+  private def persistCodebookFiles(v: Int, cb: Coarse): Unit = {
     val dir = codebookDir(v)
     fs.delete(p(dir), true) // a crashed swap's orphan (see refresh)
     cb match {
       case FlatCoarse(cents) =>
         cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/super")
       case TreeCoarse(supers, children) =>
-        supers.coalesce(1).write.mode("overwrite").parquet(s"$dir/super")
-        children.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/children")
+        StreamingDedup.concurrently(
+          () => supers.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/super"),
+          () => children.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/children"))
     }
+  }
+
+  private def writePointer(v: Int, k: Int): Unit = {
     val out = fs.create(p(pointerPath), true)
     try out.write(s"$v $k\n".getBytes("UTF-8")) finally out.close()
   }

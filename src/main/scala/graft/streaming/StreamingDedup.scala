@@ -93,7 +93,7 @@ object StreamingDedup {
     * body's exception if any body fails (all are awaited first, so no
     * write is abandoned mid-flight).
     */
-  private def concurrently(bodies: (() => Unit)*): Unit = {
+  private[streaming] def concurrently(bodies: (() => Unit)*): Unit = {
     if (bodies.sizeIs <= 1) { bodies.foreach(_.apply()); return }
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = bodies.zipWithIndex.map { case (b, i) =>
